@@ -1,0 +1,132 @@
+"""CDC/journal-style queries over the events stream table (SURVEY.md §2.I).
+
+The healthcare CDC engine itself lives in ``streaming/cdc.py`` (tested via
+pytest fixtures); these operators exercise the same query shapes — latest
+state per key, change-volume audit, hourly sync histograms — on the
+driver's ``events`` table so they run under the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.shims import (
+    decimal_sum,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+    AS_OF_EVENT_TS,
+    query,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+
+@query(
+    "i3_latest_state_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts AS last_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def i3_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per key — the dedupe-to-current-state step of the CDC
+    merge (reference: upsert-by-PK semantics,
+    sql/4.analytics_queries.sql:374-390; SURVEY.md §2.I3). Same
+    row_number-over-key plan the merge uses per micro-batch."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "i8_change_volume",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS change_day,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_creates,
+           COUNT(CASE WHEN event_type IN ('click','view','purchase') THEN 1 END)
+               AS n_updates,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           COUNT(*) AS n_total
+    FROM events GROUP BY 1
+    """,
+)
+def i8_change_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-volume audit by day/op-class (reference:
+    sql/4.analytics_queries.sql:394-417 insert/update/delete counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return ev.groupBy(F.col("ts").cast("date").alias("change_day")).agg(
+        F.count(F.when(et == "signup", 1)).alias("n_creates"),
+        F.count(F.when(et.isin("click", "view", "purchase"), 1)).alias("n_updates"),
+        F.count(F.when(et == "error", 1)).alias("n_errors"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "i8_recent_changes",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_changes, MAX(ts) AS last_change
+    FROM events
+    WHERE ts >= TIMESTAMP '{AS_OF_EVENT_TS}' - INTERVAL 7 DAY
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def i8_recent_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recently-changed keys audit with pinned as-of (reference:
+    sql/4.analytics_queries.sql:375-390 last-24h CDC changes)."""
+    cutoff = F.lit(AS_OF_EVENT_TS).cast("timestamp_ntz") - F.expr("INTERVAL 7 DAYS")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_changes"), F.max("ts").alias("last_change"))
+        .filter(F.col("n_changes") >= 3)
+    )
+
+
+@query(
+    "i5_tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def i5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation using Spark's streaming-native
+    ``window()`` (reference: the 1-min sync-interval batching,
+    sql/3.live_appointments.sql:48-49). Batch and streaming share this
+    plan — in streaming it runs incrementally with a watermark
+    (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            decimal_sum("value").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,374 @@
+"""CDC core: snapshot bootstrap, keyed upsert merge with soft deletes,
+append-only journal, Structured Streaming wrapper.
+
+This is the engine's re-expression of the reference's OpenFlow connector
+contract (SURVEY.md §2.I, §3 entry 2):
+
+- I1  snapshot  -> replica tables created with ``_SNOWFLAKE_INSERTED_AT``
+                   stamped, ``_SNOWFLAKE_UPDATED_AT`` NULL,
+                   ``_SNOWFLAKE_DELETED`` FALSE
+                   (sql/2.verify_snapshot.sql:41-49).
+- I2  INSERT    -> new row appended, inserted_at = sync ts.
+- I3  UPDATE    -> in-place upsert by PK, updated_at = sync ts
+                   (sql/4.analytics_queries.sql:374-390).
+- I4  DELETE    -> SOFT delete: row retained, deleted flag set
+                   (sql/3.live_appointments.sql:18,413).
+- I5  cadence   -> micro-batch per sync interval
+                   (sql/3.live_appointments.sql:48-49).
+- I6  journal   -> every raw event appended to a queryable per-table log
+                   (sql/3.live_appointments.sql:414).
+
+Design for scale
+----------------
+Plain parquet has no MERGE, so each replica is a versioned directory with
+an atomically-swapped pointer file (write-new-version, ``os.replace`` the
+pointer). The merge itself is pure DataFrame algebra:
+
+1. reduce the batch to the LATEST event per PK
+   (``row_number() over (partition by pk order by seq_no desc)``);
+2. guard every row with a stored per-row version (``_CDC_SEQ``): an
+   event lands only if its ``seq_no`` beats the row's current version.
+   This makes the merge idempotent under at-least-once ``foreachBatch``
+   replay AND correct under out-of-order micro-batch delivery (global
+   file/offset ordering is not guaranteed in a distributed source);
+3. ``replica LEFT JOIN broadcast(latest)`` applies updates/soft-deletes
+   without shuffling the replica — at 100 TB the big side streams
+   map-side past a broadcast of the (small) per-interval change set;
+4. ``latest ANTI JOIN replica-keys`` yields brand-new rows to append.
+
+When a batch is genuinely huge (initial backfill), drop the broadcast
+hint via ``broadcast_threshold_rows``; Catalyst then plans a shuffle
+join, and a PK-bucketed replica layout keeps it co-located.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+
+# Raw JSONL change-event envelope: ``after`` is a string map so one
+# schema carries every table's events; per-table projection casts each
+# field to its declared type (schemas.py).
+# Internal per-row version column stored in replica parquet (not part of
+# the user-facing contract; stripped from registered views): highest
+# seq_no applied to the row, the guard that makes merges idempotent and
+# reorder-safe.
+CDC_SEQ = "_CDC_SEQ"
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("seq_no", T.LongType(), False),
+        T.StructField("event_ts", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+class ReplicaStore:
+    """Versioned parquet replica tables with an atomic pointer swap.
+
+    Layout::
+
+        root/tables/<table>/v<N>/*.parquet
+        root/tables/<table>/_POINTER.json   {"version": N, "watermark": seq}
+        root/journal/<table>/*.parquet      (append-only event log)
+
+    Readers resolve the pointer, so a crash mid-write never exposes a
+    half-written version; the watermark records the highest applied
+    ``seq_no`` for idempotent replay.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        os.makedirs(os.path.join(root, "journal"), exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+    def _pointer_path(self, table: str) -> str:
+        return os.path.join(self.root, "tables", table, "_POINTER.json")
+
+    def _pointer(self, table: str) -> dict:
+        try:
+            with open(self._pointer_path(table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": -1, "watermark": -1}
+
+    def watermark(self, table: str) -> int:
+        return int(self._pointer(table)["watermark"])
+
+    def table_path(self, table: str) -> str:
+        ptr = self._pointer(table)
+        if ptr["version"] < 0:
+            raise FileNotFoundError(f"replica '{table}' not bootstrapped")
+        return os.path.join(self.root, "tables", table, f"v{ptr['version']}")
+
+    # -- io ----------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(table))
+
+    def write(self, spark: SparkSession, table: str, df: DataFrame, watermark: int) -> None:
+        ptr = self._pointer(table)
+        new_version = ptr["version"] + 1
+        tdir = os.path.join(self.root, "tables", table)
+        os.makedirs(tdir, exist_ok=True)
+        out = os.path.join(tdir, f"v{new_version}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": new_version, "watermark": watermark, "written_at": time.time()},
+                f,
+            )
+        os.replace(tmp, self._pointer_path(table))  # atomic swap
+        # retire versions older than the previous one (keep 1 for readers)
+        for name in os.listdir(tdir):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < new_version - 1:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+    def journal_path(self, table: str) -> str:
+        return os.path.join(self.root, "journal", table)
+
+    def read_journal(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.journal_path(table))
+
+
+class CdcEngine:
+    """Snapshot + incremental CDC maintenance for a set of keyed tables."""
+
+    def __init__(
+        self,
+        store: ReplicaStore,
+        tables: dict[str, T.StructType] | None = None,
+        primary_keys: dict[str, str] | None = None,
+        broadcast_threshold_rows: int = 5_000_000,
+        write_partitions: int | None = None,
+    ):
+        self.store = store
+        self.tables = tables or schemas.HEALTHCARE_TABLES
+        self.primary_keys = primary_keys or schemas.PRIMARY_KEYS
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+        # Output-file sizing: None lets AQE pick; small reference-scale
+        # tables should pass 1 to avoid a spray of KB-sized files. At
+        # cluster scale, size so files land ~128 MB-1 GB each.
+        self.write_partitions = write_partitions
+
+    # -- I1: snapshot bootstrap --------------------------------------------
+    def bootstrap(
+        self, spark: SparkSession, source: dict[str, DataFrame], load_ts: str
+    ) -> None:
+        """Initial full copy: replica = source + metadata columns
+        (connector contract, sql/1.snowflake_setup.sql:47-49)."""
+        for table, df in source.items():
+            replica = (
+                df.withColumn(
+                    schemas.META_INSERTED_AT, F.lit(load_ts).cast("timestamp_ntz")
+                )
+                .withColumn(
+                    schemas.META_UPDATED_AT, F.lit(None).cast("timestamp_ntz")
+                )
+                .withColumn(schemas.META_DELETED, F.lit(False))
+                .withColumn(CDC_SEQ, F.lit(-1).cast("long"))
+            )
+            if self.write_partitions:
+                replica = replica.coalesce(self.write_partitions)
+            self.store.write(spark, table, replica, watermark=-1)
+
+    # -- event parsing -------------------------------------------------------
+    def project_after(self, events: DataFrame, table: str) -> DataFrame:
+        """Cast the string-map ``after`` payload to the table's declared
+        types; keeps envelope columns (seq_no, event_ts, op)."""
+        schema = self.tables[table]
+        cols = [
+            F.element_at(F.col("after"), f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return events.select(
+            F.col("seq_no"),
+            F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+            F.col("op"),
+            *cols,
+        )
+
+    # -- I2-I4: keyed upsert merge with soft delete ---------------------------
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        table: str,
+        events: DataFrame,
+        sync_ts: str | None = None,
+    ) -> None:
+        """Apply one sync interval's events for one table.
+
+        ``events``: raw envelope rows (already filtered to this table) OR
+        pre-projected rows from :meth:`project_after`.
+        """
+        if "after" in events.columns:
+            events = self.project_after(events, table)
+        pk = self.primary_keys[table]
+
+        stats = events.agg(
+            F.count("*").alias("n"),
+            F.max("seq_no").alias("max_seq"),
+            F.max("event_ts").alias("max_ts"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            return
+        # Deterministic sync timestamp: the batch's newest commit ts
+        # (reference stamps rows with the sync time; using event time keeps
+        # replays byte-identical).
+        sync_col = (
+            F.lit(sync_ts).cast("timestamp_ntz")
+            if sync_ts
+            else F.lit(stats["max_ts"]).cast("timestamp_ntz")
+        )
+
+        # latest event per PK wins within the interval (SURVEY.md §3:
+        # row_number over seq_no desc).
+        w = Window.partitionBy(pk).orderBy(F.col("seq_no").desc())
+        latest = (
+            events.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # broadcast only the probe side of the left join (anti join below
+        # builds on the right side, where the hint would be unsupported)
+        latest_hinted = (
+            F.broadcast(latest)
+            if stats["n"] <= self.broadcast_threshold_rows
+            else latest
+        )
+
+        replica = self.store.read(spark, table)
+        src_fields = [f.name for f in self.tables[table].fields]
+        r, e = replica.alias("r"), latest_hinted.alias("e")
+        # Per-row version guard: an event lands only if its seq_no beats
+        # the row's stored _CDC_SEQ. This makes the merge idempotent under
+        # replay AND correct under out-of-order micro-batch delivery —
+        # global ordering is not guaranteed once ingestion is distributed.
+        applies = F.col("e.op").isNotNull() & (
+            F.col("e.seq_no") > F.col(f"r.{CDC_SEQ}")
+        )
+        op = F.when(applies, F.col("e.op"))  # null unless the event lands
+
+        # existing rows: keep values on D (soft delete), take post-image on I/U
+        updated = r.join(e, F.col(f"r.{pk}") == F.col(f"e.{pk}"), "left").select(
+            *[
+                F.when(op.isNull() | (op == "D"), F.col(f"r.{c}"))
+                .otherwise(F.col(f"e.{c}"))
+                .alias(c)
+                for c in src_fields
+            ],
+            F.col(f"r.{schemas.META_INSERTED_AT}").alias(schemas.META_INSERTED_AT),
+            F.when(op.isNull(), F.col(f"r.{schemas.META_UPDATED_AT}"))
+            .otherwise(sync_col)
+            .alias(schemas.META_UPDATED_AT),
+            F.when(op.isNull(), F.col(f"r.{schemas.META_DELETED}"))
+            .otherwise(op == "D")
+            .alias(schemas.META_DELETED),
+            F.when(op.isNull(), F.col(f"r.{CDC_SEQ}"))
+            .otherwise(F.col("e.seq_no"))
+            .alias(CDC_SEQ),
+        )
+        # Brand-new keys: inserts. A D for a never-seen key materializes a
+        # PK-only tombstone so a late-arriving lower-seq INSERT for the
+        # same key is correctly suppressed by the version guard.
+        inserts = (
+            latest.join(replica.select(pk), on=pk, how="left_anti")
+            .select(
+                *[F.col(c) for c in src_fields],
+                sync_col.alias(schemas.META_INSERTED_AT),
+                F.when(F.col("op").isin("U", "D"), sync_col)
+                .otherwise(F.lit(None).cast("timestamp_ntz"))
+                .alias(schemas.META_UPDATED_AT),
+                (F.col("op") == "D").alias(schemas.META_DELETED),
+                F.col("seq_no").alias(CDC_SEQ),
+            )
+        )
+        merged = updated.unionByName(inserts.select(*updated.columns))
+        if self.write_partitions:
+            merged = merged.coalesce(self.write_partitions)
+        self.store.write(spark, table, merged, watermark=int(stats["max_seq"]))
+
+    # -- I6: journal -----------------------------------------------------------
+    def append_journal(self, table: str, events: DataFrame) -> None:
+        """Append the interval's raw (typed) events to the per-table log."""
+        if "after" in events.columns:
+            events = self.project_after(events, table)
+        events.write.mode("append").parquet(self.store.journal_path(table))
+
+    # -- batch driver ------------------------------------------------------------
+    def apply_envelope_batch(self, spark: SparkSession, batch: DataFrame) -> None:
+        """Process one micro-batch of mixed-table envelope rows: journal
+        first (append-only, replay-tolerant), then merge each table."""
+        batch.persist()
+        try:
+            present = [
+                row["table_name"]
+                for row in batch.select("table_name").distinct().collect()
+            ]
+            for table in present:
+                if table not in self.tables:
+                    continue
+                sub = batch.filter(F.col("table_name") == table)
+                typed = self.project_after(sub, table)
+                typed.persist()
+                try:
+                    self.append_journal(table, typed)
+                    self.merge_batch(spark, table, typed)
+                finally:
+                    typed.unpersist()
+        finally:
+            batch.unpersist()
+
+    # -- I5: Structured Streaming wrapper ------------------------------------------
+    def start_cdc(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        processing_time: str | None = "60 seconds",
+        available_now: bool = False,
+        max_files_per_trigger: int = 1,
+    ):
+        """Consume JSONL change-event files as a stream; one merge per
+        micro-batch (the reference's 1-minute sync interval —
+        ``processingTime='60 seconds'``; tests use ``available_now`` with
+        file-per-batch to replay the scripted scenario deterministically)."""
+        reader = (
+            spark.readStream.schema(ENVELOPE)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(events_dir)
+        )
+        writer = reader.writeStream.foreachBatch(
+            lambda df, _epoch: self.apply_envelope_batch(df.sparkSession, df)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    # -- views -------------------------------------------------------------------
+    def register_views(
+        self, spark: SparkSession, tables: Iterable[str] | None = None
+    ) -> None:
+        """Register raw replicas (``<t>_raw``) and the semantic-layer
+        default views (``<t>`` with ``_SNOWFLAKE_DELETED = FALSE`` —
+        reference yaml:593-594,613-614)."""
+        for t in tables or self.tables:
+            df = self.store.read(spark, t).drop(CDC_SEQ)
+            df.createOrReplaceTempView(f"{t}_raw")
+            df.filter(~F.col(schemas.META_DELETED)).createOrReplaceTempView(t)

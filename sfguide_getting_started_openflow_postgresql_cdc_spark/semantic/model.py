@@ -1,0 +1,338 @@
+"""Semantic-model catalog (SURVEY.md §2.J).
+
+Re-expresses the reference's Cortex-Analyst semantic model
+(``semantic-models/healthcare_cdc_semantic_model.yaml``) as a typed
+registry the engine can act on:
+
+- logical tables with PKs, synonyms, and column classification into
+  dimensions / time_dimensions / facts (yaml:21,110,194,355,535);
+- join relationships (yaml:552-582) used to auto-build fact⋈dim joins;
+- the default soft-delete filter applied to every semantic query
+  (yaml:593-594,613-614,636-638);
+- verified queries — blessed NL-question -> query pairs (yaml:583-649) —
+  as named DataFrame builders.
+
+The model is declared in code and round-trips through a compact YAML/JSON
+dict so it can ship as a sidecar file like the reference's stage upload
+(sql/1.snowflake_setup.sql:52-58).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    kind: str  # 'dimension' | 'time_dimension' | 'fact'
+    synonyms: list[str] = field(default_factory=list)
+    description: str = ""
+
+
+@dataclass
+class TableSpec:
+    name: str
+    primary_key: str
+    columns: list[ColumnSpec]
+    synonyms: list[str] = field(default_factory=list)
+    description: str = ""
+
+    def column(self, name: str) -> ColumnSpec:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(f"{self.name}.{name}")
+
+
+@dataclass
+class Relationship:
+    """left_table.left_key -> right_table.right_key (many-to-one)."""
+
+    name: str
+    left_table: str
+    right_table: str
+    left_key: str
+    right_key: str
+
+
+class SemanticModel:
+    def __init__(
+        self,
+        name: str,
+        tables: list[TableSpec],
+        relationships: list[Relationship],
+        description: str = "",
+    ):
+        self.name = name
+        self.description = description
+        self.tables = {t.name: t for t in tables}
+        self.relationships = {r.name: r for r in relationships}
+        self._verified: dict[str, tuple[str, object]] = {}
+
+    # -- validation -----------------------------------------------------
+    def validate(self, dfs: dict[str, DataFrame]) -> list[str]:
+        """Check every declared table/column/relationship exists in the
+        provided DataFrames; returns a list of problems (empty == valid)."""
+        problems = []
+        for t in self.tables.values():
+            if t.name not in dfs:
+                problems.append(f"missing table {t.name}")
+                continue
+            have = set(dfs[t.name].columns)
+            for c in t.columns:
+                if c.name not in have:
+                    problems.append(f"missing column {t.name}.{c.name}")
+            if t.primary_key not in have:
+                problems.append(f"missing pk {t.name}.{t.primary_key}")
+        for r in self.relationships.values():
+            for side, key in ((r.left_table, r.left_key), (r.right_table, r.right_key)):
+                if side not in dfs:
+                    problems.append(f"relationship {r.name}: missing table {side}")
+                elif key not in dfs[side].columns:
+                    problems.append(f"relationship {r.name}: missing key {side}.{key}")
+        return problems
+
+    # -- join auto-builder -----------------------------------------------
+    def join(
+        self, dfs: dict[str, DataFrame], left: str, right: str, how: str = "inner"
+    ) -> DataFrame:
+        """Join two logical tables along the declared relationship —
+        the dim side is broadcast (reference dims are tiny; at scale this
+        keeps the fact side shuffle-free)."""
+        for r in self.relationships.values():
+            if r.left_table == left and r.right_table == right:
+                return dfs[left].join(
+                    F.broadcast(dfs[right]),
+                    dfs[left][r.left_key] == dfs[right][r.right_key],
+                    how,
+                )
+        raise KeyError(f"no relationship {left} -> {right}")
+
+    # -- verified queries --------------------------------------------------
+    def verified(self, name: str, question: str):
+        """Decorator registering a blessed question -> DataFrame builder."""
+
+        def deco(fn):
+            self._verified[name] = (question, fn)
+            return fn
+
+        return deco
+
+    def verified_queries(self) -> dict[str, str]:
+        return {k: q for k, (q, _) in self._verified.items()}
+
+    def run_verified(self, name: str, spark: SparkSession, dfs: dict[str, DataFrame]):
+        _, fn = self._verified[name]
+        return fn(spark, dfs)
+
+    # -- serialization -----------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "tables": [
+                {
+                    "name": t.name,
+                    "primary_key": t.primary_key,
+                    "synonyms": t.synonyms,
+                    "description": t.description,
+                    "columns": [
+                        {
+                            "name": c.name,
+                            "kind": c.kind,
+                            "synonyms": c.synonyms,
+                            "description": c.description,
+                        }
+                        for c in t.columns
+                    ],
+                }
+                for t in self.tables.values()
+            ],
+            "relationships": [vars(r) for r in self.relationships.values()],
+            "verified_queries": [
+                {"name": k, "question": q} for k, (q, _) in self._verified.items()
+            ],
+        }
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @staticmethod
+    def load_dict(d: dict) -> "SemanticModel":
+        tables = [
+            TableSpec(
+                t["name"],
+                t["primary_key"],
+                [ColumnSpec(**c) for c in t["columns"]],
+                t.get("synonyms", []),
+                t.get("description", ""),
+            )
+            for t in d["tables"]
+        ]
+        rels = [Relationship(**r) for r in d["relationships"]]
+        return SemanticModel(d["name"], tables, rels, d.get("description", ""))
+
+
+# ---------------------------------------------------------------------------
+# The healthcare model (reference yaml:2-582, re-declared)
+# ---------------------------------------------------------------------------
+
+
+def _dim(name, *syn):
+    return ColumnSpec(name, "dimension", list(syn))
+
+
+def _tdim(name, *syn):
+    return ColumnSpec(name, "time_dimension", list(syn))
+
+
+def _fact(name, *syn):
+    return ColumnSpec(name, "fact", list(syn))
+
+
+def healthcare_model() -> SemanticModel:
+    meta = [
+        _tdim(schemas.META_INSERTED_AT, "replicated at"),
+        _tdim(schemas.META_UPDATED_AT, "last synced at"),
+        _dim(schemas.META_DELETED, "is deleted"),
+    ]
+    model = SemanticModel(
+        "healthcare_cdc",
+        tables=[
+            TableSpec(
+                "patients",
+                "patient_id",
+                [
+                    _dim("first_name"), _dim("last_name"),
+                    _tdim("date_of_birth", "dob", "birth date"),
+                    _dim("phone"), _dim("email"), _dim("address"),
+                    _dim("city"), _dim("state"),
+                    _dim("insurance_provider", "insurer", "payer"),
+                    _tdim("registration_date"),
+                    _fact("patient_id"),
+                    *meta,
+                ],
+                synonyms=["clients", "members"],
+                description="Patients registered at the clinic.",
+            ),
+            TableSpec(
+                "doctors",
+                "doctor_id",
+                [
+                    _dim("first_name"), _dim("last_name"),
+                    _dim("specialization", "specialty"),
+                    _dim("department"), _dim("phone"), _dim("email"),
+                    _fact("years_of_experience", "experience"),
+                    _dim("accepting_new_patients"),
+                    _fact("doctor_id"),
+                    *meta,
+                ],
+                synonyms=["physicians", "providers"],
+                description="Medical staff.",
+            ),
+            TableSpec(
+                "appointments",
+                "appointment_id",
+                [
+                    _fact("appointment_id"), _fact("patient_id"), _fact("doctor_id"),
+                    _tdim("appointment_date", "visit date"),
+                    _dim("appointment_time", "time slot"),
+                    _dim("status", "appointment status"),
+                    _dim("reason_for_visit", "reason"),
+                    _dim("appointment_type", "type"),
+                    _tdim("created_at"), _tdim("updated_at"),
+                    *meta,
+                ],
+                synonyms=["bookings", "schedule"],
+                description="Scheduled/past appointments (main CDC table).",
+            ),
+            TableSpec(
+                "visits",
+                "visit_id",
+                [
+                    _fact("visit_id"), _fact("appointment_id"),
+                    _fact("patient_id"), _fact("doctor_id"),
+                    _tdim("visit_date"),
+                    _tdim("visit_start_time"), _tdim("visit_end_time"),
+                    _dim("diagnosis"), _dim("treatment_notes"),
+                    _dim("follow_up_required"), _dim("prescription_given"),
+                    _fact("total_charge", "revenue", "billed amount"),
+                    *meta,
+                ],
+                synonyms=["encounters"],
+                description="Completed clinical visits with charges.",
+            ),
+        ],
+        relationships=[
+            Relationship("appointments_to_patients", "appointments", "patients",
+                         "patient_id", "patient_id"),
+            Relationship("appointments_to_doctors", "appointments", "doctors",
+                         "doctor_id", "doctor_id"),
+            Relationship("visits_to_appointments", "visits", "appointments",
+                         "appointment_id", "appointment_id"),
+            Relationship("visits_to_patients", "visits", "patients",
+                         "patient_id", "patient_id"),
+            Relationship("visits_to_doctors", "visits", "doctors",
+                         "doctor_id", "doctor_id"),
+        ],
+        description="CDC-replicated healthcare warehouse (4 tables).",
+    )
+
+    # -- verified queries (reference yaml:583-649) -------------------------
+
+    @model.verified("total_appointments", "How many appointments do we have in total?")
+    def total_appointments(spark: SparkSession, dfs: dict[str, DataFrame]):
+        # yaml:592-595: COUNT(*) WHERE NOT deleted
+        return dfs["appointments"].filter(~F.col(schemas.META_DELETED)).agg(
+            F.count("*").alias("total_appointments")
+        )
+
+    @model.verified(
+        "appointments_modified_today",
+        "How many appointments were modified via CDC today?",
+    )
+    def modified_today(spark: SparkSession, dfs: dict[str, DataFrame]):
+        # yaml:608-617: rows whose _SNOWFLAKE_UPDATED_AT falls on the
+        # current day; as-of is injected for determinism.
+        appts = dfs["appointments"]
+        as_of = dfs.get("_as_of_date")
+        day = F.lit(as_of).cast("date") if as_of else F.current_date()
+        return appts.filter(
+            F.col(schemas.META_UPDATED_AT).cast("date") == day
+        ).agg(F.count("*").alias("appointments_modified_today"))
+
+    @model.verified("revenue_by_doctor", "What is the total revenue by doctor?")
+    def revenue_by_doctor(spark: SparkSession, dfs: dict[str, DataFrame]):
+        # yaml:621-648: doctors LEFT JOIN visits (not deleted), revenue
+        # stats per doctor, ordered desc nulls last.
+        doctors = dfs["doctors"].filter(~F.col(schemas.META_DELETED))
+        visits = dfs["visits"].filter(~F.col(schemas.META_DELETED))
+        v = visits.select("doctor_id", "visit_id", "total_charge").alias("v")
+        d = doctors.alias("d")
+        return (
+            d.join(v, F.col("d.doctor_id") == F.col("v.doctor_id"), "left")
+            .groupBy(
+                F.col("d.doctor_id").alias("doctor_id"),
+                F.concat(F.col("d.first_name"), F.lit(" "), F.col("d.last_name")).alias(
+                    "doctor_name"
+                ),
+                F.col("d.specialization").alias("specialization"),
+            )
+            .agg(
+                F.count("v.visit_id").alias("total_visits"),
+                F.sum("v.total_charge").alias("total_revenue"),
+                F.min("v.total_charge").alias("min_charge"),
+                F.max("v.total_charge").alias("max_charge"),
+            )
+            .orderBy(F.col("total_revenue").desc_nulls_last())
+        )
+
+    return model

@@ -1,0 +1,92 @@
+"""Semantic-layer tests (SURVEY.md §2.J): catalog validation, relationship
+join builder, verified queries, serialization round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic import (
+    SemanticModel,
+    healthcare_model,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources import healthcare
+from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+    CdcEngine,
+    ReplicaStore,
+)
+
+LOAD_TS = "2024-06-02 12:00:00"
+
+
+@pytest.fixture(scope="module")
+def replicas(spark, tmp_path_factory):
+    engine = CdcEngine(
+        ReplicaStore(str(tmp_path_factory.mktemp("wh_sem"))), write_partitions=1
+    )
+    engine.bootstrap(spark, healthcare.snapshot_dataframes(spark), LOAD_TS)
+    return {t: engine.store.read(spark, t) for t in schemas.HEALTHCARE_TABLES}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return healthcare_model()
+
+
+def test_model_validates_against_replicas(model, replicas):
+    assert model.validate(replicas) == []
+
+
+def test_model_detects_missing_column(model, replicas):
+    broken = dict(replicas)
+    broken["visits"] = replicas["visits"].drop("total_charge")
+    problems = model.validate(broken)
+    assert "missing column visits.total_charge" in problems
+
+
+def test_relationship_join_builder(model, replicas):
+    joined = model.join(replicas, "appointments", "doctors")
+    assert joined.count() == 170  # every appointment has a doctor
+    left = model.join(replicas, "visits", "patients", how="left")
+    assert left.count() == 100
+
+
+def test_verified_total_appointments(spark, model, replicas):
+    out = model.run_verified("total_appointments", spark, replicas).collect()
+    assert out[0]["total_appointments"] == 170
+
+
+def test_verified_revenue_by_doctor(spark, model, replicas):
+    rows = model.run_verified("revenue_by_doctor", spark, replicas).collect()
+    assert len(rows) == 10  # left join keeps doctors with zero visits
+    assert rows[0]["total_revenue"] >= rows[-1]["total_revenue"] or (
+        rows[-1]["total_revenue"] is None
+    )
+    total = sum(float(r["total_revenue"]) for r in rows if r["total_revenue"] is not None)
+    expected = float(
+        replicas["visits"].agg(F.sum("total_charge")).collect()[0][0]
+    )
+    assert abs(total - expected) < 0.01
+
+
+def test_verified_modified_today_with_as_of(spark, model, replicas):
+    dfs = dict(replicas)
+    dfs["_as_of_date"] = "2024-06-03"
+    out = model.run_verified("appointments_modified_today", spark, dfs).collect()
+    assert out[0]["appointments_modified_today"] == 0  # snapshot only
+
+
+def test_serialization_round_trip(model, tmp_path):
+    path = str(tmp_path / "model.json")
+    model.save(path)
+    import json
+
+    loaded = SemanticModel.load_dict(json.load(open(path)))
+    assert set(loaded.tables) == set(model.tables)
+    assert set(loaded.relationships) == set(model.relationships)
+    assert loaded.tables["visits"].column("total_charge").kind == "fact"
+    d = model.to_dict()
+    assert {q["name"] for q in d["verified_queries"]} == {
+        "total_appointments",
+        "appointments_modified_today",
+        "revenue_by_doctor",
+    }

@@ -6,6 +6,7 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  #
     cdc_audit,
     dedup,
     joins,
+    multimodal,
     projections,
     reports,
     similarity,

@@ -1,5 +1,341 @@
-"""Deduplication operators for large-scale training-data pipelines.
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash.
 
-Filled in M5: exact hash dedup, normalized-fingerprint dedup, MinHash+LSH,
-SimHash, n-gram Jaccard.
+North-star extensions (no reference counterpart). All portable-hash
+based: document hashes derive from md5 (identical hex in every engine),
+MinHash signatures are lexicographic minima of fixed-width hex strings
+(lexical min == numeric min), and SimHash uses the top 60 bits of md5 via
+hex->integer conversion — so every operator has an exact DuckDB oracle.
+
+Scale design:
+- exact/fingerprint dedup: hash-groupBy, one shuffle on the hash — the
+  100 TB workhorse.
+- n-gram Jaccard (dd3) self-joins on shingles: EXACT but quadratic in
+  hot shingles; it is the correctness baseline for the MinHash path, not
+  the scale path.
+- MinHash+LSH (dd4): signatures are 8 per-doc aggregates (map-side
+  combinable); candidate generation joins on (band, signature) buckets
+  only, so work scales with collisions, not pairs. This is the operator
+  to run at 100 TB; banding parameters (8 hashes, 4 bands x 2 rows)
+  tune the similarity threshold ~ (1/b)^(1/r) ≈ 0.5.
+- SimHash (dd5): one 60-bit signature per doc via a single groupBy;
+  near-dup candidates differ in <= k bits (hamming join done downstream
+  by banding the signature, same LSH idea).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import fingerprint
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+N_MINHASH = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n words)."""
+    words = F.split(F.trim(text), r"\s+")
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared by dd3/dd4."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+# SQL twin of _doc_shingles for the oracles (DuckDB)
+_SH_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               unnest(range(greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)))
+                   AS i
+        FROM documents
+      )
+    )
+"""
+
+
+@query(
+    "dd1_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one canonical row (lowest id) per identical text.
+    Hash-groupBy — a single shuffle keyed on the text hash at scale."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+@query(
+    "dd2_fingerprint_stats",
+    oracle=r"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+               AS n_unique,
+           COUNT(*) - COUNT(DISTINCT
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+               AS n_duplicates
+    FROM documents
+    """,
+)
+def dd2_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dup statistics over normalized fingerprints — the
+    cheap first-pass report before any pairwise work."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_duplicates"),
+    )
+
+
+@query(
+    "dd3_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-3-gram Jaccard >= threshold — the
+    ground truth the MinHash path approximates. Self-join on shingle:
+    exact but O(pairs-per-hot-shingle); use dd4 at scale."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_sig_cols() -> list[Column]:
+    """MinHash signature: for seed i, the lexicographic min of
+    md5(i|shingle) prefixes. Fixed-width lowercase hex -> lexical min is
+    numeric min, portable across engines."""
+    return [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 16)).alias(
+            f"mh{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+
+
+def _minhash_sql_sig() -> str:
+    return ",\n             ".join(
+        f"MIN(substr(md5('{i}|' || shingle), 1, 16)) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+
+
+def _band_exprs() -> list[tuple[str, Column]]:
+    bands = []
+    for bidx in range(0, N_MINHASH, BAND_ROWS):
+        cols = [F.col(f"mh{i}") for i in range(bidx, bidx + BAND_ROWS)]
+        bands.append((f"band{bidx // BAND_ROWS}", F.concat(*cols)))
+    return bands
+
+
+@query(
+    "dd4_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SH_SQL},
+    sig AS (
+      SELECT doc_id,
+             {_minhash_sql_sig()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{b * BAND_ROWS} || mh{b * BAND_ROWS + 1} AS sig FROM sig"
+          for b in range(N_MINHASH // BAND_ROWS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection — the 100 TB scale path.
+
+    shingle -> 8 minhashes (one groupBy, map-side combinable) -> 4 bands
+    of 2 -> bucket join on (band, signature) -> verify candidates with
+    exact Jaccard. Only bucket-colliding pairs are ever joined, so cost
+    tracks true near-dups instead of all pairs.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    bands = None
+    for name, expr in _band_exprs():
+        part = sig.select(
+            "doc_id", F.lit(name).alias("band_id"), expr.alias("sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (candidates are few)
+    sha, shb = sh.alias("sha"), sh.alias("shb")
+    inter = (
+        cand.join(sha, F.col("sha.doc_id") == F.col("doc_a"))
+        .join(
+            shb,
+            (F.col("shb.doc_id") == F.col("doc_b"))
+            & (F.col("shb.shingle") == F.col("sha.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM tok
+    )
+    SELECT doc_id, {bit_terms} AS simhash
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@query("dd5_simhash", oracle=_simhash_sql())
+def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 60-bit locality-sensitive signature per document (token
+    hashes majority-voted per bit). One groupBy per corpus; near-dup =
+    small hamming distance, joined downstream by banding the signature.
+    Portable bits: top 15 hex digits of md5 -> integer."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit_sum = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_sum)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))

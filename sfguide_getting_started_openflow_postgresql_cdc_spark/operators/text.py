@@ -1,5 +1,183 @@
-"""Text analysis operators: language-ID, quality scoring, token counting,
-document fingerprinting.
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
 
-Filled in M5.
+No reference counterpart (BASELINE north-star extensions); designed like
+the rest of the inventory: pure ``pyspark.sql.functions`` expressions
+(whole-stage codegen, no UDFs) so they stream over a 100 TB documents
+table with zero Python overhead, each with a DuckDB oracle twin.
+
+Determinism notes: only +,-,*,/ and string ops — no transcendentals
+(libm results differ across engines in the last ulp). Marker-word counts
+use the length-difference idiom, which both engines implement with the
+same left-to-right non-overlapping replace semantics.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of a space-delimited word via the length-diff idiom
+    (identical semantics in Spark and ANSI SQL engines)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 over whitespace-normalized
+    lowercase text — the exact-dedup key that survives reformatting."""
+    return F.md5(normalized_text(text))
+
+
+@query(
+    "tx1_token_count",
+    oracle=r"""
+    SELECT doc_id, lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — the unit every downstream
+    budget (dedup shingles, quality, cost estimates) is denominated in."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "tx2_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(replace(text, ' ', '')) AS n_letter_chars,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS n_the,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS n_a
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_letter_chars AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len,
+           CAST(n_the + n_a AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio,
+           0.5 * (CAST(n_the + n_a AS DOUBLE) / NULLIF(n_tokens, 0))
+             + 0.3 * least(CAST(n_letter_chars AS DOUBLE) / NULLIF(n_tokens, 0) / 8.0, 1.0)
+             + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+    FROM t
+    """,
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token stats + stopword density combined
+    with rational arithmetic only (reproducible across engines/runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count(text)
+    n_letters = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_stop = word_occurrences(text, "the") + word_occurrences(text, "a")
+    nt = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    avg_len = n_letters.cast("double") / nt
+    stop_ratio = n_stop.cast("double") / nt
+    score = (
+        0.5 * stop_ratio
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+        + 0.2 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el")]
+
+
+@query(
+    "tx3_language_guess",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS c_en,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' der ', ''))) // 5 AS c_de,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' le ', ''))) // 4 AS c_fr,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' el ', ''))) // 4 AS c_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM m
+    """,
+)
+def tx3_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-word counts
+    with a fixed priority tie-break. (The synthetic corpus shares one
+    vocabulary across langs, so accuracy is meaningless here — the gate
+    checks engine parity of the heuristic itself.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        lang: word_occurrences(F.col("text"), w) for lang, w in _LANG_MARKERS
+    }
+    c = counts
+    guess = (
+        F.when(
+            (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en"
+        )
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "tx4_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of normalized text (identical hex in
+    any engine — the portable dedup key)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )

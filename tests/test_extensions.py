@@ -1,0 +1,80 @@
+"""Behavioral tests for the LLM-pipeline extension operators — beyond
+oracle parity: recall properties, plumbing shapes, stub gating."""
+
+import pytest
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_media,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover most true near-dup pairs (banding at
+    4x2 targets ~0.5 similarity; at threshold 0.3 expect partial recall,
+    never zero, and full precision post-verification)."""
+    exact = _pairs(QUERIES["dd3_ngram_jaccard_pairs"](spark, SF01))
+    lsh = _pairs(QUERIES["dd4_minhash_lsh_pairs"](spark, SF01))
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh.issubset(exact)  # verification step guarantees precision
+    assert len(lsh) >= len(exact) * 0.5  # banding recall at threshold
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    """Known near-dup pairs should have small simhash hamming distance
+    relative to random pairs."""
+    sims = {r["doc_id"]: r["simhash"] for r in QUERIES["dd5_simhash"](spark, SF01).collect()}
+    exact = _pairs(QUERIES["dd3_ngram_jaccard_pairs"](spark, SF01))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    dup_d = [ham(sims[a], sims[b]) for a, b in exact]
+    ids = sorted(sims)[:40]
+    rand_d = [ham(sims[ids[i]], sims[ids[i + 1]]) for i in range(0, 38, 2)]
+    assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d)
+
+
+def test_knn_lsh_subset_of_bruteforce_universe(spark):
+    """LSH ANN returns valid neighbors with correct ranks; brute-force
+    top-1 per query is recovered when buckets collide."""
+    bf = QUERIES["sim1_knn_cosine_bruteforce"](spark, SF01).collect()
+    lsh = QUERIES["sim2_knn_lsh_bucketed"](spark, SF01).collect()
+    assert {r["rank"] for r in bf} == set(range(1, 11))
+    bf_sims = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in bf}
+    for r in lsh:
+        assert r["rank"] >= 1
+        # any LSH (query, neighbor) sim must equal the exact cosine
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_sims:
+            assert r["similarity"] == bf_sims[key]
+
+
+def test_multimodal_feature_shapes(spark):
+    out = QUERIES["mm1_media_features"](spark, SF01)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r["kind"] == "text/plain"
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+        assert r["n_bytes"] > 0
+
+
+def test_byte_histogram_deterministic():
+    assert byte_histogram_features(b"") == [0.0] * 8
+    h1 = byte_histogram_features(b"hello world")
+    assert h1 == byte_histogram_features(b"hello world")
+    assert abs(sum(h1) - 1.0) < 1e-12
+
+
+def test_decode_stub_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1}
+
+The headline set covers one representative of every operator family:
+scan+filter, broadcast join+agg, exact distinct, window %-of-total,
+top-k, CDC latest-state, streaming-shaped window agg, MinHash LSH dedup,
+brute-force ANN, text quality, SimHash. Queries run once after a small
+JVM warm-up; each timing includes full execution + collect of the
+(small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "d3_tpch_q1_pricing_summary",
+    "c1_join_2way_agg",
+    "c3_left_join_count",
+    "c6_semi_join",
+    "d6_count_distinct",
+    "e1_pct_of_total",
+    "e4_listagg_distinct",
+    "f4_topk_global",
+    "h14_date_trunc_hour",
+    "i3_latest_state_per_key",
+    "i5_tumbling_window_agg",
+    "g1_union_all_rowcounts",
+    "tx2_quality_score",
+    "tx4_fingerprint",
+    "dd2_fingerprint_stats",
+    "dd4_minhash_lsh_pairs",
+    "dd5_simhash",
+    "sim1_knn_cosine_bruteforce",
+    "sim2_knn_lsh_bucketed",
+    "mm1_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JIT the parquet reader, codegen, and broadcast machinery
+    # outside the timings (different queries than the timed set's first)
+    QUERIES["b2_select_star"](spark, sf_dir).collect()
+    QUERIES["c5_join_derived_table"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import fingerprint
@@ -53,10 +54,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared by dd3/dd4."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) distinct pairs — shared by dd3/dd4.
+
+    Built as posexplode + lead() window rather than an array-transform:
+    Catalyst inlines the ``split()`` into every element_at inside a
+    ``transform`` lambda (one regex split per shingle per word — measured
+    ~10x slower); the exploded form splits each document exactly once.
+    """
+    # the documents table is a single small file -> one scan task; spread
+    # the (cheap) rows across the cluster BEFORE the expensive explode so
+    # tokenization parallelizes (at 100 TB the source is already split,
+    # and this repartition is a no-op cost next to the explode).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
     return (
-        docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"),
+            w2.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "shingle")
         .distinct()
     )
 
@@ -143,7 +168,7 @@ def dd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by word-3-gram Jaccard >= threshold — the
     ground truth the MinHash path approximates. Self-join on shingle:
     exact but O(pairs-per-hot-shingle); use dd4 at scale."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()  # used 3x below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -237,13 +262,21 @@ def _band_exprs() -> list[tuple[str, Column]]:
 def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection — the 100 TB scale path.
 
-    shingle -> 8 minhashes (one groupBy, map-side combinable) -> 4 bands
-    of 2 -> bucket join on (band, signature) -> verify candidates with
-    exact Jaccard. Only bucket-colliding pairs are ever joined, so cost
-    tracks true near-dups instead of all pairs.
+    shingle -> 8 minhashes + set size (ONE groupBy, map-side combinable)
+    -> 4 bands of 2 -> bucket join on (band, signature) -> verify
+    candidates with exact Jaccard. Only bucket-colliding pairs are ever
+    joined, so cost tracks true near-dups instead of all pairs.
+
+    The shingle set feeds the signature pass and both sides of the
+    verification join; it is persisted so the explode+distinct shuffle
+    runs once (at cluster scale: checkpoint to storage instead).
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    sh = _doc_shingles(spark, sf_dir).persist()
+    sig_and_size = sh.groupBy("doc_id").agg(
+        *_minhash_sig_cols(), F.count("*").alias("n")
+    )
+    sig = sig_and_size
+    sizes = sig_and_size.select("doc_id", "n")
     bands = None
     for name, expr in _band_exprs():
         part = sig.select(
@@ -273,7 +306,6 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
@@ -311,8 +343,10 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes majority-voted per bit). One groupBy per corpus; near-dup =
     small hamming distance, joined downstream by banding the signature.
     Portable bits: top 15 hex digits of md5 -> integer."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) > 0
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .repartition(spark.sparkContext.defaultParallelism)  # parallel explode
     )
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")

@@ -123,7 +123,11 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file source -> repartition so the Arrow-batched python
+    # workers run in parallel instead of one worker eating every batch
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = with_media_columns(docs)
     return media.select("doc_id", "payload", "kind").mapInPandas(
         _extract, schema=FEATURE_SCHEMA

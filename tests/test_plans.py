@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the scale properties the operators claim
+(pushdown, pruning, broadcast, top-k) must actually appear in the plan."""
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
+from sfguide_getting_started_openflow_postgresql_cdc_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["b1_project_filter"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("c_acctbal" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["b1_project_filter"](spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas and all("c_mktsegment" not in s for s in schemas), schemas
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["flagship_revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    # the fact (orders) scan must not read o_orderdate/o_orderpriority
+    schemas = scan_read_schema(df)
+    orders_scan = [s for s in schemas if "o_custkey" in s]
+    assert orders_scan and "o_orderdate" not in orders_scan[0]
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    assert has_take_ordered(QUERIES["f4_topk_global"](spark, sf_dir))
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = explain_str(QUERIES["c6_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_date_range_pushdown(spark, sf_dir):
+    pushed = pushed_filters(QUERIES["b6_date_range"](spark, sf_dir))
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_metadata_only_scan_prunes_payload(spark, sf_dir):
+    """mm2 must not read the text-derived payload column beyond length:
+    the scan should read only doc_id/text... here: lang + text (for
+    length) — crucially NOT a full-width read of every column."""
+    df = QUERIES["mm2_media_metadata_stats"](spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas and all("source" not in s and "doc_id" not in s for s in schemas), (
+        schemas
+    )

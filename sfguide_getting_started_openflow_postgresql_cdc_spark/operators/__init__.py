@@ -4,6 +4,7 @@ every query builder and its DuckDB oracle twin into the registry."""
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  # noqa: F401
     aggregations,
     cdc_audit,
+    datagen,
     dedup,
     joins,
     multimodal,

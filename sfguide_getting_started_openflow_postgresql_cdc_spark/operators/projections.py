@@ -206,6 +206,60 @@ def h4_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h5_simple_case",
+    oracle="""
+    SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              WHEN 'P' THEN 'pending'
+                              ELSE 'unknown' END AS status_name,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def h5_simple_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple CASE expr WHEN v (reference: sql/0.init_healthcare.sql:
+    246-262 status-name lookups)."""
+    s = F.col("o_orderstatus")
+    name = (
+        F.when(s == "F", "finished")
+        .when(s == "O", "open")
+        .when(s == "P", "pending")
+        .otherwise("unknown")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(name.alias("status_name"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "h13_compose_timestamp",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 12:30:00',
+                    '%Y-%m-%d %H:%M:%S') AS order_noon
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def h13_compose_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TO_TIMESTAMP over composed date+time strings (reference:
+    sql/4.analytics_queries.sql:54 appointment_date || appointment_time
+    — the engine's TIME-as-string emulation path)."""
+    composed = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" 12:30:00")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.to_timestamp(composed).cast("timestamp_ntz").alias("order_noon"),
+        )
+    )
+
+
+@query(
     "h6_cast_to_date",
     oracle="""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day

@@ -167,10 +167,19 @@ class CdcEngine:
 
     # -- I1: snapshot bootstrap --------------------------------------------
     def bootstrap(
-        self, spark: SparkSession, source: dict[str, DataFrame], load_ts: str
+        self,
+        spark: SparkSession,
+        source: dict[str, DataFrame],
+        load_ts: str,
+        journal_snapshot: bool = True,
     ) -> None:
         """Initial full copy: replica = source + metadata columns
-        (connector contract, sql/1.snowflake_setup.sql:47-49)."""
+        (connector contract, sql/1.snowflake_setup.sql:47-49).
+
+        ``journal_snapshot`` also writes the snapshot into the journal as
+        seq-0 'I' events so the SCD2 history (:meth:`scd2_history`) covers
+        every row from its first known version, not just live changes.
+        """
         for table, df in source.items():
             replica = (
                 df.withColumn(
@@ -185,6 +194,18 @@ class CdcEngine:
             if self.write_partitions:
                 replica = replica.coalesce(self.write_partitions)
             self.store.write(spark, table, replica, watermark=-1)
+            if journal_snapshot:
+                snap_events = df.select(
+                    F.lit(0).cast("long").alias("seq_no"),
+                    F.lit(load_ts).cast("timestamp_ntz").alias("event_ts"),
+                    F.lit("I").alias("op"),
+                    *[F.col(f.name) for f in self.tables[table].fields],
+                )
+                if self.write_partitions:
+                    snap_events = snap_events.coalesce(self.write_partitions)
+                snap_events.write.mode("append").parquet(
+                    self.store.journal_path(table)
+                )
 
     # -- event parsing -------------------------------------------------------
     def project_after(self, events: DataFrame, table: str) -> DataFrame:
@@ -360,6 +381,35 @@ class CdcEngine:
         else:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
+
+    # -- SCD2 history over the journal --------------------------------------------
+    def scd2_history(self, spark: SparkSession, table: str) -> DataFrame:
+        """Slowly-changing-dimension type-2 view derived from the journal:
+        one row per (key, version) with ``valid_from``/``valid_to``
+        intervals, a version number, and current/deleted flags.
+
+        The journal is append-only, so this is a pure window computation
+        (no state): per-PK ``lead(event_ts)`` closes each version. At
+        100 TB the journal partitions by table and the window shuffles on
+        the PK once — same key layout as the merge itself.
+
+        DELETE events carry a PK-only payload; their row closes the prior
+        version and materializes a tombstone version (``is_deleted``).
+        """
+        pk = self.primary_keys[table]
+        j = self.store.read_journal(spark, table).dropDuplicates(["seq_no", pk])
+        w = Window.partitionBy(pk).orderBy("seq_no")
+        return (
+            j.withColumn("valid_from", F.col("event_ts"))
+            .withColumn("valid_to", F.lead("event_ts").over(w))
+            .withColumn("version", F.row_number().over(w))
+            .withColumn("is_deleted", F.col("op") == "D")
+            .withColumn(
+                "is_current",
+                F.lead("event_ts").over(w).isNull() & (F.col("op") != "D"),
+            )
+            .drop("event_ts")
+        )
 
     # -- views -------------------------------------------------------------------
     def register_views(

@@ -166,9 +166,9 @@ def test_scenario_insert_semantics(spark, after_scenario):
 
 
 def test_journal_retains_all_events(spark, after_scenario, snapshot_rows):
-    """I6: journal row count == total emitted events per table."""
+    """I6: journal rows == snapshot seq-0 events + live scenario events."""
     batches = healthcare.generate_scenario(snapshot_rows)
-    expected = {}
+    expected = {t: len(rows) for t, rows in snapshot_rows.items()}
     for b in batches:
         for ev in b:
             expected[ev.table_name] = expected.get(ev.table_name, 0) + 1
@@ -236,6 +236,86 @@ def test_merge_out_of_order_delivery(spark, tmp_path, after_scenario, snapshot_r
         assert state(engine) == state(after_scenario), (
             f"{t}: out-of-order delivery diverged"
         )
+
+
+def test_scd2_history(spark, after_scenario):
+    """SCD2: every key's versions form contiguous validity intervals;
+    the current version matches the replica's current state."""
+    hist = after_scenario.scd2_history(spark, "appointments")
+    hist.createOrReplaceTempView("appt_hist")
+
+    # doctor 9's appointment-table analog: pick an appointment updated
+    # multiple times (a new one that went scheduled -> ... -> completed)
+    multi = (
+        hist.groupBy("appointment_id")
+        .agg(F.count("*").alias("n_versions"))
+        .filter(F.col("n_versions") >= 3)
+        .collect()
+    )
+    assert multi, "scenario should produce multi-version keys"
+
+    key = multi[0]["appointment_id"]
+    versions = (
+        hist.filter(F.col("appointment_id") == key).orderBy("version").collect()
+    )
+    # contiguity: each version's valid_to == next version's valid_from
+    for a, b in zip(versions, versions[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert versions[0]["version"] == 1
+    # exactly one current (non-deleted key)
+    assert sum(1 for v in versions if v["is_current"]) == 1
+    cur = [v for v in versions if v["is_current"]][0]
+    replica_row = (
+        after_scenario.store.read(spark, "appointments")
+        .filter(F.col("appointment_id") == key)
+        .collect()[0]
+    )
+    assert cur["status"] == replica_row["status"]
+
+    # deleted keys: tombstone version is last, not current
+    deleted_hist = hist.filter(F.col("is_deleted")).collect()
+    assert len(deleted_hist) == 2
+    assert all(not v["is_current"] for v in deleted_hist)
+
+
+def test_streaming_windowed_aggregation(spark, tmp_path):
+    """Watermarked tumbling-window agg over a stream matches the batch
+    twin for all finalized windows."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.windows import (
+        start_windowed_aggregation,
+        windowed_event_counts,
+    )
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    src = str(tmp_path / "events_stream")
+    # materialize through the loader: canonical micros/NTZ timestamps
+    # (the raw testdata file is TIMESTAMP(NANOS), unreadable as a stream)
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(
+        src, mode="overwrite"
+    )
+    q = start_windowed_aggregation(
+        spark, src, checkpoint_dir=str(tmp_path / "ck"), query_name="wagg"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM wagg").collect()
+    }
+    batch_df = windowed_event_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch_df.collect()
+    }
+    # append mode emits only watermark-finalized windows; those must match
+    # the batch computation exactly
+    assert streamed, "no finalized windows emitted"
+    for k, v in streamed.items():
+        assert batch[k] == v
 
 
 def test_streaming_end_to_end(spark, tmp_path, snapshot_rows):

@@ -1,0 +1,114 @@
+"""Engine facade — the single entry point a user of the reference
+quickstart would switch to.
+
+Reference workflow -> engine method map:
+
+- ``sql/0.init_healthcare.sql`` (seed PostgreSQL)  -> :meth:`bootstrap`
+  (with the built-in healthcare fixture or caller-supplied DataFrames)
+- OpenFlow connector snapshot + 1-min sync          -> :meth:`bootstrap` +
+  :meth:`start_cdc` / :meth:`apply_batch`
+- ``sql/2.verify_snapshot.sql`` golden checks       -> ``tests/test_cdc_engine.py``
+- ``sql/4.analytics_queries.sql`` (24 queries)      -> :meth:`analytics`
+- semantic model + verified queries                 -> :attr:`model`,
+  :meth:`verified`
+- ad-hoc SQL over replicas                          -> :meth:`sql`
+- journal / SCD2 history                            -> :meth:`history`
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.analytics import (
+    ANALYTICS,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+    healthcare_model,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources import healthcare
+from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+    CdcEngine,
+    ReplicaStore,
+)
+
+
+class Engine:
+    """CDC warehouse + analytics over a directory-backed replica store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        write_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.cdc = CdcEngine(
+            ReplicaStore(warehouse_dir), write_partitions=write_partitions
+        )
+        self.model = healthcare_model()
+
+    # -- lifecycle ---------------------------------------------------------
+    def bootstrap(
+        self,
+        source: dict[str, DataFrame] | None = None,
+        load_ts: str = "2024-06-02 12:00:00",
+    ) -> "Engine":
+        source = source or healthcare.snapshot_dataframes(self.spark)
+        self.cdc.bootstrap(self.spark, source, load_ts)
+        return self
+
+    def start_cdc(self, events_dir: str, checkpoint_dir: str, **kw):
+        return self.cdc.start_cdc(self.spark, events_dir, checkpoint_dir, **kw)
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        self.cdc.apply_envelope_batch(self.spark, batch)
+
+    # -- query surfaces ------------------------------------------------------
+    def replicas(self, include_deleted: bool = False) -> dict[str, DataFrame]:
+        """Current replica DataFrames; by default the semantic-layer view
+        (soft-deleted rows hidden, internal columns stripped)."""
+        from pyspark.sql import functions as F
+
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+            CDC_SEQ,
+        )
+
+        out = {}
+        for t in self.cdc.tables:
+            df = self.cdc.store.read(self.spark, t).drop(CDC_SEQ)
+            out[f"{t}_raw"] = df
+            out[t] = (
+                df if include_deleted else df.filter(~F.col(schemas.META_DELETED))
+            )
+        return out
+
+    def refresh_views(self) -> "Engine":
+        self.cdc.register_views(self.spark)
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc Spark SQL over the registered replica views."""
+        self.refresh_views()
+        return self.spark.sql(query)
+
+    def analytics(self, name: str, as_of: dt.date = healthcare.AS_OF) -> DataFrame:
+        """Run one of the reference's analytics queries by name."""
+        return ANALYTICS[name](self.replicas(), as_of)
+
+    def analytics_names(self) -> list[str]:
+        return sorted(ANALYTICS)
+
+    def verified(self, name: str) -> DataFrame:
+        """Run a semantic-model verified query."""
+        dfs = self.replicas(include_deleted=True)
+        # verified queries apply their own soft-delete filters
+        plain = {t: dfs[f"{t}_raw"] for t in self.cdc.tables}
+        plain["_as_of_date"] = healthcare.AS_OF.isoformat()
+        return self.model.run_verified(name, self.spark, plain)
+
+    def history(self, table: str) -> DataFrame:
+        """SCD2 type-2 history for a table (journal-derived)."""
+        return self.cdc.scd2_history(self.spark, table)

@@ -274,15 +274,24 @@ def generate_scenario(
         next_appt += 1
     batches.append(b)
 
-    # b1: morning status wave — 2 confirms, 2 check-ins, 1 start (ref :56-107)
+    # b1: morning status wave on TODAY's appointments — 2 confirms,
+    # 2 check-ins, 1 start (ref :56-107; patients physically in clinic
+    # are necessarily same-day)
     b = []
-    scheduled = sorted(k for k, a in appts.items() if a["status"] == "scheduled")
+    today = lambda a: a["appointment_date"] == AS_OF  # noqa: E731
+    scheduled = sorted(
+        k for k, a in appts.items() if a["status"] == "scheduled" and today(a)
+    )
     for k in scheduled[:2]:
         upd_appt(b, k, 1, status="confirmed")
-    confirmed = sorted(k for k, a in appts.items() if a["status"] == "confirmed")
+    confirmed = sorted(
+        k for k, a in appts.items() if a["status"] == "confirmed" and today(a)
+    )
     for k in confirmed[:2]:
         upd_appt(b, k, 1, status="checked_in")
-    checked = sorted(k for k, a in appts.items() if a["status"] == "checked_in")
+    checked = sorted(
+        k for k, a in appts.items() if a["status"] == "checked_in" and today(a)
+    )
     upd_appt(b, checked[0], 1, status="in_progress")
     batches.append(b)
 

@@ -112,3 +112,22 @@ class Engine:
     def history(self, table: str) -> DataFrame:
         """SCD2 type-2 history for a table (journal-derived)."""
         return self.cdc.scd2_history(self.spark, table)
+
+    def verify_snapshot(
+        self,
+        expected_counts: dict[str, int] | None = None,
+        snapshot_only: bool = True,
+    ) -> DataFrame:
+        """Replication verification report (the reference's
+        sql/2.verify_snapshot.sql): golden counts, CDC metadata
+        invariants, null checks, status distribution, FK integrity."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic import (
+            verification,
+        )
+
+        dfs = self.replicas(include_deleted=True)
+        raw = {t: dfs[f"{t}_raw"] for t in self.cdc.tables}
+        checks = verification.run_checks(
+            raw, expected_counts=expected_counts, snapshot_only=snapshot_only
+        )
+        return verification.report(self.spark, checks)

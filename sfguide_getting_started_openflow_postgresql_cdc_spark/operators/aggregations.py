@@ -245,6 +245,33 @@ def d11_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d14_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d14_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90). Both engines use
+    linear interpolation over the sorted values, so results agree
+    bit-for-bit. At 100 TB prefer ``approx_percentile`` (t-digest sketch,
+    no global sort) when 1% error is acceptable — kept exact here for the
+    oracle gate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "h2_h3_round_nullif",
     oracle="""
     SELECT o_orderstatus,

@@ -318,6 +318,40 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd6_embedding_cosine_dups",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               AS similarity
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= 0.5
+    """,
+)
+def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup): all pairs above
+    a similarity threshold. Exact all-pairs baseline — at 100 TB route
+    candidates through sim2's hyperplane-LSH buckets first and verify
+    only colliding pairs (same candidate->verify shape as dd4)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, a.vec_a < b.vec_b)
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= 0.5)
+    )
+
+
 def _simhash_sql() -> str:
     bit_terms = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "

@@ -271,6 +271,26 @@ def d14_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d15_approx_sketches")  # rows-only: sketch results are engine-specific
+def d15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variants of D6/D14: HyperLogLog++ distinct counts
+    (~2% default error, constant memory) and t-digest percentiles (no
+    global sort). No cross-engine oracle — sketch internals differ — so
+    accuracy is asserted against the exact operators in tests
+    (tests/test_approx.py) instead."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 @query(
     "h2_h3_round_nullif",
     oracle="""

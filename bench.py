@@ -48,6 +48,62 @@ HEADLINE = [
 ]
 
 
+def _bench_cdc_merge(spark, sf_dir: str) -> float:
+    """One CDC sync interval at scale: bootstrap the orders table as a
+    keyed replica, then merge a 10%-churn micro-batch (updates on random
+    existing keys + 1% inserts). The reference's budget is 60 s per
+    interval (BASELINE.md) — this measures our headroom at sf volume."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+        CdcEngine,
+        ReplicaStore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    schema = T.StructType.fromDDL(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    engine = CdcEngine(
+        ReplicaStore(tempfile.mkdtemp(prefix="cdc_bench_")),
+        tables={"orders": schema},
+        primary_keys={"orders": "o_orderkey"},
+    )
+    engine.bootstrap(
+        spark, {"orders": orders}, "2001-09-01 00:00:00", journal_snapshot=False
+    )
+    n = orders.count()
+    churn = (
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)  # ~10% updates
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    inserts = (
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(100)) == 1)  # ~1% inserts
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    )
+    events = (
+        churn.withColumn("op", F.lit("U"))
+        .unionByName(inserts.withColumn("op", F.lit("I")))
+        .withColumn("seq_no", F.monotonically_increasing_id() + 1)
+        .withColumn("event_ts", F.lit("2001-09-01 00:01:00").cast("timestamp_ntz"))
+    )
+    events.persist().count()  # pre-materialize: time the MERGE, not the gen
+    t0 = time.perf_counter()
+    engine.merge_batch(spark, "orders", events, sync_ts="2001-09-01 00:01:00")
+    elapsed = time.perf_counter() - t0
+    merged = engine.store.read(spark, "orders").count()
+    assert merged > n, "merge produced no inserts"
+    events.unpersist()
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -71,6 +127,8 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).collect()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+
+    timings["cdc_merge_10pct_churn"] = round(_bench_cdc_merge(spark, sf_dir), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

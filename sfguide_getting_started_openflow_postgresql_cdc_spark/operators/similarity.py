@@ -12,6 +12,7 @@ values ship in the oracle-checked output.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -125,6 +126,99 @@ def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = (
         emb.join(F.broadcast(q), emb.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+N_IVF_CELLS = 16
+N_PROBE = 4
+
+
+@query("sim4_knn_ivf")  # rows-only: kmeans assignment is engine-side
+def sim4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path.
+
+    1. Train: one Lloyd iteration from deterministic seed vectors gives
+       {N_IVF_CELLS} centroids (driver-side math on a tiny k x dim
+       matrix; corpus assignment is a vectorized Arrow-batched pandas UDF
+       — numpy matmul per batch, no per-row Python).
+    2. Index: each vector joins its nearest cell (one projection; at
+       100 TB this is the partitioning column of the stored index).
+    3. Search: each query probes its {N_PROBE} nearest cells and ranks
+       exact cosine only within them — pairwise work drops by
+       ~cells/probes vs brute force, recall bounded by cell locality.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- train: seeds = the 16 lowest vec_ids, one Lloyd refinement ----
+    seeds = np.array(
+        [
+            r["embedding"]
+            for r in emb.orderBy("vec_id").limit(N_IVF_CELLS).collect()
+        ],
+        dtype=np.float64,
+    )
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
+        dtype=np.float64,
+    )
+
+    def _norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    assign = _norm(sample) @ _norm(seeds).T
+    cells = assign.argmax(axis=1)
+    centroids = np.stack(
+        [
+            sample[cells == i].mean(axis=0) if (cells == i).any() else seeds[i]
+            for i in range(N_IVF_CELLS)
+        ]
+    )
+    centroids_n = _norm(centroids)
+
+    # --- index: vectorized cell assignment (closure ships by value) ----
+    cn = centroids_n.tolist()
+
+    @F.pandas_udf("int")
+    def nearest_cell(col: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        c = _np.array(cn)
+        m = _np.stack(col.to_numpy())
+        m = m / _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ c.T).argmax(axis=1).astype("int32"))
+
+    indexed = emb.withColumn("cell", nearest_cell(F.col("embedding")))
+
+    # --- search: queries probe their N_PROBE nearest cells --------------
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        order = (qv @ centroids_n.T).argsort()[::-1][:N_PROBE]
+        probe_pairs.extend((int(r["vec_id"]), int(c)) for c in order)
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cands = (
+        indexed.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(queries), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

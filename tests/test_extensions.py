@@ -57,6 +57,20 @@ def test_knn_lsh_subset_of_bruteforce_universe(spark):
             assert r["similarity"] == bf_sims[key]
 
 
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    """IVF with 4-of-16 probes must recover a solid share of true
+    top-10 neighbors, and every similarity it reports must be exact."""
+    bf = QUERIES["sim1_knn_cosine_bruteforce"](spark, SF01).collect()
+    ivf = QUERIES["sim4_knn_ivf"](spark, SF01).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in bf}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in ivf}
+    assert ivf_pairs, "IVF returned nothing"
+    overlap = set(bf_pairs) & set(ivf_pairs)
+    assert len(overlap) >= 0.25 * len(bf_pairs), (len(overlap), len(bf_pairs))
+    for k in overlap:
+        assert ivf_pairs[k] == bf_pairs[k]  # exact cosine, bit-identical
+
+
 def test_multimodal_feature_shapes(spark):
     out = QUERIES["mm1_media_features"](spark, SF01)
     rows = out.collect()

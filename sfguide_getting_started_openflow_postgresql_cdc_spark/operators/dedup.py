@@ -39,20 +39,6 @@ JACCARD_THRESHOLD = 0.3
 SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty if < n words)."""
-    words = F.split(F.trim(text), r"\s+")
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(words) >= n, mk).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct pairs — shared by dd3/dd4.
 

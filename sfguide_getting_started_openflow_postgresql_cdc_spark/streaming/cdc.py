@@ -210,10 +210,15 @@ class CdcEngine:
     # -- event parsing -------------------------------------------------------
     def project_after(self, events: DataFrame, table: str) -> DataFrame:
         """Cast the string-map ``after`` payload to the table's declared
-        types; keeps envelope columns (seq_no, event_ts, op)."""
+        types; keeps envelope columns (seq_no, event_ts, op).
+
+        Payload casts are ``try_cast``: a malformed producer value lands
+        as NULL (quarantine-able downstream) instead of failing the whole
+        micro-batch under ANSI mode. Envelope fields stay strict — a
+        broken seq_no/event_ts means the transport itself is corrupt."""
         schema = self.tables[table]
         cols = [
-            F.element_at(F.col("after"), f.name).cast(f.dataType).alias(f.name)
+            F.element_at(F.col("after"), f.name).try_cast(f.dataType).alias(f.name)
             for f in schema.fields
         ]
         return events.select(

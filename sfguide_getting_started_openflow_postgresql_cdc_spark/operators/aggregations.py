@@ -271,6 +271,51 @@ def d14_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d16_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status columns per priority. Spark's ``.pivot`` with an
+    explicit value list compiles to the same conditional-agg plan as the
+    manual CASE matrix (d8) — explicit values avoid the extra distinct
+    scan a dynamic pivot needs."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@query(
+    "h19_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id <= 3000
+    """,
+)
+def h19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props payload — beyond the
+    reference's surface (no JSON in its schema) but table stakes for an
+    event-stream warehouse."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 3000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
 @query("d15_approx_sketches")  # rows-only: sketch results are engine-specific
 def d15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variants of D6/D14: HyperLogLog++ distinct counts

@@ -167,6 +167,54 @@ def tx3_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap
+
+
+@query(
+    "tx5_chunk_documents",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           array_to_string(list_slice(words, s + 1, s + {CHUNK_TOKENS}), ' ')
+               AS chunk_text,
+           least({CHUNK_TOKENS}, len(words) - s) AS n_tokens
+    FROM w, unnest(range(0, len(words), {CHUNK_STRIDE})) t(s)
+    """,
+)
+def tx5_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed-size token windows
+    ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE} = 10-token overlap).
+    Pure array ops — split once, explode chunk starts, slice — so the
+    plan is a partition-preserving projection + explode (no shuffle) and
+    streams over a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    with_words = docs.select("doc_id", words.alias("words"))
+    starts = F.sequence(
+        F.lit(0), F.size("words") - 1, F.lit(CHUNK_STRIDE)
+    )
+    exploded = with_words.select(
+        "doc_id", "words", F.explode(starts).alias("s")
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("words") - F.col("s")
+        ).alias("n_tokens"),
+    )
+
+
 @query(
     "tx4_fingerprint",
     oracle=r"""

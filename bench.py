@@ -39,6 +39,7 @@ HEADLINE = [
     "g1_union_all_rowcounts",
     "tx2_quality_score",
     "tx4_fingerprint",
+    "tx5_chunk_documents",
     "dd2_fingerprint_stats",
     "dd4_minhash_lsh_pairs",
     "dd5_simhash",
@@ -71,14 +72,6 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
     )
-    engine = CdcEngine(
-        ReplicaStore(tempfile.mkdtemp(prefix="cdc_bench_")),
-        tables={"orders": schema},
-        primary_keys={"orders": "o_orderkey"},
-    )
-    engine.bootstrap(
-        spark, {"orders": orders}, "2001-09-01 00:00:00", journal_snapshot=False
-    )
     n = orders.count()
     churn = (
         orders.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)  # ~10% updates
@@ -95,13 +88,23 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         .withColumn("event_ts", F.lit("2001-09-01 00:01:00").cast("timestamp_ntz"))
     )
     events.persist().count()  # pre-materialize: time the MERGE, not the gen
-    t0 = time.perf_counter()
-    engine.merge_batch(spark, "orders", events, sync_ts="2001-09-01 00:01:00")
-    elapsed = time.perf_counter() - t0
-    merged = engine.store.read(spark, "orders").count()
-    assert merged > n, "merge produced no inserts"
+    elapsed = []
+    for i in range(2):  # min-of-2 (fresh replica each pass — merges mutate)
+        eng = CdcEngine(
+            ReplicaStore(tempfile.mkdtemp(prefix=f"cdc_bench_{i}_")),
+            tables={"orders": schema},
+            primary_keys={"orders": "o_orderkey"},
+        )
+        eng.bootstrap(
+            spark, {"orders": orders}, "2001-09-01 00:00:00", journal_snapshot=False
+        )
+        t0 = time.perf_counter()
+        eng.merge_batch(spark, "orders", events, sync_ts="2001-09-01 00:01:00")
+        elapsed.append(time.perf_counter() - t0)
+        merged = eng.store.read(spark, "orders").count()
+        assert merged > n, "merge produced no inserts"
     events.unpersist()
-    return elapsed
+    return min(elapsed)
 
 
 def main() -> None:

@@ -321,19 +321,27 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates through sim2's hyperplane-LSH buckets first and verify
     only colliding pairs (same candidate->verify shape as dd4)."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
-        cosine,
+        dot,
+        norm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms hoisted to per-vector projections: bit-identical result, one
+    # array fold per pair instead of three (3x on all-pairs workloads)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, a.vec_a < b.vec_b)
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("ea"), F.col("eb")).alias("similarity"),
-        )
+        .select("vec_a", "vec_b", sim.alias("similarity"))
         .filter(F.col("similarity") >= 0.5)
     )
 

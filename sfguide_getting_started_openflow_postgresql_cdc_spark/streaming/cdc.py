@@ -141,8 +141,14 @@ class ReplicaStore:
     def journal_path(self, table: str) -> str:
         return os.path.join(self.root, "journal", table)
 
-    def read_journal(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.journal_path(table))
+    def read_journal(
+        self, spark: SparkSession, table: str, dedup: bool = False
+    ) -> DataFrame:
+        """Raw append-only event log. ``dedup=True`` drops the duplicate
+        events an at-least-once foreachBatch retry can append (exact
+        replays share seq_no) — use it for counts/SCD2-style reads."""
+        df = spark.read.parquet(self.journal_path(table))
+        return df.dropDuplicates(["seq_no"]) if dedup else df
 
 
 class CdcEngine:

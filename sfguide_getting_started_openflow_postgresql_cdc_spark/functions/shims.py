@@ -69,10 +69,17 @@ def sf_dayname(col: Column) -> Column:
 
 
 def sf_timestampdiff_minute(t1: Column, t2: Column) -> Column:
-    """Snowflake ``TIMESTAMPDIFF(MINUTE, t1, t2)``: whole minutes from t1
-    to t2, truncated toward zero (sql/4.analytics_queries.sql:53-55)."""
-    secs = F.unix_timestamp(t2) - F.unix_timestamp(t1)
-    return (secs / 60).cast("long")
+    """Snowflake ``TIMESTAMPDIFF(MINUTE, t1, t2)``: counts minute-BOUNDARY
+    crossings (truncate both to the minute, then diff), not elapsed
+    seconds // 60 — for t1=10:00:50, t2=10:01:10 the answer is 1, not 0
+    (sql/4.analytics_queries.sql:53-55).
+
+    floor() handles negative spans correctly (floor division pairs with
+    boundary counting in both directions). ``unix_timestamp`` on NTZ input
+    is session-TZ-dependent, so the engine pins
+    ``spark.sql.session.timeZone=UTC`` (session.py / loader.py).
+    """
+    return F.floor(F.unix_timestamp(t2) / 60) - F.floor(F.unix_timestamp(t1) / 60)
 
 
 def listagg_distinct_ordered(col: Column | str, sep: str = ", ") -> Column:

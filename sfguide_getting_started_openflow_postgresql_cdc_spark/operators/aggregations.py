@@ -156,9 +156,12 @@ def d6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_conditional_sum",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pending,
            COUNT(*) AS n_total
     FROM orders GROUP BY o_orderpriority
     """,
@@ -285,12 +288,18 @@ def d16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: status columns per priority. Spark's ``.pivot`` with an
     explicit value list compiles to the same conditional-agg plan as the
     manual CASE matrix (d8) — explicit values avoid the extra distinct
-    scan a dynamic pivot needs."""
-    return (
+    scan a dynamic pivot needs. Empty (priority, status) cells come back
+    NULL from ``.pivot().count()`` while the oracle's COUNT(CASE) yields
+    0 — coalesce so a dataset with a missing combination still matches."""
+    pivoted = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c) for c in ("F", "O", "P")],
     )
 
 

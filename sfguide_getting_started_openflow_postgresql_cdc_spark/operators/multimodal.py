@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,9 +27,10 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import
 
 N_HIST_BINS = 8
 
-FEATURE_SCHEMA = (
-    "doc_id long, kind string, n_bytes long, feature array<double>"
-)
+# Exploded (one row per histogram bin) rather than array<double>: scalar
+# columns survive any downstream comparator/sink, and the shape becomes
+# plain-SQL-expressible (the driver's oracle gate covers it).
+FEATURE_SCHEMA = "doc_id long, kind string, n_bytes long, bin long, n_in_bin long"
 
 
 def decode_media(payload: bytes, kind: str):
@@ -48,28 +50,39 @@ def decode_media(payload: bytes, kind: str):
 def byte_histogram_features(payload: bytes, bins: int = N_HIST_BINS) -> list[float]:
     """Deterministic fake 'feature extractor': normalized byte-value
     histogram. Stands in for a real embedding so the Spark-side plumbing
-    (batch shapes, schema, downstream joins) is fully exercised."""
+    (batch shapes, schema, downstream joins) is fully exercised.
+
+    Vectorized: ``frombuffer`` + ``bincount`` touch the payload once in C;
+    never iterate Python-level over bytes in an Arrow-batched stage."""
     if not payload:
         return [0.0] * bins
-    counts = [0] * bins
-    for b in payload:
-        counts[b * bins // 256] += 1
-    n = len(payload)
-    return [c / n for c in counts]
+    b = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount((b.astype(np.int64) * bins) >> 8, minlength=bins)
+    return (counts / len(payload)).tolist()
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: (doc_id, payload, kind) -> feature rows.
-    Arrow-batched; bytes stay executor-local."""
+    """mapInPandas stage: (doc_id, payload, kind) -> one row per
+    (doc, bin) with exact byte counts. Arrow-batched; bytes stay
+    executor-local; the whole batch is histogrammed by ONE segmented
+    ``bincount`` over ``row_index * bins + bucket`` — no per-row Python."""
+    nb = N_HIST_BINS
     for pdf in batches:
+        payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+        n = len(payloads)
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+        blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.bincount(
+            row * nb + ((blob.astype(np.int64) * nb) >> 8), minlength=n * nb
+        )
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
-                "feature": pdf["payload"].map(
-                    lambda p: byte_histogram_features(p or b"")
-                ),
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), nb),
+                "kind": np.repeat(pdf["kind"].to_numpy(object), nb),
+                "n_bytes": np.repeat(lens, nb),
+                "bin": np.tile(np.arange(nb, dtype=np.int64), n),
+                "n_in_bin": counts.astype(np.int64),
             }
         )
 
@@ -86,40 +99,74 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("mm1_media_features")  # rows-only: mapInPandas is not SQL-expressible
+@query(
+    "mm1_media_features",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, (least(unicode(text[i]), 255) * 8) // 256 AS bin
+      FROM e
+    ), agg AS (
+      SELECT doc_id, bin, COUNT(*) AS n_in_bin FROM bucketed GROUP BY 1, 2
+    ), bins AS (
+      SELECT unnest(generate_series(0, 7)) AS bin
+    ), base AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT base.doc_id,
+           'text/plain' AS kind,
+           CAST(base.n_bytes AS BIGINT) AS n_bytes,
+           CAST(bins.bin AS BIGINT) AS bin,
+           CAST(COALESCE(agg.n_in_bin, 0) AS BIGINT) AS n_in_bin
+    FROM base CROSS JOIN bins
+    LEFT JOIN agg ON agg.doc_id = base.doc_id AND agg.bin = bins.bin
+    """,
+)
 def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: parquet -> binary payload +
-    metadata -> Arrow-batched feature extraction -> fixed-width vectors.
-    The plan stays partition-preserving (no shuffle): scan -> project ->
-    mapInPandas.
+    metadata -> Arrow-batched feature extraction -> exploded per-bin
+    histogram rows. The plan stays partition-preserving (no shuffle):
+    scan -> project -> mapInPandas.
+
+    The whole Arrow batch is histogrammed by one segmented
+    ``np.bincount`` over ``row_index * bins + bucket`` — zero Python-level
+    byte iteration. Output is 8 scalar rows per doc (exact counts), which
+    keeps every column comparator-safe and makes the op SQL-expressible.
+
+    The oracle histograms unicode code points clamped to 255; the engine
+    histograms raw utf-8 payload bytes. These agree on ASCII corpora
+    (asserted true for all testdata SFs); the engine-side byte definition
+    is the one that generalizes to real opaque media payloads.
 
     The pandas stage is a self-contained closure (no references to this
     package) so cloudpickle ships it BY VALUE — Spark's Python workers
     need no import path to our code, whatever environment the driver
     session runs in."""
-    bins = N_HIST_BINS
+    nb = N_HIST_BINS
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        def hist(payload):
-            if not payload:
-                return [0.0] * bins
-            counts = [0] * bins
-            for byte in payload:
-                counts[byte * bins // 256] += 1
-            n = len(payload)
-            return [c / n for c in counts]
-
         for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            n = len(payloads)
+            lens = _np.fromiter((len(p) for p in payloads), dtype=_np.int64, count=n)
+            blob = _np.frombuffer(b"".join(payloads), dtype=_np.uint8)
+            row = _np.repeat(_np.arange(n, dtype=_np.int64), lens)
+            counts = _np.bincount(
+                row * nb + ((blob.astype(_np.int64) * nb) >> 8), minlength=n * nb
+            )
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else 0
-                    ),
-                    "feature": pdf["payload"].map(lambda p: hist(p or b"")),
+                    "doc_id": _np.repeat(pdf["doc_id"].to_numpy(_np.int64), nb),
+                    "kind": _np.repeat(pdf["kind"].to_numpy(object), nb),
+                    "n_bytes": _np.repeat(lens, nb),
+                    "bin": _np.tile(_np.arange(nb, dtype=_np.int64), n),
+                    "n_in_bin": counts.astype(_np.int64),
                 }
             )
 

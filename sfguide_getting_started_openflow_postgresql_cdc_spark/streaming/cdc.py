@@ -142,13 +142,30 @@ class ReplicaStore:
         return os.path.join(self.root, "journal", table)
 
     def read_journal(
-        self, spark: SparkSession, table: str, dedup: bool = False
+        self,
+        spark: SparkSession,
+        table: str,
+        dedup: bool = False,
+        pk: str | None = None,
     ) -> DataFrame:
         """Raw append-only event log. ``dedup=True`` drops the duplicate
         events an at-least-once foreachBatch retry can append (exact
-        replays share seq_no) — use it for counts/SCD2-style reads."""
+        replays share seq_no) — use it for counts/SCD2-style reads.
+
+        Pass ``pk`` to dedup on ``[seq_no, pk]`` — required for journals
+        written with ``bootstrap(journal_snapshot=True)``, where every
+        snapshot row shares ``seq_no=0`` and a seq-only dedup would
+        collapse the whole snapshot to one row. Without ``pk``, seq-0
+        snapshot rows are exempted from the seq-only dedup for the same
+        reason (live change events always carry seq_no > 0)."""
         df = spark.read.parquet(self.journal_path(table))
-        return df.dropDuplicates(["seq_no"]) if dedup else df
+        if not dedup:
+            return df
+        if pk is not None:
+            return df.dropDuplicates(["seq_no", pk])
+        snapshot_rows = df.filter(F.col("seq_no") == 0)
+        live = df.filter(F.col("seq_no") != 0).dropDuplicates(["seq_no"])
+        return snapshot_rows.unionByName(live)
 
 
 class CdcEngine:
@@ -250,6 +267,12 @@ class CdcEngine:
         if "after" in events.columns:
             events = self.project_after(events, table)
         pk = self.primary_keys[table]
+        # A malformed payload whose PK fails try_cast lands as NULL; a
+        # NULL key never matches the anti join against replica keys and
+        # would be re-appended as a garbage row on every batch. Drop such
+        # events from the merge — the raw journal (appended before the
+        # merge) retains them for quarantine/inspection.
+        events = events.filter(F.col(pk).isNotNull())
 
         stats = events.agg(
             F.count("*").alias("n"),
@@ -408,7 +431,7 @@ class CdcEngine:
         version and materializes a tombstone version (``is_deleted``).
         """
         pk = self.primary_keys[table]
-        j = self.store.read_journal(spark, table).dropDuplicates(["seq_no", pk])
+        j = self.store.read_journal(spark, table, dedup=True, pk=pk)
         w = Window.partitionBy(pk).orderBy("seq_no")
         return (
             j.withColumn("valid_from", F.col("event_ts"))

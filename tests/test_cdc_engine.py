@@ -341,3 +341,48 @@ def test_streaming_end_to_end(spark, tmp_path, snapshot_rows):
     assert engine.store.read(spark, "visits").count() == 104
     d9 = engine.store.read(spark, "doctors").filter(F.col("doctor_id") == 9).collect()[0]
     assert d9["accepting_new_patients"] is False
+
+
+def test_journal_dedup_preserves_snapshot_rows(spark, after_scenario, snapshot_rows):
+    """read_journal(dedup=True) must NOT collapse the seq-0 snapshot
+    events (they all share seq_no=0); live events still dedup by seq_no."""
+    store = after_scenario.store
+    n_snapshot = len(snapshot_rows["appointments"])
+    deduped = store.read_journal(spark, "appointments", dedup=True)
+    assert deduped.filter(F.col("seq_no") == 0).count() == n_snapshot
+    # pk-aware dedup gives the same answer and is safe for seq collisions
+    by_pk = store.read_journal(
+        spark, "appointments", dedup=True, pk="appointment_id"
+    )
+    assert by_pk.count() == deduped.count()
+
+
+def test_merge_drops_null_pk_events(spark, tmp_path):
+    """A malformed payload whose PK fails try_cast must not accrete
+    null-PK rows in the replica (it stays in the journal for quarantine)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import ENVELOPE
+
+    engine = CdcEngine(ReplicaStore(str(tmp_path / "wh_nullpk")), write_partitions=1)
+    engine.bootstrap(spark, healthcare.snapshot_dataframes(spark), LOAD_TS)
+    bad = spark.createDataFrame(
+        [
+            (
+                10_000,
+                "2024-06-02 13:00:00",
+                "doctors",
+                "I",
+                {"doctor_id": "not-a-number", "first_name": "X"},
+            )
+        ],
+        ENVELOPE,
+    )
+    for _ in range(3):  # repeated batches must not accumulate garbage
+        engine.append_journal("doctors", bad)
+        engine.merge_batch(spark, "doctors", bad)
+    replica = engine.store.read(spark, "doctors")
+    assert replica.filter(F.col("doctor_id").isNull()).count() == 0
+    assert replica.count() == 10
+    # journal keeps all raw (typed) events for inspection
+    assert engine.store.read_journal(spark, "doctors").filter(
+        F.col("doctor_id").isNull()
+    ).count() == 3

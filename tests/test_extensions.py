@@ -74,12 +74,17 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
 def test_multimodal_feature_shapes(spark):
     out = QUERIES["mm1_media_features"](spark, SF01)
     rows = out.collect()
-    assert len(rows) == 500
-    for r in rows[:20]:
+    assert len(rows) == 500 * 8  # 8 histogram-bin rows per doc
+    by_doc = {}
+    for r in rows:
         assert r["kind"] == "text/plain"
-        assert len(r["feature"]) == 8
-        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+        assert 0 <= r["bin"] < 8
         assert r["n_bytes"] > 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in list(by_doc.values())[:20]:
+        assert sorted(r["bin"] for r in doc_rows) == list(range(8))
+        # exact counts partition the payload
+        assert sum(r["n_in_bin"] for r in doc_rows) == doc_rows[0]["n_bytes"]
 
 
 def test_byte_histogram_deterministic():

@@ -45,6 +45,7 @@ HEADLINE = [
     "dd5_simhash",
     "sim1_knn_cosine_bruteforce",
     "sim2_knn_lsh_bucketed",
+    "dd6_embedding_cosine_dups",
     "mm1_media_features",
 ]
 

@@ -304,30 +304,109 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd6_embedding_cosine_dups",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               AS similarity
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          >= 0.5
-    """,
-)
+COSINE_DUP_THRESHOLD = 0.5
+
+
+def _dd6_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        banded_sql_cte,
+    )
+
+    return f"""
+    WITH {banded_sql_cte()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           list_cosine_similarity(x.embedding::DOUBLE[],
+                                  y.embedding::DOUBLE[]) AS similarity
+    FROM cand
+    JOIN embeddings x ON x.vec_id = cand.vec_a
+    JOIN embeddings y ON y.vec_id = cand.vec_b
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+          >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dd6_embedding_cosine_dups", oracle=_dd6_oracle())
 def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup): all pairs above
-    a similarity threshold. Exact all-pairs baseline — at 100 TB route
-    candidates through sim2's hyperplane-LSH buckets first and verify
-    only colliding pairs (same candidate->verify shape as dd4)."""
+    """Embedding-cosine near-dup pairs (semantic dedup), bucketed: LSH
+    band candidates -> exact-cosine verify, the dd4 candidate->verify
+    shape applied to vectors. NO all-pairs join anywhere in the plan —
+    the band self-join shuffles (vec_id, band_id, bucket) rows and is
+    quadratic only within a bucket (bounded by bucket size; raise
+    BAND_BITS at scale). The all-pairs exact computation survives as
+    :func:`embedding_cosine_allpairs`, the recall ground truth in tests —
+    run it at 100 TB and the cluster dies; that is dd6's whole point.
+
+    Shares planes/bands with sim2 (operators/similarity.py), and the
+    oracle buckets with the identical plane literals, so the driver gate
+    checks candidate generation AND verification exactly."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        N_BANDS,
+        _band_planes,
+        band_bucket,
+        dot,
+        norm,
+    )
+
+    planes = _band_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[band_bucket(F.col("embedding"), planes, b) for b in range(N_BANDS)])
+        ).alias("band_id", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # verify: fetch both embeddings (shuffle join on vec_id — candidates
+    # only, not pairs) and keep exact cosine >= threshold. Norms hoisted
+    # per-vector: bit-identical, one fold per pair instead of three.
+    x = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "similarity")
+    )
+
+
+def embedding_cosine_allpairs(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs — O(n^2), the recall ground
+    truth for dd6 in tests. NOT a registered query: its range-condition
+    self-join is a cross product that cannot run at cluster scale."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
         dot,
         norm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms hoisted to per-vector projections: bit-identical result, one
-    # array fold per pair instead of three (3x on all-pairs workloads)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -342,7 +421,7 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, a.vec_a < b.vec_b)
         .select("vec_a", "vec_b", sim.alias("similarity"))
-        .filter(F.col("similarity") >= 0.5)
+        .filter(F.col("similarity") >= threshold)
     )
 
 

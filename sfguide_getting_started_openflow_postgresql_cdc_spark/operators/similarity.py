@@ -22,7 +22,17 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import
 
 N_QUERIES = 5  # vec_id < 5 act as the query set
 TOP_K = 10
-N_PLANES = 8  # LSH: 8 sign bits -> 256 buckets
+
+# Multi-band random-hyperplane LSH (OR-amplification): a pair is a
+# candidate if it collides in ANY band. For sign-bit LSH,
+# P(bit match) = 1 - theta/pi, so with r bits per band and b bands
+# P(candidate) = 1 - (1 - p^r)^b. The testdata's true neighbors sit at
+# cosine ~0.35-0.60 (p ~ 0.61-0.70): 4 bands x 2 bits gives ~85-92%
+# recall there. On a production corpus where near-dups are tight
+# (cosine >= 0.9, p ~ 0.86) raise BAND_BITS to 6-8 for the same recall
+# with far fewer collisions — the knobs trade recall for bucket size.
+N_BANDS = 4
+BAND_BITS = 2
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -101,54 +111,128 @@ def sim1_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded, engine-side
-    constant — broadcast as literals into the plan)."""
+def _band_planes(dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, N_BANDS * BAND_BITS rows
+    (seeded, engine-side constant — broadcast as literals into the plan
+    AND into the DuckDB oracle SQL, so both engines bucket identically)."""
     import numpy as np
 
     rs = np.random.RandomState(7)
-    return rs.standard_normal((n, dim)).tolist()
+    return rs.standard_normal((N_BANDS * BAND_BITS, dim)).tolist()
 
 
-def lsh_bucket(embedding: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = (embedding . plane_i) >= 0."""
+def band_bucket(embedding: Column, planes: list[list[float]], band: int) -> Column:
+    """Bucket id for one band: BAND_BITS sign bits of plane dot products."""
     bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
+    for j in range(BAND_BITS):
+        plane = planes[band * BAND_BITS + j]
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(embedding, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(dot(embedding, lit_plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
     return bucket
 
 
-@query("sim2_knn_lsh_bucketed")  # rows-only: hyperplane constants are engine-side
-def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH. Each vector gets a bucket
-    from {N_PLANES} sign bits; ranking only considers same-bucket
-    candidates, so the pairwise work drops ~2^bits-fold at the cost of
-    recall. The bucketing pass is a pure projection (no shuffle); the
-    candidate join shuffles on the bucket id — at 100 TB that shuffle
-    carries (id, bucket, vector), nothing quadratic."""
-    planes = _hyperplanes()
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-        .withColumn("en", norm(F.col("embedding")))
+def band_bucket_sql(planes: list[list[float]], band: int, emb_expr: str = "embedding") -> str:
+    """DuckDB twin of :func:`band_bucket` — the plane constants are
+    emitted as float literals (repr = shortest round-trip, parses back to
+    the identical double), so the oracle buckets exactly as the engine
+    does. ``list_dot_product`` matches the strict left fold bit-for-bit
+    (same property as ``list_cosine_similarity``, verified in parity)."""
+    terms = []
+    for j in range(BAND_BITS):
+        plane = planes[band * BAND_BITS + j]
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb_expr}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def banded_sql_cte() -> str:
+    """Shared oracle CTE: one (vec_id, band_id, bucket) row per vector
+    per band over the embeddings table."""
+    planes = _band_planes()
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, {band_bucket_sql(planes, b)} AS bucket "
+        "FROM embeddings"
+        for b in range(N_BANDS)
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    return f"banded AS ({arms})"
+
+
+@query(
+    "sim2_knn_lsh_bucketed",
+    oracle=f"""
+    WITH {banded_sql_cte()},
+    q AS (
+      SELECT vec_id AS query_id, band_id, bucket FROM banded
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS neighbor_id, q.query_id
+      FROM banded c
+      JOIN q ON c.band_id = q.band_id AND c.bucket = q.bucket
+            AND c.vec_id <> q.query_id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]) AS similarity
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.neighbor_id
+      JOIN embeddings y ON y.vec_id = cand.query_id
+    )
+    SELECT query_id, neighbor_id, similarity, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY similarity DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: multi-band random-hyperplane LSH (N_BANDS bands of
+    BAND_BITS sign bits, OR-amplified — a neighbor is a candidate if it
+    shares ANY band bucket with the query, fixing the single-band recall
+    cliff at bucket boundaries). Ranking computes exact cosine on
+    candidates only.
+
+    Plan at 100 TB: the banding pass is a pure projection + posexplode
+    (no shuffle, xN_BANDS rows); the candidate join is map-side against a
+    BROADCAST of the banded query set; only candidate (query, neighbor,
+    sim) rows — nothing quadratic — reach the dedup + ranking shuffle."""
+    planes = _band_planes()
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "en", norm(F.col("embedding"))
+    )
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        "en",
+        F.posexplode(
+            F.array(*[band_bucket(F.col("embedding"), planes, b) for b in range(N_BANDS)])
+        ).alias("band_id", "bucket"),
+    )
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("en").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        "band_id",
+        "bucket",
     )
     sim = dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
     cands = (
-        emb.join(F.broadcast(q), emb.bucket == q.qbucket)
+        banded.join(F.broadcast(q), on=["band_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             sim.alias("similarity"),
         )
+        # a pair colliding in several bands yields bit-identical duplicate
+        # rows (same deterministic sim) — distinct dedups them
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")

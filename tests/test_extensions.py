@@ -42,19 +42,50 @@ def test_simhash_near_dups_close_in_hamming(spark):
     assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d)
 
 
-def test_knn_lsh_subset_of_bruteforce_universe(spark):
-    """LSH ANN returns valid neighbors with correct ranks; brute-force
-    top-1 per query is recovered when buckets collide."""
+def test_knn_lsh_recall_at_10(spark):
+    """Multi-band LSH must recover >= 0.8 of the true top-10 neighbors
+    (OR-amplification across N_BANDS bands removes the single-band
+    bucket-boundary cliff), and every similarity it reports must be the
+    exact cosine."""
     bf = QUERIES["sim1_knn_cosine_bruteforce"](spark, SF01).collect()
     lsh = QUERIES["sim2_knn_lsh_bucketed"](spark, SF01).collect()
     assert {r["rank"] for r in bf} == set(range(1, 11))
-    bf_sims = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in bf}
-    for r in lsh:
-        assert r["rank"] >= 1
-        # any LSH (query, neighbor) sim must equal the exact cosine
-        key = (r["query_id"], r["neighbor_id"])
-        if key in bf_sims:
-            assert r["similarity"] == bf_sims[key]
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in bf}
+    lsh_pairs = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in lsh}
+    overlap = set(bf_pairs) & set(lsh_pairs)
+    recall = len(overlap) / len(bf_pairs)
+    assert recall >= 0.8, f"recall@10 {recall:.2f} (hit {len(overlap)}/{len(bf_pairs)})"
+    for key in overlap:
+        assert lsh_pairs[key] == bf_pairs[key]  # exact cosine, bit-identical
+
+
+def test_embedding_dedup_bucketed_recall_and_plan(spark):
+    """dd6 (bucketed) vs the exact all-pairs ground truth: full precision
+    (subset, exact sims) and banding-level recall; and its physical plan
+    must contain NO cross product — the property that lets it run at
+    100 TB where all-pairs cannot."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        embedding_cosine_allpairs,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.plans.inspect import (
+        explain_str,
+    )
+
+    sf = "/root/testdata/sf0.1"  # sf0.01 has a single true pair; use 14
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["similarity"]
+        for r in embedding_cosine_allpairs(spark, sf).collect()
+    }
+    lsh_df = QUERIES["dd6_embedding_cosine_dups"](spark, sf)
+    plan = explain_str(lsh_df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    lsh = {(r["vec_a"], r["vec_b"]): r["similarity"] for r in lsh_df.collect()}
+    assert set(lsh).issubset(set(exact))  # verify step: full precision
+    for k in lsh:
+        assert lsh[k] == exact[k]  # exact cosine, bit-identical
+    assert exact, "ground truth should contain near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.7, f"banding recall {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
 def test_knn_ivf_recall_vs_bruteforce(spark):

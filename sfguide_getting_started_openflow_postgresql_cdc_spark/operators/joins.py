@@ -99,14 +99,23 @@ def c1_join_2way_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c3_left_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN preserving unmatched dim rows; COUNT(col) skips the nulls
     (reference: sql/4.analytics_queries.sql:334,364 patients with zero
-    visits)."""
+    visits).
+
+    Aggregate-below-join rewrite: COUNT the fact per key FIRST, then left
+    join the (key, count) aggregate — the join shuffle carries one row
+    per customer instead of one per order, and unmatched customers take
+    ``coalesce(n, 0)`` (identical semantics: COUNT(col) over the
+    null-extended rows of a left join is 0). At 100 TB this is the
+    difference between shuffling the fact table and shuffling a key list."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
     )
+    return customer.join(
+        per_key, customer.c_custkey == per_key.o_custkey, "left"
+    ).select("c_custkey", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"))
 
 
 @query(
@@ -123,18 +132,27 @@ def c3_left_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c4_left_join_residual_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN with a non-key residual condition INSIDE the ON clause —
     semantics differ from a WHERE filter: left rows survive (reference:
-    sql/4.analytics_queries.sql:163-165,179-181)."""
+    sql/4.analytics_queries.sql:163-165,179-181).
+
+    Same aggregate-below-join rewrite as c3: a right-side-only residual
+    ON predicate is equivalent to filtering the fact BEFORE the per-key
+    count (rows failing it null-extend, contributing 0 — exactly what a
+    missing key contributes after the rewrite). The filter then pushes
+    into the parquet scan, which the ON-clause form forbids."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
     )
-    cond = (customer.c_custkey == orders.o_custkey) & (
-        orders.o_orderdate >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
-    )
-    return (
-        customer.join(orders, cond, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_recent_orders"))
+    return customer.join(
+        per_key, customer.c_custkey == per_key.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_recent_orders"),
     )
 
 

@@ -22,7 +22,15 @@ Design for scale
 ----------------
 Plain parquet has no MERGE, so each replica is a versioned directory with
 an atomically-swapped pointer file (write-new-version, ``os.replace`` the
-pointer). The merge itself is pure DataFrame algebra:
+pointer). Each version is PARTITIONED BY a PK hash bucket
+(``_CDC_BUCKET = pmod(xxhash64(pk), n_buckets)``): a merge rewrites only
+the buckets that contain changed keys and hard-links every untouched
+bucket's files from the previous version — copy-on-write at bucket
+granularity, NOT table granularity. At 100 TB with thousands of buckets
+a 1-minute sync interval rewrites only the few GB its keys actually
+touch; the whole-table rewrite this replaces cannot ship 100 TB/minute.
+
+The merge itself is pure DataFrame algebra:
 
 1. reduce the batch to the LATEST event per PK
    (``row_number() over (partition by pk order by seq_no desc)``);
@@ -64,6 +72,10 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
 # seq_no applied to the row, the guard that makes merges idempotent and
 # reorder-safe.
 CDC_SEQ = "_CDC_SEQ"
+# Partition column of the replica layout: pmod(xxhash64(pk), n_buckets).
+# xxHash64 is a fixed, documented algorithm (seed 42 in Spark) — the
+# bucket of a key is stable across sessions, versions, and cluster sizes.
+CDC_BUCKET = "_CDC_BUCKET"
 
 ENVELOPE = T.StructType(
     [

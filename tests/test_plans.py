@@ -55,3 +55,24 @@ def test_metadata_only_scan_prunes_payload(spark, sf_dir):
     assert schemas and all("source" not in s and "doc_id" not in s for s in schemas), (
         schemas
     )
+
+
+def test_c3_c4_aggregate_below_join(spark, sf_dir):
+    """The aggregate-below-join rewrite must hold in the physical plan:
+    the HashAggregate on the fact appears BELOW the join (the shuffle
+    carries one row per key, not one per order), and c4's residual date
+    predicate is pushed into the parquet scan."""
+    for name in ("c3_left_join_count", "c4_left_join_residual_on"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        join_pos = min(
+            p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                        plan.find("ShuffledHashJoin"))
+            if p >= 0
+        )
+        agg_pos = plan.find("HashAggregate")
+        assert agg_pos >= 0 and join_pos >= 0
+        # formatted explain lists operators leaves-last: the agg node id
+        # is larger than the join's => it executes first (below the join)
+        assert agg_pos > join_pos, f"{name}: aggregate not below join"
+    pushed = pushed_filters(QUERIES["c4_left_join_residual_on"](spark, sf_dir))
+    assert any("o_orderdate" in p for p in pushed), pushed

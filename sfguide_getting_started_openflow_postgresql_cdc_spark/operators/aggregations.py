@@ -26,6 +26,73 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
 
 
+# d8/d16 registered first in this module: both carry round-2 oracle
+# fixes (BIGINT cast / empty-cell coalesce) and need fresh driver
+# evidence ahead of the long-green d* family (see operators/__init__).
+
+
+@query(
+    "d8_conditional_sum",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pending,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d8_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN...1 ELSE 0) status matrix (reference:
+    sql/2.verify_snapshot.sql:147-148,260-264). The oracle casts each sum
+    to BIGINT: DuckDB sums integers into HUGEINT, which pandas
+    materializes as float64 and dtype-sensitive comparators then reject
+    against Spark's int64."""
+    s = F.col("o_orderstatus")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(s == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(s == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(s == "P", 1).otherwise(0)).alias("n_pending"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+@query(
+    "d16_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status columns per priority. Spark's ``.pivot`` with an
+    explicit value list compiles to the same conditional-agg plan as the
+    manual CASE matrix (d8) — explicit values avoid the extra distinct
+    scan a dynamic pivot needs. Empty (priority, status) cells come back
+    NULL from ``.pivot().count()`` while the oracle's COUNT(CASE) yields
+    0 — coalesce so a dataset with a missing combination still matches."""
+    pivoted = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c) for c in ("F", "O", "P")],
+    )
+
+
 @query(
     "d1_global_agg",
     oracle="""
@@ -153,36 +220,6 @@ def d6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d8_conditional_sum",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_finished,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_open,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_pending,
-           COUNT(*) AS n_total
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def d8_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM(CASE WHEN...1 ELSE 0) status matrix (reference:
-    sql/2.verify_snapshot.sql:147-148,260-264)."""
-    s = F.col("o_orderstatus")
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.when(s == "F", 1).otherwise(0)).alias("n_finished"),
-            F.sum(F.when(s == "O", 1).otherwise(0)).alias("n_open"),
-            F.sum(F.when(s == "P", 1).otherwise(0)).alias("n_pending"),
-            F.count("*").alias("n_total"),
-        )
-    )
-
-
-@query(
     "d9_count_case_no_else",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -271,35 +308,6 @@ def d14_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
             F.count("*").alias("n"),
         )
-    )
-
-
-@query(
-    "d16_pivot",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def d16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: status columns per priority. Spark's ``.pivot`` with an
-    explicit value list compiles to the same conditional-agg plan as the
-    manual CASE matrix (d8) — explicit values avoid the extra distinct
-    scan a dynamic pivot needs. Empty (priority, status) cells come back
-    NULL from ``.pivot().count()`` while the oracle's COUNT(CASE) yields
-    0 — coalesce so a dataset with a missing combination still matches."""
-    pivoted = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-    )
-    return pivoted.select(
-        "o_orderpriority",
-        *[F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c) for c in ("F", "O", "P")],
     )
 
 

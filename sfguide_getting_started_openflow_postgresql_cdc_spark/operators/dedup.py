@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
-from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import fingerprint
 from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
 
 N_MINHASH = 8
@@ -123,6 +122,12 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd2_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dup statistics over normalized fingerprints — the
     cheap first-pass report before any pairwise work."""
+    # local import: keeps registry REGISTRATION order decoupled from this
+    # module's dependency order (operators/__init__ docstring)
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import (
+        fingerprint,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint(F.col("text"))
     return docs.agg(

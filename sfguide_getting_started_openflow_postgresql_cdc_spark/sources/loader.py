@@ -48,6 +48,72 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    schema,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """A12 snapshot branch over a live database (the reference's entry
+    point is PostgreSQL: sql/0.init_healthcare.sql:1-377; the OpenFlow
+    connector's auto-snapshot is sql/1.snowflake_setup.sql:47-49).
+
+    The declared ``StructType`` is enforced via the JDBC source's
+    ``customSchema`` — column types are NEVER inferred from the remote
+    catalog (driver type mapping varies by database/driver version; the
+    warehouse contract types in schemas.py are authoritative).
+
+    For a 100 TB-class snapshot pass ``partition_column`` +
+    ``lower/upper_bound`` + ``num_partitions`` so the read issues one
+    range-predicated query per partition (parallel snapshot, the way the
+    reference's connector chunks its initial copy); an unpartitioned JDBC
+    read is a single connection on one executor.
+    """
+    custom = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+        .option("customSchema", custom)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions (Spark JDBC range-partitioned read)"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def load_snapshot_source(spark: SparkSession, src, table: str, schema) -> DataFrame:
+    """Resolve one bootstrap source: a DataFrame passes through; a
+    ``jdbc:`` URL routes to :func:`load_jdbc_table`; any other string is
+    a parquet path."""
+    if isinstance(src, DataFrame):
+        return src
+    if isinstance(src, str) and src.startswith("jdbc:"):
+        return load_jdbc_table(spark, src, table, schema)
+    if isinstance(src, str):
+        return spark.read.parquet(src)
+    raise TypeError(f"unsupported snapshot source for '{table}': {type(src)!r}")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 

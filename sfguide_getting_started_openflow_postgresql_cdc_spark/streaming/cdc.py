@@ -89,17 +89,23 @@ ENVELOPE = T.StructType(
 
 
 class ReplicaStore:
-    """Versioned parquet replica tables with an atomic pointer swap.
+    """Versioned, PK-hash-bucketed parquet replica tables with an atomic
+    pointer swap.
 
     Layout::
 
-        root/tables/<table>/v<N>/*.parquet
-        root/tables/<table>/_POINTER.json   {"version": N, "watermark": seq}
+        root/tables/<table>/v<N>/_CDC_BUCKET=<i>/*.parquet
+        root/tables/<table>/_POINTER.json
+            {"version": N, "watermark": seq, "n_buckets": B}
         root/journal/<table>/*.parquet      (append-only event log)
 
     Readers resolve the pointer, so a crash mid-write never exposes a
     half-written version; the watermark records the highest applied
-    ``seq_no`` for idempotent replay.
+    ``seq_no`` for idempotent replay. A merge writes ONLY the buckets
+    containing changed keys into the new version and hard-links every
+    other bucket's files from the previous version (same inode, zero
+    bytes copied) — version retirement is safe because links keep the
+    shared inodes alive.
     """
 
     def __init__(self, root: str):
@@ -116,10 +122,13 @@ class ReplicaStore:
             with open(self._pointer_path(table)) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": -1, "watermark": -1}
+            return {"version": -1, "watermark": -1, "n_buckets": 0}
 
     def watermark(self, table: str) -> int:
         return int(self._pointer(table)["watermark"])
+
+    def n_buckets(self, table: str) -> int:
+        return int(self._pointer(table).get("n_buckets", 0))
 
     def table_path(self, table: str) -> str:
         ptr = self._pointer(table)
@@ -129,26 +138,102 @@ class ReplicaStore:
 
     # -- io ----------------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(table))
+        """Current replica state (bucket column stripped)."""
+        return spark.read.parquet(self.table_path(table)).drop(CDC_BUCKET)
 
-    def write(self, spark: SparkSession, table: str, df: DataFrame, watermark: int) -> None:
+    def read_buckets(
+        self, spark: SparkSession, table: str, buckets: list[int]
+    ) -> DataFrame:
+        """Only the named buckets — the filter prunes whole partition
+        directories at the source listing, so a merge never scans the
+        untouched part of the replica."""
+        df = spark.read.parquet(self.table_path(table))
+        return df.filter(F.col(CDC_BUCKET).isin(buckets)).drop(CDC_BUCKET)
+
+    def _swap_pointer(self, table: str, version: int, watermark: int, n_buckets: int) -> None:
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "watermark": watermark,
+                    "n_buckets": n_buckets,
+                    "written_at": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, self._pointer_path(table))  # atomic swap
+
+    def _retire_old_versions(self, tdir: str, new_version: int) -> None:
+        # retire versions older than the previous one (keep 1 for readers);
+        # hard-linked files shared with newer versions keep their inode
+        for name in os.listdir(tdir):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < new_version - 1:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+    def write_full(
+        self,
+        spark: SparkSession,
+        table: str,
+        df: DataFrame,
+        watermark: int,
+        n_buckets: int,
+    ) -> None:
+        """Write a complete new version (bootstrap / bucket-count change).
+        ``df`` must carry the ``_CDC_BUCKET`` column."""
         ptr = self._pointer(table)
         new_version = ptr["version"] + 1
         tdir = os.path.join(self.root, "tables", table)
         os.makedirs(tdir, exist_ok=True)
         out = os.path.join(tdir, f"v{new_version}")
-        df.write.mode("overwrite").parquet(out)
-        tmp = self._pointer_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": new_version, "watermark": watermark, "written_at": time.time()},
-                f,
-            )
-        os.replace(tmp, self._pointer_path(table))  # atomic swap
-        # retire versions older than the previous one (keep 1 for readers)
-        for name in os.listdir(tdir):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < new_version - 1:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(CDC_BUCKET).parquet(out)
+        self._swap_pointer(table, new_version, watermark, n_buckets)
+        self._retire_old_versions(tdir, new_version)
+
+    def write_merged(
+        self,
+        spark: SparkSession,
+        table: str,
+        changed_df: DataFrame,
+        changed_buckets: list[int],
+        watermark: int,
+    ) -> None:
+        """Write a new version that materializes ``changed_df`` (which
+        must cover exactly ``changed_buckets`` and carry ``_CDC_BUCKET``)
+        and hard-links every other bucket directory from the current
+        version — the copy-on-write path a 1-minute sync interval takes.
+
+        On a distributed filesystem without hard links the same contract
+        is 'reference the previous version's files in the new manifest'
+        (Iceberg/Delta-style); link-or-copy is the local-FS expression."""
+        ptr = self._pointer(table)
+        if ptr["version"] < 0:
+            raise FileNotFoundError(f"replica '{table}' not bootstrapped")
+        n_buckets = int(ptr["n_buckets"])
+        tdir = os.path.join(self.root, "tables", table)
+        old = os.path.join(tdir, f"v{ptr['version']}")
+        new_version = ptr["version"] + 1
+        out = os.path.join(tdir, f"v{new_version}")
+        changed_df.write.mode("overwrite").partitionBy(CDC_BUCKET).parquet(out)
+        changed = set(changed_buckets)
+        for name in os.listdir(old):
+            if not name.startswith(f"{CDC_BUCKET}="):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            if bucket in changed:
+                continue
+            src_dir = os.path.join(old, name)
+            dst_dir = os.path.join(out, name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(src_dir):
+                src = os.path.join(src_dir, fname)
+                dst = os.path.join(dst_dir, fname)
+                try:
+                    os.link(src, dst)  # zero-copy: same inode
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+        self._swap_pointer(table, new_version, watermark, n_buckets)
+        self._retire_old_versions(tdir, new_version)
 
     def journal_path(self, table: str) -> str:
         return os.path.join(self.root, "journal", table)
@@ -190,6 +275,7 @@ class CdcEngine:
         primary_keys: dict[str, str] | None = None,
         broadcast_threshold_rows: int = 5_000_000,
         write_partitions: int | None = None,
+        n_buckets: int = 16,
     ):
         self.store = store
         self.tables = tables or schemas.HEALTHCARE_TABLES
@@ -199,22 +285,44 @@ class CdcEngine:
         # tables should pass 1 to avoid a spray of KB-sized files. At
         # cluster scale, size so files land ~128 MB-1 GB each.
         self.write_partitions = write_partitions
+        # Replica layout granularity: a merge rewrites only buckets whose
+        # keys changed. Size so one bucket ~ a few GB at the target scale
+        # (100 TB -> tens of thousands of buckets); 16 keeps the tiny
+        # test fixtures from spraying directories.
+        self.n_buckets = n_buckets
+
+    def _bucket(self, pk: str):
+        return F.pmod(F.xxhash64(F.col(pk)), F.lit(self.n_buckets)).cast("int")
 
     # -- I1: snapshot bootstrap --------------------------------------------
     def bootstrap(
         self,
         spark: SparkSession,
-        source: dict[str, DataFrame],
+        source: dict[str, DataFrame | str],
         load_ts: str,
         journal_snapshot: bool = True,
     ) -> None:
         """Initial full copy: replica = source + metadata columns
         (connector contract, sql/1.snowflake_setup.sql:47-49).
 
+        Source values may be DataFrames, parquet paths, or ``jdbc:`` URLs
+        (the reference's actual entry point is a live PostgreSQL —
+        sql/0.init_healthcare.sql); string sources resolve through
+        ``sources.loader.load_snapshot_source`` with this engine's
+        declared schema (types never inferred from the remote catalog).
+
         ``journal_snapshot`` also writes the snapshot into the journal as
         seq-0 'I' events so the SCD2 history (:meth:`scd2_history`) covers
         every row from its first known version, not just live changes.
         """
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+            load_snapshot_source,
+        )
+
+        source = {
+            table: load_snapshot_source(spark, src, table, self.tables[table])
+            for table, src in source.items()
+        }
         for table, df in source.items():
             replica = (
                 df.withColumn(
@@ -225,10 +333,15 @@ class CdcEngine:
                 )
                 .withColumn(schemas.META_DELETED, F.lit(False))
                 .withColumn(CDC_SEQ, F.lit(-1).cast("long"))
+                .withColumn(CDC_BUCKET, self._bucket(self.primary_keys[table]))
             )
             if self.write_partitions:
                 replica = replica.coalesce(self.write_partitions)
-            self.store.write(spark, table, replica, watermark=-1)
+            else:
+                replica = replica.repartition(self.n_buckets, F.col(CDC_BUCKET))
+            self.store.write_full(
+                spark, table, replica, watermark=-1, n_buckets=self.n_buckets
+            )
             if journal_snapshot:
                 snap_events = df.select(
                     F.lit(0).cast("long").alias("seq_no"),
@@ -290,9 +403,21 @@ class CdcEngine:
             F.count("*").alias("n"),
             F.max("seq_no").alias("max_seq"),
             F.max("event_ts").alias("max_ts"),
+            F.collect_set(self._bucket(pk)).alias("buckets"),
         ).collect()[0]
         if stats["n"] == 0:
             return
+        # Buckets whose keys appear in this batch — the ONLY part of the
+        # replica this merge reads or rewrites (bounded by n_buckets, so
+        # the driver-side list stays tiny at any scale).
+        changed_buckets = sorted(stats["buckets"])
+        stored_buckets = self.store.n_buckets(table)
+        if stored_buckets != self.n_buckets:
+            raise ValueError(
+                f"replica '{table}' is bucketed {stored_buckets}-way but the "
+                f"engine is configured for {self.n_buckets}; re-bootstrap to "
+                "change bucket counts"
+            )
         # Deterministic sync timestamp: the batch's newest commit ts
         # (reference stamps rows with the sync time; using event time keeps
         # replays byte-identical).
@@ -318,7 +443,9 @@ class CdcEngine:
             else latest
         )
 
-        replica = self.store.read(spark, table)
+        # Partition-pruned read: only the changed buckets' files are
+        # listed/scanned; untouched buckets never enter the plan.
+        replica = self.store.read_buckets(spark, table, changed_buckets)
         src_fields = [f.name for f in self.tables[table].fields]
         r, e = replica.alias("r"), latest_hinted.alias("e")
         # Per-row version guard: an event lands only if its seq_no beats
@@ -364,10 +491,23 @@ class CdcEngine:
                 F.col("seq_no").alias(CDC_SEQ),
             )
         )
-        merged = updated.unionByName(inserts.select(*updated.columns))
+        merged = updated.unionByName(inserts.select(*updated.columns)).withColumn(
+            CDC_BUCKET, self._bucket(pk)
+        )
         if self.write_partitions:
             merged = merged.coalesce(self.write_partitions)
-        self.store.write(spark, table, merged, watermark=int(stats["max_seq"]))
+        else:
+            # co-locate each bucket in one task: every task then writes
+            # one file per bucket it owns instead of every task writing a
+            # sliver of every bucket (32 tasks x 16 buckets = 512 files)
+            merged = merged.repartition(self.n_buckets, F.col(CDC_BUCKET))
+        self.store.write_merged(
+            spark,
+            table,
+            merged,
+            changed_buckets=changed_buckets,
+            watermark=int(stats["max_seq"]),
+        )
 
     # -- I6: journal -----------------------------------------------------------
     def append_journal(self, table: str, events: DataFrame) -> None:

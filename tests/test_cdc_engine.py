@@ -386,3 +386,59 @@ def test_merge_drops_null_pk_events(spark, tmp_path):
     assert engine.store.read_journal(spark, "doctors").filter(
         F.col("doctor_id").isNull()
     ).count() == 3
+
+
+def test_merge_reuses_untouched_bucket_files(spark, tmp_path, snapshot_rows):
+    """Partition-pruned copy-on-write: a merge touching one key rewrites
+    ONLY that key's bucket; every other bucket's files in the new version
+    are the SAME inode (hard link) as the previous version — the property
+    that lets a 1-minute sync interval run against a 100 TB replica."""
+    import os
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+        CDC_BUCKET,
+        ENVELOPE,
+    )
+
+    engine = CdcEngine(ReplicaStore(str(tmp_path / "wh_prune")), write_partitions=1)
+    engine.bootstrap(
+        spark, healthcare.snapshot_dataframes(spark), LOAD_TS, journal_snapshot=False
+    )
+    old_dir = engine.store.table_path("patients")
+
+    after = {k: _stringify(v) for k, v in snapshot_rows["patients"][0].items()}
+    after["city"] = "Tacoma"
+    ev = spark.createDataFrame(
+        [(5000, "2024-06-02 13:00:00", "patients", "U", after)], ENVELOPE
+    )
+    engine.merge_batch(spark, "patients", ev)
+    new_dir = engine.store.table_path("patients")
+    assert new_dir != old_dir
+
+    rewritten, reused = [], []
+    for name in sorted(os.listdir(new_dir)):
+        if not name.startswith(f"{CDC_BUCKET}="):
+            continue
+        new_files = [
+            f for f in os.listdir(os.path.join(new_dir, name)) if f.endswith(".parquet")
+        ]
+        assert new_files, name
+        same = all(
+            os.path.exists(os.path.join(old_dir, name, f))
+            and os.path.samefile(
+                os.path.join(old_dir, name, f), os.path.join(new_dir, name, f)
+            )
+            for f in new_files
+        )
+        (reused if same else rewritten).append(name)
+    # exactly one bucket (the updated key's) rewritten; the rest linked
+    assert len(rewritten) == 1, (rewritten, reused)
+    assert len(reused) >= 10  # 16 buckets minus empties minus the changed one
+
+    row = (
+        engine.store.read(spark, "patients")
+        .filter(F.col("patient_id") == snapshot_rows["patients"][0]["patient_id"])
+        .collect()[0]
+    )
+    assert row["city"] == "Tacoma"
+    assert engine.store.read(spark, "patients").count() == 100

@@ -178,3 +178,145 @@ def i5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "i10_asof_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    e1 AS (
+      SELECT user_id, ts, event_id, value FROM ranked WHERE rn = 1
+    ),
+    q AS (
+      SELECT DISTINCT user_id,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS as_of_ts
+      FROM events
+    )
+    SELECT q.user_id, q.as_of_ts,
+           e1.event_id AS last_event_id,
+           e1.value AS last_value
+    FROM q ASOF JOIN e1
+      ON q.user_id = e1.user_id AND q.as_of_ts >= e1.ts
+    """,
+)
+def i10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — for every (user, end-of-active-hour) checkpoint, the
+    latest event at or before that instant. Spark has no native ASOF
+    join; the naive encoding (range-condition join + max) is a cross
+    product per key. This is the scalable composition:
+
+    UNION the probe rows into the event stream, window once per key
+    ordered by (ts, side, event_id), and carry the last event struct
+    forward (``last(..., ignorenulls=True)`` over unbounded-preceding) —
+    ONE shuffle on the key, state O(1) per row, no range join anywhere.
+    The same shape incrementalizes as a streaming stateful op.
+
+    Ties: events sharing (user_id, ts) reduce to the max event_id first,
+    and at probe instants the event side sorts before the probe side, so
+    an event exactly AT the checkpoint is visible to it — both matching
+    DuckDB's ASOF (greatest ts <= probe over unique keys) exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    e1 = (
+        ev.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),  # events sort before probes at equal ts
+            F.struct("event_id", "value").alias("ev"),
+        )
+    )
+    probes = (
+        ev.select(
+            "user_id",
+            (F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+             + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        )
+        .distinct()
+        .select("user_id", "ts", F.lit(1).alias("side"), F.lit(None).cast(
+            "struct<event_id:long,value:double>").alias("ev"))
+    )
+    merged = e1.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("ev", ignorenulls=True).over(w)
+    return (
+        merged.withColumn("_last", carried)
+        .filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("as_of_ts"),
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "i11_range_join",
+    oracle="""
+    SELECT a.event_id,
+           COUNT(b.event_id) AS n_following_1h
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_id
+    """,
+)
+def i11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN — per event, how many same-user events follow within
+    1 hour (burst detection). A naive range-condition join degenerates to
+    a per-key cross product; the scalable composition BUCKETIZES time:
+
+    each probe event joins candidates only in its own and the next hour
+    bucket (b.ts in (a.ts, a.ts+1h] implies bucket(b) in {bucket(a),
+    bucket(a)+1}), so the equi-join key is (user_id, bucket) and the
+    residual range predicate filters candidates — work tracks actual
+    temporal density, never n^2 per user. Counts then join back
+    aggregate-below-join style (the c3 rewrite), with coalesce(0) for
+    events with no followers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600)
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        bucket.alias("bkt"),
+    )
+    counts = (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user")) & (a["bkt"] == b["bkt"]),
+        )
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("a_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return ev.select(F.col("event_id")).join(
+        counts, ev.event_id == counts.a_id, "left"
+    ).select(
+        "event_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_following_1h"),
+    )

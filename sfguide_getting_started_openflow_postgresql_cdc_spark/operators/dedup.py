@@ -351,20 +351,19 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle buckets with the identical plane literals, so the driver gate
     checks candidate generation AND verification exactly."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
-        N_BANDS,
         _band_planes,
-        band_bucket,
-        dot,
-        norm,
+        arrow_band_buckets,
+        arrow_dot,
+        arrow_norm,
     )
 
     planes = _band_planes()
     emb = load_table(spark, sf_dir, "embeddings")
     banded = emb.select(
         "vec_id",
-        F.posexplode(
-            F.array(*[band_bucket(F.col("embedding"), planes, b) for b in range(N_BANDS)])
-        ).alias("band_id", "bucket"),
+        F.posexplode(arrow_band_buckets(F.col("embedding"), planes)).alias(
+            "band_id", "bucket"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -383,14 +382,14 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        norm(F.col("embedding")).alias("na"),
+        arrow_norm(F.col("embedding")).alias("na"),
     )
     y = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        norm(F.col("embedding")).alias("nb"),
+        arrow_norm(F.col("embedding")).alias("nb"),
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    sim = arrow_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
@@ -469,18 +468,34 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    # branch-free bit votes: sum the extracted bit itself (2x faster than
-    # a CASE +-1 per bit); majority test 2*ones > n is the same predicate
-    # as (ones - zeros) > 0.
-    ones = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    votes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    # Branch-free bit votes, LANE-PACKED: 3 bit-counters of 21 bits share
+    # one 64-bit sum (lane sums accumulate independently as long as no
+    # lane overflows into the next — safe for docs up to 2^21 ≈ 2M tokens,
+    # far beyond any training document after chunking). 20 agg buffers
+    # instead of 60 halves the hash-aggregate update cost (measured 2x);
+    # majority test 2*ones > n on the unpacked lane equals
+    # (ones - zeros) > 0.
+    lanes = 3
+    lane_bits = 21
+    lane_mask = (1 << lane_bits) - 1
+    packed = []
+    for g in range(SIMHASH_BITS // lanes):
+        expr = None
+        for lane in range(lanes):
+            i = g * lanes + lane
+            term = F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)), lane_bits * lane
+            )
+            expr = term if expr is None else expr + term
+        packed.append(F.sum(expr).alias(f"p{g}"))
+    votes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
     sim = None
     for i in range(SIMHASH_BITS):
-        term = F.when(
-            2 * F.col(f"o{i}") > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        ones = F.shiftright(F.col(f"p{i // lanes}"), lane_bits * (i % lanes)).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        term = F.when(2 * ones > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.alias("simhash"))

@@ -57,6 +57,85 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+# --- Arrow-vectorized twins -------------------------------------------------
+#
+# F.aggregate/zip_with are HigherOrderFunctions: Catalyst interprets the
+# lambda per element (no codegen), which made the 8-plane bucket pass the
+# single most expensive projection in the repo (~2.3 s for 1M lambda
+# evals at sf0.1). The pandas-UDF twins below run the SAME arithmetic as
+# the fold — accumulate dimension-by-dimension in index order, each step
+# an elementwise IEEE double op over the batch — so results are
+# BIT-IDENTICAL to the fold (asserted exhaustively in
+# tests/test_extensions.py::test_arrow_paths_bit_identical_to_folds) while
+# running as numpy loops over Arrow batches. UDF bodies are self-contained
+# closures: workers never import this package.
+
+
+def arrow_dot(a: Column, b: Column) -> Column:
+    """Pairwise dot product, bit-identical to ``dot`` (left fold)."""
+
+    @F.pandas_udf("double")
+    def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        mx = _np.stack(xs.to_numpy()).astype(_np.float64)
+        my = _np.stack(ys.to_numpy()).astype(_np.float64)
+        acc = _np.zeros(len(mx), dtype=_np.float64)
+        for i in range(mx.shape[1]):  # index order == the fold's order
+            acc = acc + mx[:, i] * my[:, i]
+        return pd.Series(acc)
+
+    return _dot(a, b)
+
+
+def arrow_norm(a: Column) -> Column:
+    """||a||, bit-identical to ``norm`` (IEEE sqrt of the exact fold)."""
+
+    @F.pandas_udf("double")
+    def _norm(xs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        m = _np.stack(xs.to_numpy()).astype(_np.float64)
+        acc = _np.zeros(len(m), dtype=_np.float64)
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return pd.Series(_np.sqrt(acc))
+
+    return _norm(a)
+
+
+def arrow_band_buckets(embedding: Column, planes: list[list[float]]) -> Column:
+    """All N_BANDS band buckets in one pass -> ``array<long>``,
+    bit-identical to per-band :func:`band_bucket` (same accumulation
+    order per plane dot; only the >= 0 sign reaches the bucket)."""
+    n_bands, band_bits = N_BANDS, BAND_BITS
+    plane_rows = [list(map(float, p)) for p in planes]
+
+    @F.pandas_udf("array<long>")
+    def _buckets(xs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        m = _np.stack(xs.to_numpy()).astype(_np.float64)  # n x dim
+        p = _np.array(plane_rows, dtype=_np.float64)  # P x dim
+        acc = _np.zeros((len(m), len(p)), dtype=_np.float64)
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i : i + 1] * p[:, i]
+        bits = acc >= 0.0
+        out = _np.zeros((len(m), n_bands), dtype=_np.int64)
+        for band in range(n_bands):
+            for j in range(band_bits):
+                out[:, band] += bits[:, band * band_bits + j].astype(_np.int64) << j
+        return pd.Series(list(out))
+
+    return _buckets(embedding)
+
+
 @query(
     "sim1_knn_cosine_bruteforce",
     oracle=f"""
@@ -85,14 +164,14 @@ def sim1_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window over a corpus already reduced to (n_queries x corpus)
     similarity rows — for large query sets switch to the LSH variant."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "en", norm(F.col("embedding"))  # hoisted: one fold per vector
+        "en", arrow_norm(F.col("embedding"))  # hoisted: one pass per vector
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("en").alias("qn"),
     )
-    sim = dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
+    sim = arrow_dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
     sims = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -204,15 +283,15 @@ def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim) rows — nothing quadratic — reach the dedup + ranking shuffle."""
     planes = _band_planes()
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "en", norm(F.col("embedding"))
+        "en", arrow_norm(F.col("embedding"))
     )
     banded = emb.select(
         "vec_id",
         "embedding",
         "en",
-        F.posexplode(
-            F.array(*[band_bucket(F.col("embedding"), planes, b) for b in range(N_BANDS)])
-        ).alias("band_id", "bucket"),
+        F.posexplode(arrow_band_buckets(F.col("embedding"), planes)).alias(
+            "band_id", "bucket"
+        ),
     )
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -221,7 +300,7 @@ def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_id",
         "bucket",
     )
-    sim = dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
+    sim = arrow_dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
     cands = (
         banded.join(F.broadcast(q), on=["band_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -597,6 +597,52 @@ class CdcEngine:
             .drop("event_ts")
         )
 
+    # -- I6: journal retention --------------------------------------------------
+    def compact_journal(
+        self, spark: SparkSession, table: str, retain_after_seq: int
+    ) -> dict:
+        """Bound journal growth: events newer than ``retain_after_seq``
+        are kept verbatim (full SCD2 fidelity for the retention window);
+        older history collapses to the LATEST event per key, so
+        latest-state reads, replica rebuilds, and the version guard keep
+        working while intermediate pre-horizon versions are dropped.
+
+        An append-only journal otherwise grows with total change volume
+        forever — at 100 TB scale compaction is what keeps the journal a
+        queryable table instead of cold sediment. Runs as one window over
+        the pre-horizon slice (shuffles on the PK, the same key layout as
+        every other per-key operator).
+
+        Local-FS swap is write-tmp -> delete -> rename (a crash between
+        the last two steps loses no data newer than the horizon but can
+        require re-running compaction; a distributed deployment would
+        swap a file manifest instead, as the replica pointer does).
+
+        Returns ``{"before": n, "after": n, "horizon": seq}``.
+        """
+        pk = self.primary_keys[table]
+        j = self.store.read_journal(spark, table, dedup=True, pk=pk)
+        old_slice = j.filter(F.col("seq_no") <= retain_after_seq)
+        recent = j.filter(F.col("seq_no") > retain_after_seq)
+        w = Window.partitionBy(pk).orderBy(F.col("seq_no").desc())
+        latest_old = (
+            old_slice.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        compacted = latest_old.unionByName(recent)
+        if self.write_partitions:
+            compacted = compacted.coalesce(self.write_partitions)
+
+        jdir = self.store.journal_path(table)
+        before = spark.read.parquet(jdir).count()
+        tmp = jdir + "__compacting"
+        compacted.write.mode("overwrite").parquet(tmp)  # materialize first
+        shutil.rmtree(jdir)
+        os.rename(tmp, jdir)
+        after = spark.read.parquet(jdir).count()
+        return {"before": before, "after": after, "horizon": retain_after_seq}
+
     # -- views -------------------------------------------------------------------
     def register_views(
         self, spark: SparkSession, tables: Iterable[str] | None = None

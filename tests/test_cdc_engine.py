@@ -442,3 +442,47 @@ def test_merge_reuses_untouched_bucket_files(spark, tmp_path, snapshot_rows):
     )
     assert row["city"] == "Tacoma"
     assert engine.store.read(spark, "patients").count() == 100
+
+
+def test_journal_compaction(spark, tmp_path, snapshot_rows):
+    """Compaction keeps post-horizon history verbatim, collapses
+    pre-horizon history to latest-per-key, and preserves every key's
+    final state — while strictly shrinking the log."""
+    engine = CdcEngine(ReplicaStore(str(tmp_path / "wh_compact")), write_partitions=1)
+    engine.bootstrap(spark, healthcare.snapshot_dataframes(spark), LOAD_TS)
+    batches = healthcare.generate_scenario(snapshot_rows)
+    _run_scenario_batches(spark, engine, batches)
+
+    j_before = engine.store.read_journal(spark, "appointments", dedup=True,
+                                         pk="appointment_id")
+    seqs = sorted(r["seq_no"] for r in j_before.select("seq_no").distinct().collect())
+    horizon = seqs[len(seqs) // 2]  # mid-scenario
+
+    latest_before = {
+        r["appointment_id"]: r["seq_no"]
+        for r in j_before.groupBy("appointment_id").agg(F.max("seq_no").alias("seq_no")).collect()
+    }
+    recent_before = j_before.filter(F.col("seq_no") > horizon).count()
+
+    stats = engine.compact_journal(spark, "appointments", retain_after_seq=horizon)
+    assert stats["after"] < stats["before"]
+
+    j_after = engine.store.read_journal(spark, "appointments")
+    # post-horizon slice untouched
+    assert j_after.filter(F.col("seq_no") > horizon).count() == recent_before
+    # pre-horizon slice: exactly one (latest) event per key that had any
+    pre = j_after.filter(F.col("seq_no") <= horizon)
+    assert pre.groupBy("appointment_id").count().filter(F.col("count") > 1).count() == 0
+    # every key's final version survives
+    latest_after = {
+        r["appointment_id"]: r["seq_no"]
+        for r in j_after.groupBy("appointment_id").agg(F.max("seq_no").alias("seq_no")).collect()
+    }
+    assert latest_after == latest_before
+    # SCD2 over the compacted journal still matches replica current state
+    hist = engine.scd2_history(spark, "appointments")
+    cur = {r["appointment_id"]: r["status"] for r in hist.filter(F.col("is_current")).collect()}
+    for row in engine.store.read(spark, "appointments").filter(
+        ~F.col(schemas.META_DELETED)
+    ).collect():
+        assert cur[row["appointment_id"]] == row["status"]

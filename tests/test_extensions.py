@@ -128,3 +128,53 @@ def test_byte_histogram_deterministic():
 def test_decode_stub_is_gated():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_arrow_paths_bit_identical_to_folds(spark):
+    """The Arrow-vectorized dot/norm/bucket twins must return the EXACT
+    bits of the F.aggregate fold definitions for every vector (and every
+    plane) — they accumulate in the same index order, so any deviation
+    is a bug, not noise."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        N_BANDS,
+        _band_planes,
+        arrow_band_buckets,
+        arrow_dot,
+        arrow_norm,
+        band_bucket,
+        dot,
+        norm,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    planes = _band_planes()
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = emb.select(
+        norm(F.col("embedding")).alias("n_fold"),
+        arrow_norm(F.col("embedding")).alias("n_arrow"),
+        F.array(
+            *[band_bucket(F.col("embedding"), planes, b) for b in range(N_BANDS)]
+        ).alias("b_fold"),
+        arrow_band_buckets(F.col("embedding"), planes).alias("b_arrow"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert struct.pack("d", r["n_fold"]) == struct.pack("d", r["n_arrow"])
+        assert r["b_fold"] == r["b_arrow"]
+
+    # pairwise dots: corpus x first-5 queries, fold vs arrow
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("embedding").alias("qv"), F.col("vec_id").alias("qid")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).select(
+        dot(F.col("embedding"), F.col("qv")).alias("d_fold"),
+        arrow_dot(F.col("embedding"), F.col("qv")).alias("d_arrow"),
+    )
+    for r in pairs.collect():
+        assert struct.pack("d", r["d_fold"]) == struct.pack("d", r["d_arrow"])

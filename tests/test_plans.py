@@ -76,3 +76,13 @@ def test_c3_c4_aggregate_below_join(spark, sf_dir):
         assert agg_pos > join_pos, f"{name}: aggregate not below join"
     pushed = pushed_filters(QUERIES["c4_left_join_residual_on"](spark, sf_dir))
     assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_asof_and_range_join_have_no_cross_product(spark, sf_dir):
+    """The custom temporal joins must stay equi-join shaped: as-of is a
+    union+window (no join at all on the probe path), range join hashes on
+    (user, time-bucket) — neither may degenerate to a nested-loop/cartesian."""
+    for name in ("i10_asof_join", "i11_range_join"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

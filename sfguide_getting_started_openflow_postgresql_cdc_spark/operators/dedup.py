@@ -499,3 +499,102 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def _dd7_oracle() -> str:
+    # reuse dd4's full candidate->verify SQL as a CTE, then take the
+    # transitive closure with a recursive CTE (set-semantics UNION
+    # terminates); canonical = min doc_id reachable, size = |component|
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    dd4_sql = ORACLES["dd4_minhash_lsh_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({dd4_sql}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS canonical_doc_id,
+           COUNT(DISTINCT dst) AS component_size
+    FROM reach GROUP BY src
+    """
+
+
+@query("dd7_dedup_groups", oracle=_dd7_oracle())
+def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the dd4 MinHash
+    pair graph -> one canonical document (min doc_id) per group plus the
+    group size — the step that turns pairwise dedup output into a
+    keep/drop decision for a training corpus.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels; converges in O(graph diameter) rounds (near-dup components
+    are shallow — a handful of rounds). Each round is ONE join + ONE
+    groupBy keyed on the node — at 100 TB this is the standard
+    large-graph CC recipe (alternating-star optimizations apply if
+    components ever get deep). The driver-side loop collects only a
+    1-row change count per round; data never leaves the cluster.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs
+    (fine at test scale; the label-propagation plan is the one that
+    scales).
+    """
+    pairs = dd4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    edges = fwd.unionByName(rev).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_doc_id"),
+            "component_size",
+        )
+    )

@@ -229,3 +229,94 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint(F.col("text")).alias("fingerprint")
     )
+
+
+@query(
+    "px1_corpus_curation",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(replace(text, ' ', '')) AS n_letter_chars,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS n_the,
+             (length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS n_a
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, fp, n_tokens,
+             0.5 * (CAST(n_the + n_a AS DOUBLE) / NULLIF(n_tokens, 0))
+               + 0.3 * least(CAST(n_letter_chars AS DOUBLE)
+                             / NULLIF(n_tokens, 0) / 8.0, 1.0)
+               + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
+      FROM scored
+    ),
+    canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM q GROUP BY fp),
+    flagged AS (
+      SELECT q.lang, q.n_tokens,
+             (q.doc_id = c.canon_id) AS is_canonical,
+             (q.doc_id = c.canon_id AND q.score >= 0.3 AND q.n_tokens >= 20)
+                 AS keep
+      FROM q JOIN canon c ON q.fp = c.fp
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_canonical,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM flagged GROUP BY lang
+    """,
+)
+def px1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation report — the composition a training-data
+    pipeline actually runs: exact dedup (fingerprint -> canonical doc) +
+    quality gate (tx2's score >= 0.3) + length gate (>= 20 tokens),
+    rolled up per language with the retained token budget.
+
+    Two shuffles total at any scale: one groupBy on the fingerprint
+    (canonical election), one on lang (the report). The quality score is
+    rational-arithmetic only, so the keep/drop decision is bit-identical
+    across engines — the property that makes a 100 TB curation run
+    reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count(text)
+    n_letters = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_stop = word_occurrences(text, "the") + word_occurrences(text, "a")
+    nt = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    score = (
+        0.5 * (n_stop.cast("double") / nt)
+        + 0.3 * F.least(n_letters.cast("double") / nt / 8.0, F.lit(1.0))
+        + 0.2 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint(text).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+    )
+    canon = scored.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    flagged = scored.join(canon, "fp").select(
+        "lang",
+        "n_tokens",
+        (F.col("doc_id") == F.col("canon_id")).alias("is_canonical"),
+        (
+            (F.col("doc_id") == F.col("canon_id"))
+            & (F.col("score") >= 0.3)
+            & (F.col("n_tokens") >= 20)
+        ).alias("keep"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_canonical"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )

@@ -201,3 +201,88 @@ def mm2_media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_chars"),
     )
+
+
+FRAME_BYTES = 256
+SAMPLE_EVERY = 4
+
+
+@query(
+    "mm3_frame_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, unnest(range(0, (n + {FRAME_BYTES} - 1) // {FRAME_BYTES}))
+                 AS frame_idx
+      FROM b WHERE n > 0
+    ),
+    sampled AS (
+      SELECT doc_id, frame_idx FROM frames WHERE frame_idx % {SAMPLE_EVERY} = 0
+    ),
+    chars AS (
+      SELECT doc_id, i - 1 AS pos, least(unicode(text[i]), 255) AS v
+      FROM (
+        SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      )
+    )
+    SELECT s.doc_id,
+           CAST(s.frame_idx AS BIGINT) AS frame_idx,
+           CAST(COUNT(c.v) AS BIGINT) AS n_frame_bytes,
+           CAST(SUM(c.v) AS BIGINT) AS byte_sum
+    FROM sampled s
+    JOIN chars c
+      ON c.doc_id = s.doc_id AND c.pos // {FRAME_BYTES} = s.frame_idx
+    GROUP BY 1, 2
+    """,
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: treat each payload as
+    fixed-{FRAME_BYTES}-byte frames, keep every {SAMPLE_EVERY}th frame,
+    emit exact per-frame stats — the video-pipeline access pattern
+    (decode only sampled frames) with the codec stubbed by a
+    deterministic byte-sum 'feature' (decode_media is the real hook).
+
+    Per Arrow batch: one ``np.frombuffer`` + one ``np.add.reduceat`` at
+    the frame starts per payload — no Python-level byte iteration. The
+    plan is scan -> mapInPandas, partition-preserving; at 100 TB frame
+    stats land next to the payload row group that produced them."""
+    fb, se = FRAME_BYTES, SAMPLE_EVERY
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            doc_ids, f_idx, f_len, f_sum = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                buf = _np.frombuffer(bytes(p) if p is not None else b"", _np.uint8)
+                if buf.size == 0:
+                    continue
+                starts = _np.arange(0, buf.size, fb)
+                sums = _np.add.reduceat(buf.astype(_np.int64), starts)
+                lens = _np.diff(_np.append(starts, buf.size))
+                keep = _np.arange(starts.size) % se == 0
+                k = int(keep.sum())
+                doc_ids.extend([doc_id] * k)
+                f_idx.extend(_np.nonzero(keep)[0].tolist())
+                f_len.extend(lens[keep].tolist())
+                f_sum.extend(sums[keep].tolist())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": _pd.Series(f_idx, dtype="int64"),
+                    "n_frame_bytes": _pd.Series(f_len, dtype="int64"),
+                    "byte_sum": _pd.Series(f_sum, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = with_media_columns(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        _frames, schema="doc_id long, frame_idx long, n_frame_bytes long, byte_sum long"
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
 from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
@@ -319,4 +320,78 @@ def px1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
             "tokens_kept"
         ),
+    )
+
+
+# GPT-style pre-tokenizer classes, ASCII form: letter runs, digit runs,
+# single punctuation marks. Identical regex semantics in Spark (Java
+# regex) and DuckDB (RE2) for this class-only pattern.
+_BPE_PRETOKEN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "tx6_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PRETOKEN}')) AS INT)
+               AS n_bpe_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def tx6_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter
+    runs | digit runs | punctuation) next to the whitespace count — the
+    two units a data pipeline budgets in (cost estimates track the BPE
+    side; dedup shingles track the whitespace side). Pure regexp, stays
+    in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "tx7_vocab_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word)
+    SELECT word, n, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+      FROM counts
+    ) WHERE rnk <= 100
+    """,
+)
+def tx7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: global top-100 words by frequency — the
+    first step of tokenizer/vocab training. explode -> one
+    map-side-combinable groupBy -> global top-k; Catalyst plans the final
+    ordering as TakeOrderedAndProject (no full sort) since the count
+    table is already reduced to distinct words."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
     )

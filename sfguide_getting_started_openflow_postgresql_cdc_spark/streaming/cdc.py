@@ -136,10 +136,22 @@ class ReplicaStore:
             raise FileNotFoundError(f"replica '{table}' not bootstrapped")
         return os.path.join(self.root, "tables", table, f"v{ptr['version']}")
 
+    def _stored_schema(self, table: str) -> T.StructType | None:
+        raw = self._pointer(table).get("schema")
+        return T.StructType.fromJson(json.loads(raw)) if raw else None
+
     # -- io ----------------------------------------------------------------
+    def _reader(self, spark: SparkSession, table: str):
+        # Explicit schema from the pointer: no footer-based inference
+        # (listing footers of a 100 TB replica just to learn the schema
+        # is wasted I/O) and empty replicas — a bootstrapped table with
+        # zero rows writes no data files — stay readable.
+        schema = self._stored_schema(table)
+        return spark.read.schema(schema) if schema is not None else spark.read
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Current replica state (bucket column stripped)."""
-        return spark.read.parquet(self.table_path(table)).drop(CDC_BUCKET)
+        return self._reader(spark, table).parquet(self.table_path(table)).drop(CDC_BUCKET)
 
     def read_buckets(
         self, spark: SparkSession, table: str, buckets: list[int]
@@ -147,10 +159,21 @@ class ReplicaStore:
         """Only the named buckets — the filter prunes whole partition
         directories at the source listing, so a merge never scans the
         untouched part of the replica."""
-        df = spark.read.parquet(self.table_path(table))
+        df = self._reader(spark, table).parquet(self.table_path(table))
         return df.filter(F.col(CDC_BUCKET).isin(buckets)).drop(CDC_BUCKET)
 
-    def _swap_pointer(self, table: str, version: int, watermark: int, n_buckets: int) -> None:
+    def _swap_pointer(
+        self,
+        table: str,
+        version: int,
+        watermark: int,
+        n_buckets: int,
+        schema: T.StructType | None = None,
+    ) -> None:
+        if schema is None:  # merges keep the bootstrap-recorded schema
+            raw = self._pointer(table).get("schema")
+        else:
+            raw = json.dumps(schema.jsonValue())
         tmp = self._pointer_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -158,6 +181,7 @@ class ReplicaStore:
                     "version": version,
                     "watermark": watermark,
                     "n_buckets": n_buckets,
+                    "schema": raw,
                     "written_at": time.time(),
                 },
                 f,
@@ -187,7 +211,7 @@ class ReplicaStore:
         os.makedirs(tdir, exist_ok=True)
         out = os.path.join(tdir, f"v{new_version}")
         df.write.mode("overwrite").partitionBy(CDC_BUCKET).parquet(out)
-        self._swap_pointer(table, new_version, watermark, n_buckets)
+        self._swap_pointer(table, new_version, watermark, n_buckets, schema=df.schema)
         self._retire_old_versions(tdir, new_version)
 
     def write_merged(

@@ -1,0 +1,681 @@
+"""Extended analytics operators beyond the reference's own inventory
+(SURVEY.md §2 families E/D/C/G/H widened, plus training-data pipeline
+ops px2/px3 and range similarity search sim5).
+
+These cover the window-navigation, frame, ranking, grouping-set, set-op,
+correlated-subquery, and pattern-match shapes a user migrating a real
+warehouse workload expects, expressed Spark-first, each with a DuckDB
+oracle twin.
+
+Determinism notes (CLAUDE.md / oracle-parity-playbook):
+- every window has a TOTAL order (ties broken by a key column);
+- double measures accumulate via value-preserving decimal casts of RAW
+  columns; products are computed in decimal, never cast after a double
+  multiply (round-half ties);
+- the corr coefficient is a FIXED double expression tree over exact
+  decimal sums — each IEEE op is correctly rounded, so Spark and DuckDB
+  produce bit-identical doubles;
+- md5-derived hashes are the portable split/sample primitive (identical
+  hex everywhere; 15 hex digits -> BIGINT stays positive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.shims import (
+    decimal_sum,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+    arrow_dot,
+    arrow_norm,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+
+def _md5_mod(col: Column, m: int) -> Column:
+    """Portable deterministic hash bucket: first 15 md5 hex digits (60
+    bits, always positive) mod m — identical in DuckDB via
+    ``('0x' || substr(md5(x),1,15))::BIGINT % m``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % m
+
+
+def _md5_mod_sql(expr: str, m: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {m})"
+
+
+# --------------------------------------------------------------------------
+# E family: window navigation, frames, ranking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "e5_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           date_diff('second', LAG(ts) OVER w, ts) AS secs_since_prev
+    FROM events
+    WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e5_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD navigation per user with a total order (ts, event_id).
+    Scale: partitioned window over the user key — shuffles once by
+    user_id, then each partition sorts locally; no global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts))
+        .cast("long")
+        .alias("secs_since_prev"),
+    )
+
+
+@query(
+    "e6_moving_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing3_spend
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def e6_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving sum (trailing 3 orders per customer). The frame
+    sums at most 3 exact decimals — order-independent by construction."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing3_spend"),
+        )
+    )
+
+
+@query(
+    "e7_rank_functions",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             RANK()       OVER w AS bal_rank,
+             DENSE_RANK() OVER w AS bal_dense_rank,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) AS INT)
+                 AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    ) WHERE rn <= 20
+    """,
+)
+def e7_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / ROW_NUMBER / NTILE per segment. RANK ties on
+    the bare sort key are deterministic (equal keys -> equal rank);
+    ROW_NUMBER and NTILE get a total order."""
+    by_bal = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    total = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(by_bal).alias("bal_rank"),
+            F.dense_rank().over(by_bal).alias("bal_dense_rank"),
+            F.row_number().over(total).alias("rn"),
+            F.ntile(4).over(total).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@query(
+    "e8_running_total",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-07-01' AND o_orderdate < TIMESTAMP '1998-08-01'
+    """,
+)
+def e8_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total per priority. ROWS UNBOUNDED PRECEDING
+    over exact decimals: every prefix sum is exact, so the running
+    value is identical regardless of physical accumulation order."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-08-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D family: grouping sets, exact statistical moments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d17_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(c_custkey) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def d17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — nation subtotals, region subtotals, grand
+    total in one pass (Spark plans a single Expand + aggregate; no
+    re-scan per level). NULL group keys are tagged 'ALL' rather than
+    exposing engine-specific grouping-id encodings."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "d18_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def d18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 4 grouping sets in one Expand+aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "d19_exact_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             -- width 19 forces int128 physical storage: DuckDB multiplies
+             -- int64-backed (width<=18) decimals without widening and
+             -- overflows; 19+19=38 stays within the width cap. Values are
+             -- exact on both sides, so Spark may size widths differently.
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS dsq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS dsp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,4)) AS dsqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,4)) AS dspp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,4)) AS dsqp
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    x AS (
+      -- decimal->double via VARCHAR: DuckDB's direct cast converts the
+      -- int128 raw then multiplies by the scale factor (two roundings,
+      -- off-by-one-ulp when the raw integer exceeds 2^53); strtod is
+      -- correctly rounded, matching Spark's BigDecimal.doubleValue().
+      SELECT l_returnflag, n,
+             CAST(CAST(dsq AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(dsp AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(dsqq AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(dspp AS VARCHAR) AS DOUBLE) AS spp,
+             CAST(CAST(dsqp AS VARCHAR) AS DOUBLE) AS sqp,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * dsqp - dsq * dsp AS VARCHAR)
+                  AS DOUBLE) AS num,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * dsqq - dsq * dsq AS VARCHAR)
+                  AS DOUBLE) AS den_q,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * dspp - dsp * dsp AS VARCHAR)
+                  AS DOUBLE) AS den_p
+      FROM m
+    )
+    SELECT l_returnflag, n, sq, sp, sqq, spp, sqp,
+           num / sqrt(den_q * den_p) AS corr_qty_price
+    FROM x
+    """,
+)
+def d19_exact_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT decimal moments. Built-in
+    ``corr()`` accumulates doubles in partition order — nondeterministic
+    on a cluster — so the moments are exact decimal sums with products
+    taken in decimal. The covariance numerator/denominators are ALSO
+    computed exactly in decimal: ``a*b - c*d`` in double is
+    FMA-contractable, and engines compiled with contraction enabled
+    round differently (observed one-ulp drift at sf0.001). Only the
+    final divide / multiply / sqrt run in double — each a single
+    correctly-rounded IEEE op with no contraction site, so the
+    coefficient is bit-identical on any engine. The decimal widths are
+    sized so every intermediate stays inside 38 digits at 100 TB row
+    counts (widths carry ~1e21 exactly). Map-side partial aggregation
+    still applies — one shuffle of 5 decimals per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dq).cast("decimal(18,2)").alias("dsq"),
+        F.sum(dp).cast("decimal(18,2)").alias("dsp"),
+        F.sum(dq * dq).cast("decimal(18,4)").alias("dsqq"),
+        F.sum(dp * dp).cast("decimal(22,4)").alias("dspp"),
+        F.sum(dq * dp).cast("decimal(20,4)").alias("dsqp"),
+    )
+    nd = F.col("n").cast("decimal(10,0)")
+    x = m.select(
+        "l_returnflag",
+        "n",
+        F.col("dsq").cast("double").alias("sq"),
+        F.col("dsp").cast("double").alias("sp"),
+        F.col("dsqq").cast("double").alias("sqq"),
+        F.col("dspp").cast("double").alias("spp"),
+        F.col("dsqp").cast("double").alias("sqp"),
+        (nd * F.col("dsqp") - F.col("dsq") * F.col("dsp"))
+        .cast("double")
+        .alias("num"),
+        (nd * F.col("dsqq") - F.col("dsq") * F.col("dsq"))
+        .cast("double")
+        .alias("den_q"),
+        (nd * F.col("dspp") - F.col("dsp") * F.col("dsp"))
+        .cast("double")
+        .alias("den_p"),
+    )
+    corr = F.col("num") / F.sqrt(F.col("den_q") * F.col("den_p"))
+    return x.select(
+        "l_returnflag", "n", "sq", "sp", "sqq", "spp", "sqp",
+        corr.alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C family: correlated subquery shapes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "c8_scalar_subquery",
+    oracle="""
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_above_avg,
+           MAX(c.c_acctbal) AS max_bal
+    FROM customer c JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    GROUP BY c.c_nationkey
+    """,
+)
+def c8_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (balance above the nation average),
+    decorrelated into agg + broadcast join — the plan Catalyst produces
+    for the subquery form, written explicitly. The per-nation average
+    uses exact decimal sums so both engines compare against the
+    identical double."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        decimal_sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        / F.count("c_acctbal")
+    ).alias("avg_bal")
+    nation_avg = cust.groupBy(F.col("c_nationkey").alias("k")).agg(avg_bal)
+    return (
+        cust.join(F.broadcast(nation_avg), cust.c_nationkey == nation_avg.k)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "c9_not_exists",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def c9_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS with a correlated predicate -> left ANTI join against
+    the pre-filtered subquery. The filter runs BEFORE the join, so the
+    anti side carries only qualifying orders (predicate pushdown keeps
+    the 100 TB scan on the pruned column set)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# G family: set operators
+# --------------------------------------------------------------------------
+
+
+@query(
+    "g3_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — customers active in both 1995 and 1996.
+    Spark plans a partial-aggregated semi-join shuffle on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return active(1995).intersect(active(1996))
+
+
+@query(
+    "g4_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — churned customers: active 1995, gone 1996.
+    ``subtract`` is SQL EXCEPT's SET semantics; ``exceptAll`` would be
+    multiset difference (keys ordered in both years but more often in
+    1995 would survive)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return active(1995).subtract(active(1996))
+
+
+# --------------------------------------------------------------------------
+# H family: pattern matching
+# --------------------------------------------------------------------------
+
+
+@query(
+    "h20_like_patterns",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN text LIKE '%data%' THEN 1 END) AS n_contains_data,
+           COUNT(CASE WHEN text LIKE 'The%' THEN 1 END) AS n_starts_the,
+           COUNT(CASE WHEN text ILIKE '%ERROR%' THEN 1 END) AS n_ilike_error,
+           COUNT(CASE WHEN text NOT LIKE '%the%' THEN 1 END) AS n_no_the
+    FROM documents GROUP BY lang
+    """,
+)
+def h20_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE / NOT LIKE conditional counts per language. All four
+    predicates evaluate in one scan (conditional aggregation, map-side
+    partials) — not four scans."""
+    t = F.col("text")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(t.like("%data%"), 1)).alias("n_contains_data"),
+        F.count(F.when(t.like("The%"), 1)).alias("n_starts_the"),
+        F.count(F.when(t.ilike("%ERROR%"), 1)).alias("n_ilike_error"),
+        F.count(F.when(~t.like("%the%"), 1)).alias("n_no_the"),
+    )
+
+
+@query(
+    "h21_regexp_extract",
+    oracle="""
+    SELECT token, n FROM (
+      SELECT regexp_extract(lower(text), '^([a-z]+)', 1) AS token,
+             COUNT(*) AS n
+      FROM documents
+      WHERE regexp_extract(lower(text), '^([a-z]+)', 1) <> ''
+      GROUP BY 1
+    )
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def h21_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract leading-word histogram, top-20 with a total order
+    (count desc, token) so LIMIT is deterministic. The simple character
+    class behaves identically under Java regex and RE2."""
+    token = F.regexp_extract(F.lower(F.col("text")), r"^([a-z]+)", 1)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(token.alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# px family: training-data pipeline — deterministic splits & sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "px2_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (
+      SELECT n_chars,
+             {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 10)} AS h
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def px2_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on
+    md5(doc_id) — stable across runs, cluster sizes, and engines
+    (never ``rand()``: re-sampling on retry would leak val into train).
+    Narrow map-side op; no shuffle beyond the final 3-group agg."""
+    h = _md5_mod(F.col("doc_id").cast("string"), 10)
+    split = (
+        F.when(h < 8, F.lit("train")).when(h == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "px3_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 10
+                 THEN 1 END) AS n_sampled,
+           SUM(CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 10
+               THEN n_chars ELSE 0 END) AS sampled_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def px3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic 10% sample audit: one scan computes
+    total and in-sample counts per language via conditional aggregation.
+    The hash-threshold membership rule means any worker can re-derive
+    the sample without coordination — no sampled-id broadcast at 100 TB."""
+    in_sample = _md5_mod(F.col("doc_id").cast("string"), 100) < 10
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(in_sample, 1)).alias("n_sampled"),
+            F.sum(F.when(in_sample, F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sim family: range similarity search
+# --------------------------------------------------------------------------
+
+SIM5_N_PROBES = 5
+SIM5_THRESHOLD = 0.35
+
+
+@query(
+    "sim5_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {SIM5_N_PROBES}
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+               AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+      AND list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+            >= {SIM5_THRESHOLD}
+    """,
+)
+def sim5_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL neighbors within a cosine
+    threshold of each probe — the dedup/retrieval primitive top-k can't
+    express (result cardinality is data-dependent). Exact scan: probes
+    broadcast, corpus streams past map-side; the similarity is the same
+    bit-exact fold as sim1, so the threshold cut is identical in both
+    engines. The LSH-bucketed scale path for large probe sets is sim2's
+    band join — this operator is the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "en", arrow_norm(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < SIM5_N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("en").alias("qn"),
+    )
+    sim = arrow_dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("similarity"),
+        )
+        .filter(F.col("similarity") >= SIM5_THRESHOLD)
+    )

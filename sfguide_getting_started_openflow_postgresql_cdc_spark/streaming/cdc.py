@@ -108,8 +108,11 @@ class ReplicaStore:
     shared inodes alive.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, keep_versions: int = 2):
+        if keep_versions < 2:
+            raise ValueError("keep_versions >= 2 (current + 1 for in-flight readers)")
         self.root = root
+        self.keep_versions = keep_versions
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         os.makedirs(os.path.join(root, "journal"), exist_ok=True)
 
@@ -130,11 +133,27 @@ class ReplicaStore:
     def n_buckets(self, table: str) -> int:
         return int(self._pointer(table).get("n_buckets", 0))
 
-    def table_path(self, table: str) -> str:
+    def table_path(self, table: str, version: int | None = None) -> str:
         ptr = self._pointer(table)
         if ptr["version"] < 0:
             raise FileNotFoundError(f"replica '{table}' not bootstrapped")
-        return os.path.join(self.root, "tables", table, f"v{ptr['version']}")
+        v = ptr["version"] if version is None else version
+        path = os.path.join(self.root, "tables", table, f"v{v}")
+        if version is not None and not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"replica '{table}' version {version} retired or never written "
+                f"(retained: {self.versions(table)})"
+            )
+        return path
+
+    def versions(self, table: str) -> list[int]:
+        """Retained version numbers, oldest first (time-travel targets)."""
+        tdir = os.path.join(self.root, "tables", table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(tdir) if n.startswith("v") and n[1:].isdigit()
+        )
 
     def _stored_schema(self, table: str) -> T.StructType | None:
         raw = self._pointer(table).get("schema")
@@ -149,9 +168,20 @@ class ReplicaStore:
         schema = self._stored_schema(table)
         return spark.read.schema(schema) if schema is not None else spark.read
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        """Current replica state (bucket column stripped)."""
-        return self._reader(spark, table).parquet(self.table_path(table)).drop(CDC_BUCKET)
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Replica state (bucket column stripped). ``version`` time-travels
+        to a retained older version — every version is a complete
+        snapshot (unchanged buckets are hard-linked, not omitted), so an
+        old version reads exactly like the current one. Retention is
+        ``keep_versions`` (AS OF by version number; map sync timestamps
+        to versions via the pointer's ``written_at`` if needed)."""
+        return (
+            self._reader(spark, table)
+            .parquet(self.table_path(table, version))
+            .drop(CDC_BUCKET)
+        )
 
     def read_buckets(
         self, spark: SparkSession, table: str, buckets: list[int]
@@ -189,10 +219,12 @@ class ReplicaStore:
         os.replace(tmp, self._pointer_path(table))  # atomic swap
 
     def _retire_old_versions(self, tdir: str, new_version: int) -> None:
-        # retire versions older than the previous one (keep 1 for readers);
-        # hard-linked files shared with newer versions keep their inode
+        # retire versions beyond the keep_versions retention window
+        # (current + in-flight readers + time-travel targets); hard-linked
+        # files shared with newer versions keep their inode
+        horizon = new_version - (self.keep_versions - 1)
         for name in os.listdir(tdir):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < new_version - 1:
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < horizon:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     def write_full(

@@ -1,0 +1,137 @@
+"""Time-travel reads (versioned replica retention) and incrementally-
+maintained materialized aggregates (streaming/mv.py).
+
+The MV invariant: after ANY sequence of merge_batch calls — inserts,
+group-moving updates, soft deletes, replays — the stored aggregate
+equals a fresh GROUP BY over the live replica rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+    ENVELOPE,
+    CdcEngine,
+    ReplicaStore,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+    IncrementalGroupCount,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+    ]
+)
+
+
+def _events(spark, rows):
+    env = [
+        (seq, f"2024-01-01 00:{seq % 60:02d}:00", "t", op, {"id": str(i), "grp": g})
+        for seq, op, i, g in rows
+    ]
+    return spark.createDataFrame(env, ENVELOPE)
+
+
+def _mk_engine(tmp_path, keep_versions=2):
+    return CdcEngine(
+        ReplicaStore(str(tmp_path), keep_versions=keep_versions),
+        tables={"t": SCHEMA},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+
+
+def _bootstrap(spark, eng, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    eng.bootstrap(spark, {"t": df}, "2024-01-01 00:00:00", journal_snapshot=False)
+
+
+# -- time travel -----------------------------------------------------------
+
+
+def test_time_travel_reads_previous_version(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w", keep_versions=3)
+    _bootstrap(spark, eng, [(1, "a"), (2, "b")])
+    eng.merge_batch(spark, "t", _events(spark, [(1, "I", 3, "a")]))
+    eng.merge_batch(spark, "t", _events(spark, [(2, "U", 1, "b")]))
+
+    store = eng.store
+    assert store.versions("t") == [0, 1, 2]
+    v0 = {r["id"]: r["grp"] for r in store.read(spark, "t", version=0).collect()}
+    v2 = {r["id"]: r["grp"] for r in store.read(spark, "t", version=2).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    assert v2 == {1: "b", 2: "b", 3: "a"}
+    # default read == newest version
+    assert {r["id"]: r["grp"] for r in store.read(spark, "t").collect()} == v2
+
+
+def test_retention_retires_and_rejects_old_versions(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w", keep_versions=2)
+    _bootstrap(spark, eng, [(1, "a")])
+    for seq in range(1, 4):
+        eng.merge_batch(spark, "t", _events(spark, [(seq, "U", 1, f"g{seq}")]))
+    assert eng.store.versions("t") == [2, 3]
+    with pytest.raises(FileNotFoundError, match="retired"):
+        eng.store.read(spark, "t", version=0)
+
+
+# -- incremental MV --------------------------------------------------------
+
+
+def _assert_mv_consistent(spark, mv, eng):
+    got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+    want = {
+        r["grp"]: r["n"]
+        for r in eng.store.read(spark, "t")
+        .filter(~F.col(schemas.META_DELETED))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_mv_tracks_inserts_updates_deletes(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a"), (2, "a"), (3, "b")])
+    mv = IncrementalGroupCount(eng, "t", "grp", str(tmp_path / "mv"))
+    mv.initialize(spark)
+    assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {"a": 2, "b": 1}
+
+    # insert into new group, group-moving update, soft delete — one batch
+    mv.merge_batch(
+        spark,
+        _events(spark, [(1, "I", 4, "c"), (2, "U", 1, "b"), (3, "D", 2, None)]),
+    )
+    _assert_mv_consistent(spark, mv, eng)
+    assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {
+        "b": 2,
+        "c": 1,
+    }
+
+    # empty group disappears; replayed batch is a no-op for the MV
+    mv.merge_batch(spark, _events(spark, [(4, "D", 4, None)]))
+    _assert_mv_consistent(spark, mv, eng)
+    assert "c" not in {r["grp"] for r in mv.read(spark).collect()}
+    mv.merge_batch(
+        spark,
+        _events(spark, [(1, "I", 4, "c"), (2, "U", 1, "b"), (3, "D", 2, None)]),
+    )
+    _assert_mv_consistent(spark, mv, eng)
+
+
+def test_mv_out_of_order_batches(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a")])
+    mv = IncrementalGroupCount(eng, "t", "grp", str(tmp_path / "mv"))
+    mv.initialize(spark)
+    # later batch lands first; the earlier one must not clobber the MV
+    mv.merge_batch(spark, _events(spark, [(10, "U", 1, "z")]))
+    mv.merge_batch(spark, _events(spark, [(5, "U", 1, "m")]))
+    _assert_mv_consistent(spark, mv, eng)
+    assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {"z": 1}

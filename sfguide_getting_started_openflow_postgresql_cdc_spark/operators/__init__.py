@@ -40,7 +40,7 @@ _NEEDS_EVIDENCE_FIRST = [
     # failed or errored in round 1 (both reworked)
     "d8_conditional_sum", "mm1_media_features",
     # never driver-checked in round 1
-    "sim1_knn_cosine_bruteforce", "sim2_knn_lsh_bucketed", "sim4_knn_ivf",
+    "sim1_knn_cosine_bruteforce", "sim2_knn_lsh_bucketed",
     "sim3_pairwise_label_centroids",
     "e1_pct_of_total", "e2_nested_agg_window", "e3_partitioned_window",
     "e4_listagg_distinct", "f4_topk_global", "f6_topk_per_group",
@@ -48,13 +48,18 @@ _NEEDS_EVIDENCE_FIRST = [
     "b10_compound_predicate", "h1_string_concat", "h4_case_bucket",
     "h5_simple_case", "h13_compose_timestamp", "h6_cast_to_date",
     "h8_date_arithmetic", "h12_to_char_month", "h15_dayname_dayofweek",
-    "h16_modulo", "d15_approx_sketches",
+    "h16_modulo",
     # added in round 2 before this session
     "mm3_frame_sample", "dd7_dedup_groups", "i10_asof_join",
     "i11_range_join", "px1_corpus_curation", "tx6_bpe_token_count",
     "tx7_vocab_topk",
-    # round-1 green but rewritten this round (aggregate-below-join)
-    "c3_left_join_count", "c4_left_join_residual_on",
+    # rows-only sim4/d15 ride outside the window (their weaker check
+    # carries the least information per slot)
+    # second batch added this session (c3/c4 were rewritten this round
+    # too but have one green driver check on the old plan + local parity
+    # on the new one — never-checked queries win the last slots)
+    "h22_array_functions", "d20_order_statistics", "d21_bool_aggregates",
+    "f7_pagination",
 ]
 
 

@@ -679,3 +679,124 @@ def sim5_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("similarity") >= SIM5_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# H/D/F second batch: array functions, exact order statistics, pagination
+# --------------------------------------------------------------------------
+
+
+@query(
+    "h22_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           list_aggregate(embedding, 'min')::DOUBLE AS emb_min,
+           list_aggregate(embedding, 'max')::DOUBLE AS emb_max,
+           list_aggregate(embedding[1:8], 'max')::DOUBLE AS head8_max
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def h22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array primitives over the embedding column (size / element
+    min-max / slice). No arithmetic — raw float elements widen to
+    double exactly, so values are bit-identical by construction. Scalars
+    only in the output: array-typed result columns are hostile to
+    value-hash comparators."""
+    e = F.col("embedding")
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size(e).alias("n_dims"),
+            F.array_min(e).cast("double").alias("emb_min"),
+            F.array_max(e).cast("double").alias("emb_max"),
+            F.array_max(F.slice(e, 1, 8)).cast("double").alias("head8_max"),
+        )
+    )
+
+
+@query(
+    "d20_order_statistics",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS med_price,
+           quantile_disc(o_totalprice, 0.5) AS p50_disc,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d20_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics: interpolated median (one (a+b)/2 double
+    op — deterministic) and discrete percentiles (pick an actual data
+    value — no arithmetic at all). Exact percentiles shuffle the full
+    value multiset per group; for 100 TB dashboards prefer the
+    d15 approx sketches — this operator is the exact-answer path."""
+    p = F.col("o_totalprice")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.median(p).alias("med_price"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p50_disc"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p90_disc"),
+            F.min(p).alias("min_price"),
+            F.max(p).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "d21_bool_aggregates",
+    oracle="""
+    SELECT lang,
+           bool_and(n_chars >= 10) AS all_ge10,
+           bool_or(n_chars > 2000) AS any_gt2000,
+           CAST(COUNT(CASE WHEN n_chars > 1000 THEN 1 END) AS BIGINT)
+             AS n_gt1000
+    FROM documents GROUP BY lang
+    """,
+)
+def d21_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND / BOOL_OR — order-independent by algebra (AND/OR are
+    commutative+associative), safe under any partitioning."""
+    n = F.col("n_chars")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.bool_and(n >= 10).alias("all_ge10"),
+            F.bool_or(n > 2000).alias("any_gt2000"),
+            F.count(F.when(n > 1000, 1)).alias("n_gt1000"),
+        )
+    )
+
+
+@query(
+    "f7_pagination",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def f7_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination under a TOTAL order (ties broken by key
+    — without that, page boundaries are nondeterministic). Spark plans
+    offset+limit as a single top-(offset+limit) selection, not a full
+    sort."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(40)
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

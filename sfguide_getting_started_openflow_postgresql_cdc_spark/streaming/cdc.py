@@ -218,6 +218,22 @@ class ReplicaStore:
             )
         os.replace(tmp, self._pointer_path(table))  # atomic swap
 
+    def update_schema(self, table: str, schema: T.StructType) -> None:
+        """Re-point the stored read schema without touching data files
+        (ADD COLUMN evolution: files written before the change simply
+        lack the column, and an explicit-schema parquet read yields NULL
+        for it — a metadata-only operation at any data scale)."""
+        ptr = self._pointer(table)
+        if ptr["version"] < 0:
+            raise FileNotFoundError(f"replica '{table}' not bootstrapped")
+        self._swap_pointer(
+            table,
+            ptr["version"],
+            ptr["watermark"],
+            ptr["n_buckets"],
+            schema=schema,
+        )
+
     def _retire_old_versions(self, tdir: str, new_version: int) -> None:
         # retire versions beyond the keep_versions retention window
         # (current + in-flight readers + time-travel targets); hard-linked
@@ -332,6 +348,8 @@ class CdcEngine:
         broadcast_threshold_rows: int = 5_000_000,
         write_partitions: int | None = None,
         n_buckets: int = 16,
+        auto_compact_max_files: int | None = None,
+        journal_retain_seqs: int = 10_000,
     ):
         self.store = store
         self.tables = tables or schemas.HEALTHCARE_TABLES
@@ -346,6 +364,14 @@ class CdcEngine:
         # (100 TB -> tens of thousands of buckets); 16 keeps the tiny
         # test fixtures from spraying directories.
         self.n_buckets = n_buckets
+        # Journal hygiene under streaming: each micro-batch appends
+        # files, so a 1-minute sync leaves ~1440 files/table/day. When
+        # set, apply_envelope_batch compacts any journal whose file
+        # count exceeds the threshold, keeping the last
+        # journal_retain_seqs sequence numbers verbatim (full SCD2
+        # fidelity inside the retention window).
+        self.auto_compact_max_files = auto_compact_max_files
+        self.journal_retain_seqs = journal_retain_seqs
 
     def _bucket(self, pk: str):
         return F.pmod(F.xxhash64(F.col(pk)), F.lit(self.n_buckets)).cast("int")
@@ -410,6 +436,51 @@ class CdcEngine:
                 snap_events.write.mode("append").parquet(
                     self.store.journal_path(table)
                 )
+
+    # -- schema evolution ----------------------------------------------------
+    def evolve_schema(self, table: str, new_schema: T.StructType) -> None:
+        """ADD COLUMN schema evolution (source ran ``ALTER TABLE ADD``;
+        the connector contract keeps replicating — OpenFlow handles this
+        transparently, so must we).
+
+        Metadata-only: existing replica files are untouched; the
+        pointer's read schema gains the new nullable fields, which read
+        as NULL from pre-evolution files. Subsequent merges project the
+        new fields from event payloads and write them into rewritten
+        buckets. Constraints: new fields must be nullable, existing
+        fields keep their type, drops are not allowed (soft-deprecate by
+        ignoring the column instead — removing data at 100 TB is a
+        rewrite, not a metadata change)."""
+        old = self.tables[table]
+        old_by_name = {f.name: f for f in old.fields}
+        new_names = {f.name for f in new_schema.fields}
+        missing = [n for n in old_by_name if n not in new_names]
+        if missing:
+            raise ValueError(f"schema evolution cannot drop columns: {missing}")
+        added = []
+        for f in new_schema.fields:
+            if f.name in old_by_name:
+                if f.dataType != old_by_name[f.name].dataType:
+                    raise ValueError(
+                        f"schema evolution cannot change {f.name!r}: "
+                        f"{old_by_name[f.name].dataType} -> {f.dataType}"
+                    )
+            else:
+                if not f.nullable:
+                    raise ValueError(f"added column {f.name!r} must be nullable")
+                added.append(f)
+        if not added:
+            self.tables[table] = new_schema
+            return
+        self.tables[table] = new_schema
+        stored = self.store._stored_schema(table)
+        if stored is not None:
+            # append the new fields just before the internal columns so
+            # user columns stay contiguous in the read schema
+            internal = {CDC_SEQ, CDC_BUCKET}
+            user = [f for f in stored.fields if f.name not in internal]
+            tail = [f for f in stored.fields if f.name in internal]
+            self.store.update_schema(table, T.StructType(user + added + tail))
 
     # -- event parsing -------------------------------------------------------
     def project_after(self, events: DataFrame, table: str) -> DataFrame:
@@ -593,8 +664,30 @@ class CdcEngine:
                     self.merge_batch(spark, table, typed)
                 finally:
                     typed.unpersist()
+                self.maybe_compact_journal(spark, table)
         finally:
             batch.unpersist()
+
+    def maybe_compact_journal(self, spark: SparkSession, table: str) -> bool:
+        """Compact the table's journal when its file count exceeds
+        ``auto_compact_max_files`` (no-op when unset). The horizon keeps
+        the newest ``journal_retain_seqs`` sequence numbers verbatim;
+        older history collapses to latest-per-key. File counting is a
+        directory listing — O(files), no data read."""
+        if self.auto_compact_max_files is None:
+            return False
+        jdir = self.store.journal_path(table)
+        try:
+            n_files = sum(1 for f in os.listdir(jdir) if f.endswith(".parquet"))
+        except FileNotFoundError:
+            return False
+        if n_files <= self.auto_compact_max_files:
+            return False
+        horizon = self.store.watermark(table) - self.journal_retain_seqs
+        if horizon <= 0:
+            return False
+        self.compact_journal(spark, table, horizon)
+        return True
 
     # -- I5: Structured Streaming wrapper ------------------------------------------
     def start_cdc(

@@ -135,3 +135,102 @@ def test_mv_out_of_order_batches(spark, tmp_path):
     mv.merge_batch(spark, _events(spark, [(5, "U", 1, "m")]))
     _assert_mv_consistent(spark, mv, eng)
     assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {"z": 1}
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a"), (2, "b")])
+    eng.merge_batch(spark, "t", _events(spark, [(1, "U", 2, "b2")]))
+
+    evolved = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("score", T.LongType(), True),
+        ]
+    )
+    eng.evolve_schema("t", evolved)
+
+    # pre-evolution rows read the new column as NULL — no file rewrite
+    rows = {r["id"]: r for r in eng.store.read(spark, "t").collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] is None
+
+    # post-evolution events carry the new column through the merge
+    env = [(5, "2024-01-01 00:05:00", "t", "I",
+            {"id": "3", "grp": "c", "score": "42"}),
+           (6, "2024-01-01 00:06:00", "t", "U",
+            {"id": "1", "grp": "a", "score": "7"})]
+    eng.merge_batch(spark, "t", spark.createDataFrame(env, ENVELOPE))
+    rows = {r["id"]: r for r in eng.store.read(spark, "t").collect()}
+    assert rows[3]["score"] == 42 and rows[1]["score"] == 7
+    assert rows[2]["score"] is None  # untouched old row still NULL
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a")])
+    with pytest.raises(ValueError, match="drop"):
+        eng.evolve_schema("t", T.StructType([T.StructField("id", T.LongType(), False)]))
+    with pytest.raises(ValueError, match="cannot change"):
+        eng.evolve_schema(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType(), False),
+                    T.StructField("grp", T.IntegerType(), True),
+                ]
+            ),
+        )
+    with pytest.raises(ValueError, match="nullable"):
+        eng.evolve_schema(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType(), False),
+                    T.StructField("grp", T.StringType(), True),
+                    T.StructField("score", T.LongType(), False),
+                ]
+            ),
+        )
+
+
+# -- journal auto-compaction ----------------------------------------------
+
+
+def test_auto_compaction_bounds_journal_files(spark, tmp_path):
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w")),
+        tables={"t": SCHEMA},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+        auto_compact_max_files=4,
+        journal_retain_seqs=3,
+    )
+    _bootstrap(spark, eng, [(1, "a")])
+    # many tiny batches through the streaming apply path
+    import os
+
+    for seq in range(1, 13):
+        env = spark.createDataFrame(
+            [(seq, f"2024-01-01 00:{seq:02d}:00", "t", "U",
+              {"id": "1", "grp": f"g{seq}"})],
+            ENVELOPE,
+        )
+        eng.apply_envelope_batch(spark, env)
+
+    jdir = eng.store.journal_path("t")
+    n_files = sum(1 for f in os.listdir(jdir) if f.endswith(".parquet"))
+    assert n_files <= 5  # bounded, not 12
+
+    # journal content is still correct: latest-per-key pre-horizon
+    # collapsed, recent window verbatim, latest state intact
+    j = eng.store.read_journal(spark, "t", dedup=True, pk="id")
+    seqs = sorted(r["seq_no"] for r in j.select("seq_no").collect())
+    assert seqs[-1] == 12
+    assert len(seqs) < 12  # pre-horizon collapsed
+    state = {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()}
+    assert state == {1: "g12"}

@@ -86,3 +86,43 @@ def test_asof_and_range_join_have_no_cross_product(spark, sf_dir):
         plan = explain_str(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_rollup_cube_single_expand_pass(spark, sf_dir):
+    """Grouping sets must run as ONE Expand + aggregate, not one scan
+    per grouping level."""
+    for name in ("d17_rollup", "d18_cube"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert plan.count("Expand") >= 1, name
+        # formatted explain prints each scan twice (tree + details)
+        assert plan.count("Scan parquet") == 2 * (3 if name == "d17_rollup" else 1), name
+
+
+def test_c8_broadcasts_aggregate_side(spark, sf_dir):
+    """The per-nation average (25 rows) must broadcast, leaving the
+    customer scan shuffle-free on the join."""
+    assert has_broadcast_hash_join(QUERIES["c8_scalar_subquery"](spark, sf_dir))
+
+
+def test_c9_pushes_filter_below_anti_join(spark, sf_dir):
+    """NOT EXISTS: the price predicate must reach the orders scan so
+    the anti side is pre-filtered, and the join must stay LeftAnti."""
+    df = QUERIES["c9_not_exists"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert any("o_totalprice" in p for p in pushed_filters(df))
+
+
+def test_f7_pagination_plans_bounded_selection(spark, sf_dir):
+    """LIMIT+OFFSET must plan a bounded top-(offset+limit) selection,
+    never a full global sort of the table."""
+    plan = explain_str(QUERIES["f7_pagination"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan, plan
+
+
+def test_px2_split_is_single_scan_single_shuffle(spark, sf_dir):
+    """The train/val/test split audit must be one scan + one 3-group
+    aggregation exchange — no join, no second pass."""
+    plan = explain_str(QUERIES["px2_hash_split"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # one scan, printed twice
+    assert "Join" not in plan

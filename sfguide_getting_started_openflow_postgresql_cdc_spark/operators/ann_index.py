@@ -1,0 +1,164 @@
+"""Persisted IVF (inverted-file) ANN index.
+
+sim4 (operators/similarity.py) demonstrates IVF search but re-trains
+and re-assigns on every call. A production corpus builds the index
+ONCE and searches it many times; this module persists the two
+artifacts that make that work:
+
+- ``centroids.json`` — the coarse quantizer (k x dim doubles, driver
+  math; k is small by construction);
+- ``index/cell=<i>/*.parquet`` — the corpus PARTITIONED BY nearest
+  cell. Partitioning is the entire point: a search probing p of k
+  cells reads only those partition directories — at 100 TB with
+  k=65k cells and p=64 probes, a query touches ~0.1% of the corpus,
+  and the pruning happens at file listing, not per row.
+
+Search semantics match sim4: probe the ``n_probe`` nearest cells per
+query, exact cosine within them, top-k with a total order. The dot/
+norm arithmetic reuses similarity.py's fold-equivalent Arrow kernels,
+so similarities are bit-identical to the brute-force baseline for any
+candidate both paths consider.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+    arrow_dot,
+    arrow_norm,
+)
+
+
+class IvfIndex:
+    """Build / load / search a persisted IVF index over
+    ``(vec_id, embedding array<float>)`` data."""
+
+    def __init__(self, path: str, n_cells: int = 16, n_probe: int = 4):
+        self.path = path
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self._centroids = None  # lazily loaded normalized np matrix
+
+    # -- artifacts ----------------------------------------------------------
+    def _centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids.json")
+
+    def _index_path(self) -> str:
+        return os.path.join(self.path, "index")
+
+    def _load_centroids(self):
+        if self._centroids is None:
+            import numpy as np
+
+            with open(self._centroids_path()) as f:
+                self._centroids = np.array(json.load(f), dtype=np.float64)
+        return self._centroids
+
+    # -- build --------------------------------------------------------------
+    def build(self, spark: SparkSession, emb: DataFrame, sample_size: int = 512) -> None:
+        """Train the quantizer (seeds = lowest vec_ids + one Lloyd
+        refinement over a deterministic sample — driver-side math on a
+        k x dim matrix) and write the corpus partitioned by nearest
+        cell. Deterministic end-to-end: same data -> same index."""
+        import numpy as np
+
+        def _norm_rows(m):
+            return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+        head = emb.orderBy("vec_id").limit(max(self.n_cells, sample_size)).collect()
+        seeds = np.array([r["embedding"] for r in head[: self.n_cells]], np.float64)
+        sample = np.array([r["embedding"] for r in head], np.float64)
+        cells = (_norm_rows(sample) @ _norm_rows(seeds).T).argmax(axis=1)
+        centroids = np.stack(
+            [
+                sample[cells == i].mean(axis=0) if (cells == i).any() else seeds[i]
+                for i in range(self.n_cells)
+            ]
+        )
+        centroids_n = _norm_rows(centroids)
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._centroids_path(), "w") as f:
+            json.dump(centroids_n.tolist(), f)
+        self._centroids = centroids_n
+
+        cn = centroids_n.tolist()
+
+        @F.pandas_udf("int")
+        def nearest_cell(col):
+            import numpy as _np
+            import pandas as _pd
+
+            c = _np.array(cn)
+            m = _np.stack(col.to_numpy())
+            m = m / _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return _pd.Series((m @ c.T).argmax(axis=1).astype("int32"))
+
+        (
+            emb.withColumn("cell", nearest_cell(F.col("embedding")))
+            .repartition(F.col("cell"))  # one writer per cell, not tasks*cells files
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(self._index_path())
+        )
+
+    # -- search -------------------------------------------------------------
+    def probe_cells(self, query_vecs) -> list[list[int]]:
+        """Nearest ``n_probe`` cells per query vector (driver math on
+        the k x dim quantizer)."""
+        import numpy as np
+
+        c = self._load_centroids()
+        out = []
+        for v in query_vecs:
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            out.append([int(i) for i in (q @ c.T).argsort()[::-1][: self.n_probe]])
+        return out
+
+    def search(self, spark: SparkSession, queries: DataFrame, top_k: int = 10) -> DataFrame:
+        """Top-k cosine neighbors for ``queries`` (query_id, embedding).
+        Reads ONLY probed cells' partitions (partition pruning on the
+        ``cell`` directory column); exact cosine within them."""
+        q_rows = queries.select("query_id", "embedding").collect()
+        probed = self.probe_cells([r["embedding"] for r in q_rows])
+        pairs = [
+            (int(r["query_id"]), c) for r, cells in zip(q_rows, probed) for c in cells
+        ]
+        probes = spark.createDataFrame(pairs, "query_id long, cell int")
+        all_cells = sorted({c for _, c in pairs})
+
+        index = spark.read.parquet(self._index_path()).filter(
+            F.col("cell").isin(all_cells)  # prunes partition dirs at listing
+        )
+        q = queries.select(
+            "query_id",
+            F.col("embedding").alias("qv"),
+            arrow_norm(F.col("embedding")).alias("qn"),
+        )
+        sim = arrow_dot(F.col("embedding"), F.col("qv")) / (
+            arrow_norm(F.col("embedding")) * F.col("qn")
+        )
+        cands = (
+            index.join(F.broadcast(probes), "cell")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                sim.alias("similarity"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("similarity").desc(), F.col("neighbor_id")
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+        )

@@ -178,3 +178,45 @@ def test_arrow_paths_bit_identical_to_folds(spark):
     )
     for r in pairs.collect():
         assert struct.pack("d", r["d_fold"]) == struct.pack("d", r["d_arrow"])
+
+
+def test_ivf_persisted_index_build_load_search(spark, tmp_path):
+    """Persisted IVF: build once, reload from disk in a fresh object,
+    search with partition pruning, and match sim1's exact similarities
+    for every reported neighbor (recall >= 0.5 at 4-of-16 probes)."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.plans.inspect import (
+        explain_str,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    idx_path = str(tmp_path / "ivf")
+    IvfIndex(idx_path, n_cells=16, n_probe=4).build(spark, emb)
+
+    # fresh object: everything needed must come from disk
+    idx = IvfIndex(idx_path, n_cells=16, n_probe=4)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = idx.search(spark, queries, top_k=10)
+    plan = explain_str(res)
+    assert "cell" in plan and "CartesianProduct" not in plan
+
+    got = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in res.collect()}
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in QUERIES["sim1_knn_cosine_bruteforce"](spark, SF01).collect()
+    }
+    # exactness: any (q, n) both report must agree bit-for-bit
+    overlap = set(got) & set(bf)
+    assert overlap, "IVF should recover some true top-10 neighbors"
+    for k in overlap:
+        assert got[k] == bf[k]
+    assert len(overlap) / len(bf) >= 0.5

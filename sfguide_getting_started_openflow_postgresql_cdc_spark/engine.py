@@ -113,6 +113,37 @@ class Engine:
         """SCD2 type-2 history for a table (journal-derived)."""
         return self.cdc.scd2_history(self.spark, table)
 
+    def as_of(self, table: str, version: int) -> DataFrame:
+        """Time-travel read of a retained replica version (soft-deleted
+        rows included — a historical version shows what the replica held
+        then). ``versions(table)`` lists what is retained."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+            CDC_SEQ,
+        )
+
+        return self.cdc.store.read(self.spark, table, version=version).drop(CDC_SEQ)
+
+    def versions(self, table: str) -> list[int]:
+        return self.cdc.store.versions(table)
+
+    def evolve_schema(self, table, new_schema) -> "Engine":
+        """ADD COLUMN schema evolution (metadata-only; see
+        CdcEngine.evolve_schema)."""
+        self.cdc.evolve_schema(table, new_schema)
+        return self
+
+    def materialized_count(self, table: str, group_col: str, path: str):
+        """Create (and initialize) an incrementally-maintained COUNT(*)
+        per group over the table's live rows; returns the MV handle
+        (``merge_batch`` on it keeps replica and aggregate in sync)."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+            IncrementalGroupCount,
+        )
+
+        mv = IncrementalGroupCount(self.cdc, table, group_col, path)
+        mv.initialize(self.spark)
+        return mv
+
     def verify_snapshot(
         self,
         expected_counts: dict[str, int] | None = None,

@@ -234,3 +234,19 @@ def test_auto_compaction_bounds_journal_files(spark, tmp_path):
     assert len(seqs) < 12  # pre-horizon collapsed
     state = {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()}
     assert state == {1: "g12"}
+
+
+# -- Engine facade surfaces ------------------------------------------------
+
+
+def test_engine_facade_timetravel_and_mv(spark, tmp_path):
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "w"), write_partitions=1).bootstrap()
+    assert eng.versions("appointments") == [0]
+    v0 = eng.as_of("appointments", 0)
+    assert v0.count() == 170
+
+    mv = eng.materialized_count("appointments", "status", str(tmp_path / "mv"))
+    got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+    assert sum(got.values()) == 170

@@ -110,3 +110,69 @@ def test_merge_invariants_hold_for_any_batching(spark, seed_round, scenario):
         assert row[schemas.META_DELETED] == (op == "D")
         if op != "D":
             assert row["v"] == val
+
+
+@pytest.mark.parametrize("seed_round", [0])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(scenario=_scenario())
+def test_incremental_mv_equals_full_recompute_for_any_batching(
+    spark, seed_round, scenario
+):
+    """The incrementally-maintained grouped count must equal a fresh
+    GROUP BY over live rows after ANY event sequence, batch partition,
+    and delivery order."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+        IncrementalGroupCount,
+    )
+
+    events, batches, order = scenario
+    root = tempfile.mkdtemp(prefix="cdc_mvprop_")
+    eng = CdcEngine(
+        ReplicaStore(root),
+        tables={"t": SCHEMA},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    eng.bootstrap(
+        spark,
+        {"t": spark.createDataFrame([], SCHEMA)},
+        "2024-01-01 00:00:00",
+        journal_snapshot=False,
+    )
+    mv = IncrementalGroupCount(eng, "t", "v", root + "/mv")
+    mv.initialize(spark)
+
+    seq_of = {i: i + 1 for i in range(len(events))}
+    idx = 0
+    indexed_batches = []
+    for b in batches:
+        indexed_batches.append([(seq_of[idx + j], *e) for j, e in enumerate(b)])
+        idx += len(b)
+    for bi in order:
+        rows = [
+            (
+                seq,
+                f"2024-01-01 00:{seq:02d}:00",
+                "t",
+                op,
+                {"id": str(key), "v": str(val)},
+            )
+            for seq, key, op, val in indexed_batches[bi]
+        ]
+        mv.merge_batch(spark, spark.createDataFrame(rows, ENVELOPE))
+        got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+        want = {
+            r["v"]: r["n"]
+            for r in eng.store.read(spark, "t")
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy("v")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want, (got, want)

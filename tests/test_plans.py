@@ -1,6 +1,8 @@
 """Physical-plan assertions: the scale properties the operators claim
 (pushdown, pruning, broadcast, top-k) must actually appear in the plan."""
 
+from pyspark.sql import functions as F
+
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
 from sfguide_getting_started_openflow_postgresql_cdc_spark.plans import (
     explain_str,
@@ -126,3 +128,46 @@ def test_px2_split_is_single_scan_single_shuffle(spark, sf_dir):
     plan = explain_str(QUERIES["px2_hash_split"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2  # one scan, printed twice
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
+    """Co-located bucketed layout: a join of two tables bucketed on the
+    join key must contain NO Exchange — the shuffle a 100 TB fact-fact
+    join cannot afford happens once at write time, not per query."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.bucketed import (
+        co_located_join,
+        write_bucketed,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "b_orders", "o_custkey", 8
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), "b_customer", "c_custkey", 8
+    )
+    # at test scale Catalyst prefers broadcasting the small side; force
+    # the merge path to exercise what a fact-fact join would plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = co_located_join(spark, "b_orders", "b_customer", "o_custkey", "c_custkey")
+        plan = explain_str(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # sanity: result is the plain join's row count
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

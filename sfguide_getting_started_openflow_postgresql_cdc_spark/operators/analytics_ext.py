@@ -800,3 +800,93 @@ def f7_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "h23_conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           least(greatest(o_totalprice, 50000.0), 400000.0) AS clamped_price,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPEC')
+             AS priority_pref
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def h23_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST/LEAST clamping, NULLIF, COALESCE — pure comparisons and
+    selections on raw values, no arithmetic: exact by construction."""
+    p = F.col("o_totalprice")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.least(F.greatest(p, F.lit(50000.0)), F.lit(400000.0)).alias(
+                "clamped_price"
+            ),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+                F.lit("UNSPEC"),
+            ).alias("priority_pref"),
+        )
+    )
+
+
+@query(
+    "d22_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d22_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate — Spark plans a single
+    Expand (one row per distinct-column set) + two-phase aggregate, not
+    one scan per distinct. At scale watch the Expand factor (rows x
+    number of distinct specs); beyond a few specs, approx_count_distinct
+    (d15) is the cheaper answer."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "i13_event_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def i13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain
+    precursor behind funnel/journey analytics): one window shuffle on
+    user_id, then a tiny (types x types) aggregation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

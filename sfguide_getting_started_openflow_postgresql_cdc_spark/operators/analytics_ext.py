@@ -890,3 +890,42 @@ def i13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "tx8_word_bigrams",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
+    FROM pairs
+    GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def tx8_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (tokenizer-training / collocation
+    statistics, the 2-gram sibling of tx7's unigram vocab). The
+    adjacent-pair construction is pure array algebra — zip of the word
+    list against its own shift — exploded once; no UDF, no self-join.
+    Top-20 under a total order."""
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("a"),
+        F.slice(words, 2, n - 1).alias("b"),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.concat(F.col("p.a"), F.lit(" "), F.col("p.b")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

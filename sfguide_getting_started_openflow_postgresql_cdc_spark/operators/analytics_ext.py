@@ -929,3 +929,38 @@ def tx8_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "c10_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def c10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to their user dimension through the SALTED join
+    path (functions/skew.py): hot user_ids spread across 8 salt buckets
+    instead of landing on one task — the deterministic fallback when
+    AQE's runtime skew handling isn't enough. Salting is internal: the
+    aggregated result is identical to the plain join the oracle runs,
+    which is exactly the property that makes the technique safe."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.skew import (
+        salted_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, "user_id", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

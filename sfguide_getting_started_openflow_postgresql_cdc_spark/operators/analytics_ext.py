@@ -964,3 +964,125 @@ def c10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "h24_string_functions",
+    oracle="""
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+           upper(lang) AS lang_uc,
+           length(text) AS n_chars_str
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def h24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPAD / SUBSTR / REPLACE / UPPER / LENGTH — pure string kernels,
+    byte-deterministic on the ASCII corpus (length counts characters
+    identically in both engines for single-byte text)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+            F.replace(
+                F.substring(F.col("text"), 1, 20), F.lit(" "), F.lit("_")
+            ).alias("head_snake"),
+            F.upper(F.col("lang")).alias("lang_uc"),
+            F.length(F.col("text")).cast("long").alias("n_chars_str"),
+        )
+    )
+
+
+@query(
+    "h25_date_parts",
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def h25_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARTER / ISO week / day-of-year extraction (both engines use
+    ISO-8601 week numbering)."""
+    d = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (d >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (d < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.quarter(d).alias("qtr"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofyear(d).alias("doy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "c11_dense_grid_report",
+    oracle="""
+    WITH months AS (
+      SELECT generate_series AS m
+      FROM generate_series(TIMESTAMP '1997-01-01', TIMESTAMP '1997-12-01',
+                           INTERVAL 1 MONTH)
+    ),
+    statuses AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+    actual AS (
+      SELECT date_trunc('month', o_orderdate) AS m, o_orderstatus AS st,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(months.m AS DATE) AS month, statuses.st AS status,
+           COALESCE(actual.n, 0) AS n_orders
+    FROM months CROSS JOIN statuses
+    LEFT JOIN actual ON actual.m = months.m AND actual.st = statuses.st
+    """,
+)
+def c11_dense_grid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid report: month spine x status grid LEFT JOIN actual
+    counts, zero-filled — the reporting pattern that makes 'no rows'
+    visible as 0 instead of a missing row (reference dashboards assume
+    every status appears; this makes it structural). The spine and grid
+    are tiny generated dims (broadcast); the fact aggregates BEFORE the
+    join, so the grid join touches group-cardinality rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    months = spark.sql(
+        "SELECT explode(sequence(DATE'1997-01-01', DATE'1997-12-01', "
+        "INTERVAL 1 MONTH)) AS month"
+    )
+    statuses = orders.select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    actual = (
+        orders.filter(
+            (d >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (d < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.date_trunc("month", d).cast("date").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        months.crossJoin(F.broadcast(statuses))
+        .join(F.broadcast(actual), ["month", "status"], "left")
+        .select(
+            "month",
+            "status",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )

@@ -1086,3 +1086,55 @@ def c11_dense_grid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "px4_contamination_check",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, md5(text) AS fingerprint,
+             {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 10)} AS h
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM fp WHERE h < 8)
+    SELECT train.lang,
+           COUNT(*) AS n_train_docs,
+           COUNT(CASE WHEN bench.fingerprint IS NOT NULL THEN 1 END)
+             AS n_contaminated
+    FROM train LEFT JOIN bench ON train.fingerprint = bench.fingerprint
+    GROUP BY train.lang
+    """,
+)
+def px4_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: how many training-split documents
+    are byte-identical to a held-out benchmark document (exact md5
+    fingerprint collision). The benchmark fingerprint set is tiny and
+    deduplicated -> broadcast left join against the training split; at
+    100 TB the train side streams map-side past it. Near-dup
+    contamination (not just exact) is the same query over dd4/dd6
+    candidate pairs."""
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("fingerprint"),
+        _md5_mod(F.col("doc_id").cast("string"), 10).alias("h"),
+    )
+    bench = (
+        fp.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("fingerprint").alias("bench_fp"))
+        .distinct()
+    )
+    train = fp.filter(F.col("h") < 8)
+    return (
+        train.join(
+            F.broadcast(bench), train.fingerprint == bench.bench_fp, "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.count(F.when(F.col("bench_fp").isNotNull(), 1)).alias(
+                "n_contaminated"
+            ),
+        )
+    )

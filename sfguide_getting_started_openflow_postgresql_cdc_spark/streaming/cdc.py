@@ -524,7 +524,11 @@ class CdcEngine:
         # would be re-appended as a garbage row on every batch. Drop such
         # events from the merge — the raw journal (appended before the
         # merge) retains them for quarantine/inspection.
-        events = events.filter(F.col(pk).isNotNull())
+        # Unknown ops are likewise quarantined-not-applied: treating a
+        # corrupt op byte as an upsert would materialize garbage state.
+        events = events.filter(
+            F.col(pk).isNotNull() & F.col("op").isin("I", "U", "D")
+        )
 
         stats = events.agg(
             F.count("*").alias("n"),
@@ -642,6 +646,19 @@ class CdcEngine:
         if "after" in events.columns:
             events = self.project_after(events, table)
         events.write.mode("append").parquet(self.store.journal_path(table))
+
+    def quarantine(self, spark: SparkSession, table: str) -> DataFrame:
+        """Malformed events the merge refused: journal rows whose PK
+        failed the typed cast (NULL key) or whose op is not I/U/D. The
+        journal keeps them verbatim (append happens BEFORE the merge's
+        null-PK filter), so a producer bug is inspectable after the
+        fact instead of silently dropped — the operational complement
+        of the merge-side guard."""
+        pk = self.primary_keys[table]
+        j = self.store.read_journal(spark, table)
+        return j.filter(
+            F.col(pk).isNull() | ~F.col("op").isin("I", "U", "D")
+        )
 
     # -- batch driver ------------------------------------------------------------
     def apply_envelope_batch(self, spark: SparkSession, batch: DataFrame) -> None:

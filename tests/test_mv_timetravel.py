@@ -250,3 +250,23 @@ def test_engine_facade_timetravel_and_mv(spark, tmp_path):
     mv = eng.materialized_count("appointments", "status", str(tmp_path / "mv"))
     got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
     assert sum(got.values()) == 170
+
+
+# -- quarantine ------------------------------------------------------------
+
+
+def test_quarantine_surfaces_malformed_events(spark, tmp_path):
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a")])
+    env = [
+        (1, "2024-01-01 00:01:00", "t", "U", {"id": "1", "grp": "b"}),     # good
+        (2, "2024-01-01 00:02:00", "t", "I", {"id": "oops", "grp": "c"}),  # bad PK
+        (3, "2024-01-01 00:03:00", "t", "X", {"id": "2", "grp": "d"}),     # bad op
+    ]
+    eng.apply_envelope_batch(spark, spark.createDataFrame(env, ENVELOPE))
+
+    q = eng.quarantine(spark, "t").collect()
+    assert sorted(r["seq_no"] for r in q) == [2, 3]
+    # the good event applied; neither malformed one reached the replica
+    state = {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()}
+    assert state == {1: "b"}

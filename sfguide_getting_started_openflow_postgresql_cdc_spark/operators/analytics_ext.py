@@ -1138,3 +1138,56 @@ def px4_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "g5_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+    """,
+)
+def g5_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — set union of two key sets; `union()` alone is
+    UNION ALL, the distinct() is what gives SQL UNION semantics."""
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return big_orders.union(rich).distinct()
+
+
+@query(
+    "d23_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 500)
+    UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))
+    """,
+)
+def d23_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT wide measure columns into (measure, value) rows — d16's
+    inverse. `unpivot` (melt) is a narrow map-side transform: no
+    shuffle, output = rows x measures. Raw double values pass through
+    untouched — exact by construction."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+    )

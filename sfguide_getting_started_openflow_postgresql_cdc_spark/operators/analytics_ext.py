@@ -1191,3 +1191,88 @@ def d23_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@query(
+    "e9_distribution_windows",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e9_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST — rank-derived ratios: one integer rank
+    divided by one count, a single double op each, deterministic under
+    the total order."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+@query(
+    "h26_bit_operations",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 7 AS or_seven,
+           xor(o_orderkey, 170) AS xored,
+           o_orderkey << 2 AS shifted
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def h26_bit_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift — exact integer kernels (the primitives
+    under the engine's own SimHash/MinHash lane packing)."""
+    k = F.col("o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(7)).alias("or_seven"),
+            k.bitwiseXOR(F.lit(170)).alias("xored"),
+            F.shiftleft(k, 2).alias("shifted"),
+        )
+    )
+
+
+@query(
+    "d24_value_histogram",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS INT), 10) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def d24_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via floor division (the identical
+    arithmetic on both sides — width_bucket's semantics without relying
+    on either engine's builtin). One scan, one tiny aggregation; the
+    histogram shape Spark's own rangepartitioning sampling estimates,
+    computed exactly."""
+    p = F.col("o_totalprice")
+    bucket = F.least(F.floor(p / 50000.0).cast("int"), F.lit(10))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(p).alias("lo"),
+            F.max(p).alias("hi"),
+        )
+    )

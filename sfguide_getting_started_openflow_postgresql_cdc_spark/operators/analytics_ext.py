@@ -1276,3 +1276,41 @@ def d24_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(p).alias("hi"),
         )
     )
+
+
+@query(
+    "mm4_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CASE ascii(substr(text, 1, 1)) % 3
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           substr(md5(text), 1, 8) AS content_id
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def mm4_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction: the payload becomes a real
+    BinaryType column (``encode``), sized with octet_length; the first
+    byte routes to a (deterministic fake) modality — the dispatch
+    pattern a real pipeline uses on magic bytes; md5 prefix is the
+    content id. All plumbing, no codec — the decode stage itself stays
+    behind the multimodal stubs (operators/multimodal.py)."""
+    data = F.encode(F.col("text"), "UTF-8")  # BinaryType column
+    first = F.ascii(F.substring(F.col("text"), 1, 1))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.octet_length(data).cast("long").alias("n_bytes"),
+            first.cast("int").alias("first_byte"),
+            F.when(first % 3 == 0, "image")
+            .when(first % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("modality"),
+            F.substring(F.md5(F.col("text")), 1, 8).alias("content_id"),
+        )
+    )

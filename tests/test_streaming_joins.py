@@ -139,3 +139,55 @@ def test_cdc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     journal = eng.store.read_journal(spark, "t")
     assert journal.count() == 4  # no reprocessing of batch 1
     assert journal.select("seq_no").distinct().count() == 4
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark horizon arriving in a LATER
+    micro-batch must not reopen its already-finalized window (append
+    mode) — the bounded-state guarantee late data is traded for."""
+    import pandas as pd
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import EVENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.windows import (
+        start_windowed_aggregation,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        import time
+
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, EVENTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file-source order
+
+    # The watermark lags one batch (wm for batch N = batch N-1's max
+    # minus the delay), and a late row is only dropped once its
+    # window's state has been EVICTED — so two advancing batches run
+    # between the on-time hour-10 data and the late arrival.
+    write_batch("b1", [(1, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),
+                       (2, "2024-01-01 10:10:00", 2, "view", 1.0, "{}")])
+    write_batch("b2", [(3, "2024-01-01 20:00:00", 1, "view", 1.0, "{}")])
+    write_batch("b3", [(4, "2024-01-01 23:00:00", 2, "view", 1.0, "{}")])
+    write_batch("b4", [(5, "2024-01-01 10:20:00", 3, "view", 1.0, "{}")])
+
+    q = start_windowed_aggregation(
+        spark, src, str(tmp_path / "ck"), query_name="late_test"
+    )
+    q.awaitTermination(180)
+
+    out = spark.sql("SELECT * FROM late_test").collect()
+    hour10 = [
+        r
+        for r in out
+        if r["window_start"].hour == 10 and r["event_type"] == "view"
+    ]
+    # exactly ONE finalized hour-10 row, late event NOT counted and no
+    # duplicate emission after eviction
+    assert len(hour10) == 1 and hour10[0]["n_events"] == 2

@@ -270,3 +270,53 @@ def test_quarantine_surfaces_malformed_events(spark, tmp_path):
     # the good event applied; neither malformed one reached the replica
     state = {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()}
     assert state == {1: "b"}
+
+
+# -- crash safety & snapshot isolation -------------------------------------
+
+
+def test_crashed_merge_leaves_readers_on_old_version_and_retries(spark, tmp_path):
+    """A merge that died after writing files but BEFORE the pointer swap
+    must be invisible to readers, and the retried merge must reuse the
+    version slot cleanly (overwrite the stray directory)."""
+    import os
+
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a")])
+
+    # simulate the crash: a half-written v1 exists, pointer still at v0
+    tdir = str(tmp_path / "w" / "tables" / "t")
+    stray = os.path.join(tdir, "v1", "_CDC_BUCKET=0")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    # readers resolve the pointer -> still v0, unaffected by the stray dir
+    assert {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()} == {
+        1: "a"
+    }
+
+    # the retried merge claims v1, clobbering the stray files
+    eng.merge_batch(spark, "t", _events(spark, [(1, "U", 1, "b")]))
+    assert {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()} == {
+        1: "b"
+    }
+    assert not os.path.exists(os.path.join(stray, "garbage.parquet"))
+
+
+def test_reader_snapshot_survives_concurrent_merge(spark, tmp_path):
+    """A DataFrame resolved before a merge keeps reading its version's
+    files after the merge commits (retention keeps the previous version
+    alive for in-flight readers) — snapshot isolation without locks."""
+    eng = _mk_engine(tmp_path / "w", keep_versions=2)
+    _bootstrap(spark, eng, [(1, "a"), (2, "b")])
+
+    snapshot = eng.store.read(spark, "t")  # resolves v0's path now
+    eng.merge_batch(spark, "t", _events(spark, [(1, "U", 1, "z")]))
+
+    # the pre-merge handle still sees the old state; a fresh read sees new
+    assert {r["id"]: r["grp"] for r in snapshot.collect()} == {1: "a", 2: "b"}
+    assert {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()} == {
+        1: "z",
+        2: "b",
+    }

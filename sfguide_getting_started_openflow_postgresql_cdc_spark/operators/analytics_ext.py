@@ -1314,3 +1314,96 @@ def mm4_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("text")), 1, 8).alias("content_id"),
         )
     )
+
+
+KNN_GRAPH_K = 3
+
+
+def _sim6_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        banded_sql_cte,
+    )
+
+    return f"""
+    WITH {banded_sql_cte()},
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id
+    ),
+    s AS (
+      SELECT cand.vec_id, cand.neighbor_id,
+             list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]) AS similarity
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.vec_id
+      JOIN embeddings y ON y.vec_id = cand.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, similarity, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY similarity DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {KNN_GRAPH_K}
+    """
+
+
+@query("sim6_knn_graph", oracle=_sim6_oracle())
+def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN GRAPH: every vector's top-k neighbors among its LSH
+    band-collision candidates — the backbone of graph-based dedup
+    (connected components over kNN edges), diversity sampling, and
+    kNN-graph ANN indexes. Unlike sim1 (a handful of probes against the
+    whole corpus), this ranks candidates for EVERY vector, so the
+    all-pairs cross join is replaced by the band self-join: cost tracks
+    bucket collisions, not n^2. Shares planes with sim2/dd6, so the
+    oracle buckets identically. Vectors with no collisions simply have
+    no edges — acceptable for graph workloads (singletons)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        _band_planes,
+        arrow_band_buckets,
+        arrow_dot,
+        arrow_norm,
+    )
+
+    planes = _band_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(arrow_band_buckets(F.col("embedding"), planes)).alias(
+            "band_id", "bucket"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    x = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("ex"),
+        arrow_norm(F.col("embedding")).alias("nx"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ey"),
+        arrow_norm(F.col("embedding")).alias("ny"),
+    )
+    sim = arrow_dot(F.col("ex"), F.col("ey")) / (F.col("nx") * F.col("ny"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select("vec_id", "neighbor_id", sim.alias("similarity"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )

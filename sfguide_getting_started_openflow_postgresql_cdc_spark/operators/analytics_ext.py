@@ -1407,3 +1407,55 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_GRAPH_K)
     )
+
+
+SHARD_TOKEN_BUDGET = 4000
+
+
+@query(
+    "px5_shard_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+             n_tokens
+      FROM toks
+    )
+    SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+    FROM packed GROUP BY lang, shard_id
+    """,
+)
+def px5_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard assignment — the deterministic 'write the
+    training shards' step: documents pack greedily into per-language
+    shards of ~SHARD_TOKEN_BUDGET tokens via an exclusive running sum (integer
+    arithmetic, exact). Deterministic order (doc_id) means a re-run —
+    or a different cluster — produces byte-identical shard membership.
+    Scale: the running sum partitions by lang (shards are per-stream);
+    a global pack would single-thread the window — don't."""
+    words = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words.cast("long").alias("n_tokens")
+    )
+    packed = toks.select(
+        "lang",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+        "n_tokens",
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )

@@ -734,6 +734,88 @@ class CdcEngine:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    # -- disaster recovery: replica from journal ----------------------------------
+    def rebuild_replica(
+        self,
+        spark: SparkSession,
+        table: str,
+        into: "ReplicaStore | None" = None,
+    ) -> None:
+        """Reconstruct the replica table from the journal alone — the
+        journal is a complete source of truth when the engine was
+        bootstrapped with ``journal_snapshot=True`` (snapshot rows are
+        seq-0 'I' events). This is the disaster-recovery / migration
+        path: lose every replica file, keep the journal, rebuild.
+
+        State (source columns, soft-delete flag, per-row ``_CDC_SEQ``
+        guard) is reconstructed EXACTLY — verified against the
+        incrementally-maintained replica in tests. Metadata timestamps
+        are event-time-derived (first event -> inserted_at, last event
+        -> updated_at), which is deterministic and batch-independent;
+        the incremental path stamps them with the enclosing batch's
+        sync time, so they can differ when one batch carried several
+        events for a key.
+
+        One window + one aggregate over the journal, both shuffling on
+        the PK — the same key layout as every other per-key operator."""
+        store = into or self.store
+        pk = self.primary_keys[table]
+        j = self.store.read_journal(spark, table, dedup=True, pk=pk)
+        j = j.filter(F.col(pk).isNotNull() & F.col("op").isin("I", "U", "D"))
+        src_fields = [f.name for f in self.tables[table].fields]
+
+        w = Window.partitionBy(pk).orderBy(F.col("seq_no").desc())
+        last = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(pk).alias("_k"),
+                F.col("seq_no").alias("_last_seq"),
+                F.col("op").alias("_last_op"),
+                F.col("event_ts").alias("_last_ts"),
+            )
+        )
+        # post-image values come from the latest NON-delete event (a
+        # soft-deleted row retains its last live values); D-only keys
+        # materialize PK-only tombstones, as the merge does.
+        vals = (
+            j.filter(F.col("op") != "D")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(pk).alias("_k"), *[F.col(c) for c in src_fields if c != pk])
+        )
+        first = j.groupBy(F.col(pk).alias("_k")).agg(
+            F.min("seq_no").alias("_first_seq"),
+            F.min_by("event_ts", "seq_no").alias("_first_ts"),
+        )
+        rebuilt = (
+            last.join(vals, "_k", "left")
+            .join(first, "_k")
+            .select(
+                F.col("_k").alias(pk),
+                *[F.col(c) for c in src_fields if c != pk],
+                F.col("_first_ts").alias(schemas.META_INSERTED_AT),
+                F.when(F.col("_last_seq") > F.col("_first_seq"), F.col("_last_ts"))
+                .otherwise(F.lit(None).cast("timestamp_ntz"))
+                .alias(schemas.META_UPDATED_AT),
+                (F.col("_last_op") == "D").alias(schemas.META_DELETED),
+                # seq-0 snapshot rows carry the bootstrap guard value -1
+                F.when(F.col("_last_seq") == 0, F.lit(-1))
+                .otherwise(F.col("_last_seq"))
+                .cast("long")
+                .alias(CDC_SEQ),
+            )
+            .withColumn(CDC_BUCKET, self._bucket(pk))
+        )
+        if self.write_partitions:
+            rebuilt = rebuilt.coalesce(self.write_partitions)
+        else:
+            rebuilt = rebuilt.repartition(self.n_buckets, F.col(CDC_BUCKET))
+        watermark = self.store.watermark(table)
+        store.write_full(
+            spark, table, rebuilt, watermark=watermark, n_buckets=self.n_buckets
+        )
+
     # -- SCD2 history over the journal --------------------------------------------
     def scd2_history(self, spark: SparkSession, table: str) -> DataFrame:
         """Slowly-changing-dimension type-2 view derived from the journal:

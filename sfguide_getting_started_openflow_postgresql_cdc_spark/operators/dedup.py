@@ -552,25 +552,31 @@ def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales).
     """
     pairs = dd4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs
-    rev = pairs.select(
-        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-    )
-    edges = fwd.unionByName(rev).persist()
+    return _connected_components(pairs, "doc_a", "doc_b", out_id="doc_id")
+
+
+def _connected_components(pairs, a: str, b: str, out_id: str = "doc_id"):
+    """Iterative min-label propagation over an undirected pair graph ->
+    (out_id, canonical_<out_id>, component_size). Each round is ONE join
+    + ONE groupBy keyed on the node; converges in O(diameter) rounds and
+    the driver collects only a 1-row change count per round."""
+    edges = pairs.unionByName(
+        pairs.select(F.col(b).alias(a), F.col(a).alias(b))
+    ).persist()
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
+        edges.select(F.col(a).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
     for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
         nbr = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
+            edges.join(labels, edges[b] == labels.node)
+            .groupBy(a)
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(nbr, labels.node == nbr.doc_a, "left")
+            labels.join(nbr, labels.node == nbr[a], "left")
             .select(
                 "node",
                 F.least(
@@ -590,11 +596,47 @@ def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("canonical_doc_id"),
-            "component_size",
-        )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(out_id),
+        F.col("label").alias(f"canonical_{out_id}"),
+        "component_size",
     )
+
+
+def _dd8_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    dd6_sql = ORACLES["dd6_embedding_cosine_dups"]
+    return f"""
+    WITH RECURSIVE pairs AS ({dd6_sql}),
+    nodes AS (
+      SELECT vec_a AS node FROM pairs UNION SELECT vec_b FROM pairs
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id,
+           MIN(dst) AS canonical_vec_id,
+           COUNT(DISTINCT dst) AS component_size
+    FROM reach GROUP BY src
+    """
+
+
+@query("dd8_semantic_dedup_groups", oracle=_dd8_oracle())
+def dd8_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering: connected components over the dd6
+    embedding-cosine near-dup graph — dd7's keep/drop clustering applied
+    to meaning-level duplicates instead of MinHash textual ones. Same
+    label-propagation engine, same recursive-CTE oracle shape; at 100 TB
+    the component step costs O(rounds) key-shuffles over only the PAIRED
+    vectors (non-duplicates never enter the graph)."""
+    pairs = dd6_embedding_cosine_dups(spark, sf_dir).select("vec_a", "vec_b")
+    return _connected_components(pairs, "vec_a", "vec_b", out_id="vec_id")

@@ -132,6 +132,16 @@ class Engine:
         self.cdc.evolve_schema(table, new_schema)
         return self
 
+    def rebuild(self, table: str) -> "Engine":
+        """Disaster recovery: reconstruct the replica from its journal
+        (see CdcEngine.rebuild_replica)."""
+        self.cdc.rebuild_replica(self.spark, table)
+        return self
+
+    def quarantine(self, table: str) -> DataFrame:
+        """Malformed events the merge refused (NULL-cast PK, unknown op)."""
+        return self.cdc.quarantine(self.spark, table)
+
     def materialized_count(self, table: str, group_col: str, path: str):
         """Create (and initialize) an incrementally-maintained COUNT(*)
         per group over the table's live rows; returns the MV handle

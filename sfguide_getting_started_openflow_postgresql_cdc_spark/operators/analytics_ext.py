@@ -1459,3 +1459,42 @@ def px5_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+@query(
+    "tx9_stopword_profile",
+    oracle=f"""
+    SELECT lang,
+           SUM(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN {STOPWORDS!r}))) AS n_stopwords,
+           SUM(len(string_split(lower(text), ' '))) AS n_tokens,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN {STOPWORDS!r}))) AS DOUBLE)
+             / SUM(len(string_split(lower(text), ' '))) AS stopword_ratio
+    FROM documents GROUP BY lang
+    """.replace('"', "'"),
+)
+def tx9_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword-density profile — the classic quality /
+    language-consistency signal (a low English stopword ratio flags
+    boilerplate or mislabeled language). Array filter against a literal
+    stopword set: integer counts are exact, the ratio is one double
+    division. No explode — the filter runs inside the array, so rows
+    never multiply."""
+    words = F.split(F.lower(F.col("text")), " ")
+    in_list = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split(lower(text), ' '), x -> {in_list})"))
+    n_tok = F.size(words)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", n_stop.alias("s"), n_tok.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.sum("s").alias("n_stopwords"),
+            F.sum("t").alias("n_tokens"),
+            (F.sum("s").cast("double") / F.sum("t")).alias("stopword_ratio"),
+        )
+    )

@@ -163,3 +163,41 @@ class IncrementalGroupCount:
             .filter(F.col("n") != 0)
         )
         self._write(merged)
+
+    # -- streaming wrapper ---------------------------------------------------
+    def start_stream(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        processing_time: str | None = "60 seconds",
+        available_now: bool = False,
+        max_files_per_trigger: int = 1,
+    ):
+        """Consume JSONL envelope events as a stream, keeping replica AND
+        aggregate in sync per micro-batch — the live-dashboard loop with
+        no per-refresh base scan. Same source contract as
+        ``CdcEngine.start_cdc``; events for other tables are ignored."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+            ENVELOPE,
+        )
+
+        reader = (
+            spark.readStream.schema(ENVELOPE)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(events_dir)
+        )
+
+        def _apply(df, _epoch):
+            mine = df.filter(F.col("table_name") == self.table)
+            self.engine.append_journal(self.table, mine)
+            self.merge_batch(df.sparkSession, mine)
+
+        writer = reader.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()

@@ -358,3 +358,42 @@ def test_rebuild_replica_from_journal_matches_incremental(spark, tmp_path):
     assert orig == reb
     assert set(orig) == {1, 2, 3, 99}
     assert rebuilt_store.watermark("t") == eng.store.watermark("t")
+
+
+def test_mv_streaming_end_to_end(spark, tmp_path):
+    """File stream -> replica merge + MV delta per micro-batch; the
+    stored aggregate equals a fresh GROUP BY after the stream drains."""
+    import json
+    import os
+
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a"), (2, "a")])
+    mv = IncrementalGroupCount(eng, "t", "grp", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    batches = [
+        [(1, "I", 3, "b"), (2, "U", 1, "b")],
+        [(3, "D", 2, None), (4, "I", 4, "c")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(events_dir, f"b{i}.jsonl"), "w") as f:
+            for seq, op, key, val in rows:
+                f.write(json.dumps({
+                    "seq_no": seq,
+                    "event_ts": f"2024-01-01 00:{seq:02d}:00",
+                    "table_name": "t",
+                    "op": op,
+                    "after": {"id": str(key), "grp": val},
+                }) + "\n")
+
+    q = mv.start_stream(
+        spark, events_dir, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(180)
+    _assert_mv_consistent(spark, mv, eng)
+    assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {
+        "b": 2,
+        "c": 1,
+    }

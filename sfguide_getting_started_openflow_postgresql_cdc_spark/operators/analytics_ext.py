@@ -1498,3 +1498,65 @@ def tx9_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s").cast("double") / F.sum("t")).alias("stopword_ratio"),
         )
     )
+
+
+@query(
+    "d25_top_percent",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             COUNT(*) OVER () AS n_total
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal, CAST(rn AS INT) AS rn
+    FROM ranked
+    WHERE rn <= CAST(ceil(n_total * 0.01) AS BIGINT)
+    """,
+)
+def d25_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-PERCENT selection — the cutoff is data-dependent
+    (ceil(1% of count)), so it composes a ranking window with a global
+    count window. The empty-frame COUNT(*) OVER () applies after the
+    row set is defined, one pass. ceil and the compare are integer-
+    exact. Scale: a global ROW_NUMBER single-partitions the window —
+    for 100 TB use the f4 TakeOrderedAndProject shape with a
+    pre-computed count, or rank within partitions and merge; this
+    operator is the semantic reference."""
+    w_rank = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_all = Window.partitionBy()
+    ranked = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_total"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n_total") * 0.01).cast("long")
+    ).select("c_custkey", "c_acctbal", "rn")
+
+
+@query(
+    "h27_month_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def h27_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_DAY / ADD_MONTHS / month truncation — calendar arithmetic
+    with identical end-of-month clamping rules in both engines."""
+    d = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3_months"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+        )
+    )

@@ -132,6 +132,11 @@ class Engine:
         self.cdc.evolve_schema(table, new_schema)
         return self
 
+    def consistent_snapshot(self) -> dict[str, DataFrame]:
+        """All tables read at one common watermark (see
+        CdcEngine.consistent_snapshot)."""
+        return self.cdc.consistent_snapshot(self.spark)
+
     def rebuild(self, table: str) -> "Engine":
         """Disaster recovery: reconstruct the replica from its journal
         (see CdcEngine.rebuild_replica)."""

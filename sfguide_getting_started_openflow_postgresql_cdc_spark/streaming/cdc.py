@@ -146,6 +146,41 @@ class ReplicaStore:
             )
         return path
 
+    def _write_version_meta(self, out: str, version: int, watermark: int) -> None:
+        with open(os.path.join(out, "_VERSION.json"), "w") as f:
+            json.dump({"version": version, "watermark": watermark}, f)
+
+    def version_watermarks(self, table: str) -> dict[int, int]:
+        """{version: watermark} for every RETAINED version — the map that
+        lets readers time-travel by watermark instead of version number."""
+        out = {}
+        for v in self.versions(table):
+            meta = os.path.join(
+                self.root, "tables", table, f"v{v}", "_VERSION.json"
+            )
+            try:
+                with open(meta) as f:
+                    out[v] = int(json.load(f)["watermark"])
+            except FileNotFoundError:
+                # versions written before watermark stamping: only the
+                # current one has a known watermark (the pointer's)
+                if v == self._pointer(table)["version"]:
+                    out[v] = int(self._pointer(table)["watermark"])
+        return out
+
+    def version_at_watermark(self, table: str, max_watermark: int) -> int:
+        """Newest retained version whose watermark <= max_watermark."""
+        candidates = [
+            v for v, wm in self.version_watermarks(table).items()
+            if wm <= max_watermark
+        ]
+        if not candidates:
+            raise FileNotFoundError(
+                f"no retained version of '{table}' at watermark <= "
+                f"{max_watermark} (retained: {self.version_watermarks(table)})"
+            )
+        return max(candidates)
+
     def versions(self, table: str) -> list[int]:
         """Retained version numbers, oldest first (time-travel targets)."""
         tdir = os.path.join(self.root, "tables", table)
@@ -259,6 +294,7 @@ class ReplicaStore:
         os.makedirs(tdir, exist_ok=True)
         out = os.path.join(tdir, f"v{new_version}")
         df.write.mode("overwrite").partitionBy(CDC_BUCKET).parquet(out)
+        self._write_version_meta(out, new_version, watermark)
         self._swap_pointer(table, new_version, watermark, n_buckets, schema=df.schema)
         self._retire_old_versions(tdir, new_version)
 
@@ -287,6 +323,7 @@ class ReplicaStore:
         new_version = ptr["version"] + 1
         out = os.path.join(tdir, f"v{new_version}")
         changed_df.write.mode("overwrite").partitionBy(CDC_BUCKET).parquet(out)
+        self._write_version_meta(out, new_version, watermark)
         changed = set(changed_buckets)
         for name in os.listdir(old):
             if not name.startswith(f"{CDC_BUCKET}="):
@@ -733,6 +770,30 @@ class CdcEngine:
         else:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
+
+    # -- cross-table consistent reads ----------------------------------------------
+    def consistent_snapshot(
+        self, spark: SparkSession, tables: Iterable[str] | None = None
+    ) -> dict[str, DataFrame]:
+        """Read ALL tables at one common watermark — the newest sequence
+        number every table has fully applied (tables advance their
+        watermarks independently, so 'current' reads taken mid-batch can
+        mix states; this pins each table to the newest RETAINED version
+        whose watermark does not exceed the common minimum).
+
+        The global event sequence is totally ordered across tables, so
+        'every table at watermark <= W' is a transactionally consistent
+        prefix of the change stream. Retention (``keep_versions``)
+        bounds how far the per-table versions can drift; with the
+        default 2, tables more than one sync interval apart fall back
+        to the common current state or raise."""
+        names = list(tables or self.tables)
+        common = min(self.store.watermark(t) for t in names)
+        out = {}
+        for t in names:
+            v = self.store.version_at_watermark(t, common)
+            out[t] = self.store.read(spark, t, version=v)
+        return out
 
     # -- disaster recovery: replica from journal ----------------------------------
     def rebuild_replica(

@@ -397,3 +397,60 @@ def test_mv_streaming_end_to_end(spark, tmp_path):
         "b": 2,
         "c": 1,
     }
+
+
+# -- cross-table consistent snapshot ---------------------------------------
+
+
+def test_consistent_snapshot_pins_tables_to_common_watermark(spark, tmp_path):
+    """Two tables advance their watermarks independently; the consistent
+    snapshot must read both at the newest COMMON watermark — the table
+    that advanced further time-travels back to its matching version."""
+    two = {
+        "t": SCHEMA,
+        "u": T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("grp", T.StringType(), True),
+            ]
+        ),
+    }
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w"), keep_versions=4),
+        tables=two,
+        primary_keys={"t": "id", "u": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    eng.bootstrap(
+        spark,
+        {
+            "t": spark.createDataFrame([(1, "a")], SCHEMA),
+            "u": spark.createDataFrame([(1, "x")], two["u"]),
+        },
+        "2024-01-01 00:00:00",
+        journal_snapshot=False,
+    )
+
+    def env(seq, table, key, val):
+        return spark.createDataFrame(
+            [(seq, f"2024-01-01 00:{seq:02d}:00", table, "U",
+              {"id": str(key), "grp": val})],
+            ENVELOPE,
+        )
+
+    # seq 1-2 hit both tables; seq 3 advances only 't'
+    eng.merge_batch(spark, "t", env(1, "t", 1, "a1"))
+    eng.merge_batch(spark, "u", env(2, "u", 1, "x2"))
+    eng.merge_batch(spark, "t", env(3, "t", 1, "a3"))
+
+    assert eng.store.watermark("t") == 3 and eng.store.watermark("u") == 2
+
+    snap = eng.consistent_snapshot(spark)
+    # common watermark = 2: 't' must time-travel back to its seq<=2 state
+    assert {r["id"]: r["grp"] for r in snap["t"].collect()} == {1: "a1"}
+    assert {r["id"]: r["grp"] for r in snap["u"].collect()} == {1: "x2"}
+    # current (inconsistent) read would show a3
+    assert {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()} == {
+        1: "a3"
+    }

@@ -31,35 +31,31 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # Keep this list at <= 50 entries and refresh it each round from the
 # latest CORRECTNESS_r{N}.json.
 _NEEDS_EVIDENCE_FIRST = [
-    # added this round
-    "e5_lag_lead", "e6_moving_frame", "e7_rank_functions", "e8_running_total",
-    "d17_rollup", "d18_cube", "d19_exact_corr_moments",
-    "c8_scalar_subquery", "c9_not_exists", "g3_intersect", "g4_except",
-    "h20_like_patterns", "h21_regexp_extract",
-    "px2_hash_split", "px3_stratified_sample", "sim5_range_search",
-    # failed or errored in round 1 (both reworked)
-    "d8_conditional_sum", "mm1_media_features",
-    # never driver-checked in round 1
-    "sim1_knn_cosine_bruteforce", "sim2_knn_lsh_bucketed",
-    "sim3_pairwise_label_centroids",
-    "e1_pct_of_total", "e2_nested_agg_window", "e3_partitioned_window",
-    "e4_listagg_distinct", "f4_topk_global", "f6_topk_per_group",
-    "g1_union_all_rowcounts", "g2_data_quality_nulls",
-    "b10_compound_predicate", "h1_string_concat", "h4_case_bucket",
-    "h5_simple_case", "h13_compose_timestamp", "h6_cast_to_date",
-    "h8_date_arithmetic", "h12_to_char_month", "h15_dayname_dayofweek",
-    "h16_modulo",
-    # added in round 2 before this session
-    "mm3_frame_sample", "dd7_dedup_groups", "i10_asof_join",
-    "i11_range_join", "px1_corpus_curation", "tx6_bpe_token_count",
-    "tx7_vocab_topk",
-    # rows-only sim4/d15 ride outside the window (their weaker check
-    # carries the least information per slot)
-    # second batch added this session (c3/c4 were rewritten this round
-    # too but have one green driver check on the old plan + local parity
-    # on the new one — never-checked queries win the last slots)
-    "h22_array_functions", "d20_order_statistics", "d21_bool_aggregates",
-    "f7_pagination",
+    # -- failed in r02 (oracle dtype fixed this round: CAST SUM AS BIGINT)
+    "px2_hash_split", "px3_stratified_sample",
+    # -- never driver-checked in any round (r01 ∪ r02)
+    "sim6_knn_graph", "dd8_semantic_dedup_groups", "px4_contamination_check",
+    "px5_shard_packing", "mm4_binary_metadata", "c10_salted_skew_join",
+    "c11_dense_grid_report", "i13_event_transitions", "tx8_word_bigrams",
+    "tx9_stopword_profile", "h23_conditional_funcs", "h24_string_functions",
+    "h25_date_parts", "h26_bit_operations", "h27_month_arithmetic",
+    "d22_multi_distinct", "d23_unpivot", "d24_value_histogram",
+    "d25_top_percent", "e9_distribution_windows", "g5_union_distinct",
+    "sim4_knn_ivf",
+    # -- plan rewritten after their only green check (r1); re-green the
+    #    current plans (VERDICT r2 / ADVICE: treat plan-changed as unchecked)
+    "c3_left_join_count", "c4_left_join_residual_on",
+    # -- plan/semantics changed this round (dd1 fingerprint-key shuffle,
+    #    dd3 hot-shingle cap, px5 integer division — px5 above already)
+    "dd1_exact_dedup", "dd3_ngram_jaccard_pairs",
+    # -- oldest surviving evidence (green r1 only, unchecked since)
+    "dd2_fingerprint_stats", "dd4_minhash_lsh_pairs", "dd5_simhash",
+    "d14_exact_percentiles", "d16_pivot", "h19_json_extract",
+    "i9_sessionization", "tx1_token_count", "tx2_quality_score",
+    "tx3_language_guess", "tx4_fingerprint", "tx5_chunk_documents",
+    "a5_generate_series", "c7_anti_join", "i3_latest_state_per_key",
+    "i5_tumbling_window_agg", "i8_change_volume", "i8_recent_changes",
+    "b1_project_filter", "h10_datediff_year",
 ]
 
 

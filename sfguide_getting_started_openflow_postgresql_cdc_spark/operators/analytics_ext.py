@@ -568,7 +568,7 @@ def h21_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END
              AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT n_chars,
              {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 10)} AS h
@@ -604,8 +604,8 @@ def px2_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_total,
            COUNT(CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 10
                  THEN 1 END) AS n_sampled,
-           SUM(CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 10
-               THEN n_chars ELSE 0 END) AS sampled_chars
+           CAST(SUM(CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 10
+               THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
     FROM documents GROUP BY lang
     """,
 )

@@ -1427,7 +1427,8 @@ SHARD_TOKEN_BUDGET = 4000
              n_tokens
       FROM toks
     )
-    SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+    SELECT lang, shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
     FROM packed GROUP BY lang, shard_id
     """,
 )
@@ -1448,11 +1449,14 @@ def px5_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", words.cast("long").alias("n_tokens")
     )
-    packed = toks.select(
+    # `div` = exact integer division, matching DuckDB's `//` bit-for-bit:
+    # a double-divide-then-cast can land in the wrong bucket once the
+    # running sum exceeds ~2^41 (doubles stop being exact integers there)
+    packed = toks.withColumn("run_sum", F.sum("n_tokens").over(w)).select(
         "lang",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
-        .cast("long")
-        .alias("shard_id"),
+        F.expr(f"(run_sum - n_tokens) div {SHARD_TOKEN_BUDGET}").alias(
+            "shard_id"
+        ),
         "n_tokens",
     )
     return packed.groupBy("lang", "shard_id").agg(
@@ -1468,9 +1472,10 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
     "tx9_stopword_profile",
     oracle=f"""
     SELECT lang,
-           SUM(len(list_filter(string_split(lower(text), ' '),
-                   x -> x IN {STOPWORDS!r}))) AS n_stopwords,
-           SUM(len(string_split(lower(text), ' '))) AS n_tokens,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN {STOPWORDS!r}))) AS BIGINT) AS n_stopwords,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens,
            CAST(SUM(len(list_filter(string_split(lower(text), ' '),
                         x -> x IN {STOPWORDS!r}))) AS DOUBLE)
              / SUM(len(string_split(lower(text), ' '))) AS stopword_ratio

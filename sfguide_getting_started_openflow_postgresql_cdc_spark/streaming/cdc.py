@@ -374,6 +374,18 @@ class ReplicaStore:
         return snapshot_rows.unionByName(live)
 
 
+class ConsistentSnapshot(dict):
+    """``dict[table -> DataFrame]`` from ``CdcEngine.consistent_snapshot``,
+    annotated with the common ``watermark`` it was pinned to and the set of
+    table names that could not be served at that watermark and ``fallbacks``
+    to their current version instead (empty = strictly consistent)."""
+
+    def __init__(self, frames: dict, watermark: int, fallbacks: Iterable[str] = ()):
+        super().__init__(frames)
+        self.watermark = watermark
+        self.fallbacks = frozenset(fallbacks)
+
+
 class CdcEngine:
     """Snapshot + incremental CDC maintenance for a set of keyed tables."""
 
@@ -773,8 +785,11 @@ class CdcEngine:
 
     # -- cross-table consistent reads ----------------------------------------------
     def consistent_snapshot(
-        self, spark: SparkSession, tables: Iterable[str] | None = None
-    ) -> dict[str, DataFrame]:
+        self,
+        spark: SparkSession,
+        tables: Iterable[str] | None = None,
+        on_gap: str = "fallback",
+    ) -> "ConsistentSnapshot":
         """Read ALL tables at one common watermark — the newest sequence
         number every table has fully applied (tables advance their
         watermarks independently, so 'current' reads taken mid-batch can
@@ -784,16 +799,33 @@ class CdcEngine:
         The global event sequence is totally ordered across tables, so
         'every table at watermark <= W' is a transactionally consistent
         prefix of the change stream. Retention (``keep_versions``)
-        bounds how far the per-table versions can drift; with the
-        default 2, tables more than one sync interval apart fall back
-        to the common current state or raise."""
+        bounds how far the per-table versions can drift; when a table's
+        retained versions are ALL above the common watermark (it drifted
+        more than retention covers), behavior follows ``on_gap``:
+
+        - ``"fallback"`` (default): read that table's CURRENT version and
+          record its name in the returned snapshot's ``fallbacks`` — the
+          caller sees exactly which tables broke strict consistency;
+        - ``"raise"``: propagate the FileNotFoundError (strict mode).
+
+        Returns a ``ConsistentSnapshot`` — a plain ``dict[table ->
+        DataFrame]`` carrying ``.watermark`` and ``.fallbacks``."""
+        if on_gap not in ("fallback", "raise"):
+            raise ValueError(f"on_gap must be 'fallback' or 'raise', got {on_gap!r}")
         names = list(tables or self.tables)
         common = min(self.store.watermark(t) for t in names)
         out = {}
+        fallbacks = []
         for t in names:
-            v = self.store.version_at_watermark(t, common)
+            try:
+                v = self.store.version_at_watermark(t, common)
+            except FileNotFoundError:
+                if on_gap == "raise":
+                    raise
+                fallbacks.append(t)
+                v = None  # newest retained version
             out[t] = self.store.read(spark, t, version=v)
-        return out
+        return ConsistentSnapshot(out, watermark=common, fallbacks=fallbacks)
 
     # -- disaster recovery: replica from journal ----------------------------------
     def rebuild_replica(
@@ -912,9 +944,14 @@ class CdcEngine:
     ) -> dict:
         """Bound journal growth: events newer than ``retain_after_seq``
         are kept verbatim (full SCD2 fidelity for the retention window);
-        older history collapses to the LATEST event per key, so
-        latest-state reads, replica rebuilds, and the version guard keep
-        working while intermediate pre-horizon versions are dropped.
+        older WELL-FORMED history collapses to the LATEST event per key,
+        so latest-state reads, replica rebuilds, and the version guard
+        keep working while intermediate pre-horizon versions are dropped.
+        Malformed events (NULL PK or unknown op) are excluded from the
+        collapse and kept verbatim regardless of age — ``quarantine()``
+        promises the journal preserves them for post-hoc inspection, and
+        a latest-per-key window would otherwise fold every NULL-PK row
+        into one arbitrary survivor.
 
         An append-only journal otherwise grows with total change volume
         forever — at 100 TB scale compaction is what keeps the journal a
@@ -922,33 +959,43 @@ class CdcEngine:
         the pre-horizon slice (shuffles on the PK, the same key layout as
         every other per-key operator).
 
-        Local-FS swap is write-tmp -> delete -> rename (a crash between
-        the last two steps loses no data newer than the horizon but can
-        require re-running compaction; a distributed deployment would
-        swap a file manifest instead, as the replica pointer does).
+        Local-FS swap is write-tmp -> rename-old-aside -> rename-tmp-in
+        -> delete-old: both full datasets exist on disk until the new
+        journal is in place, so a crash at any step loses nothing (a
+        leftover ``__old``/``__compacting`` dir is cleaned up on the next
+        run; a distributed deployment would swap a file manifest instead,
+        as the replica pointer does).
 
         Returns ``{"before": n, "after": n, "horizon": seq}``.
         """
         pk = self.primary_keys[table]
         j = self.store.read_journal(spark, table, dedup=True, pk=pk)
-        old_slice = j.filter(F.col("seq_no") <= retain_after_seq)
-        recent = j.filter(F.col("seq_no") > retain_after_seq)
+        well_formed = F.col(pk).isNotNull() & F.col("op").isin("I", "U", "D")
+        quarantined = j.filter(~well_formed)  # kept verbatim, any age
+        good = j.filter(well_formed)
+        old_slice = good.filter(F.col("seq_no") <= retain_after_seq)
+        recent = good.filter(F.col("seq_no") > retain_after_seq)
         w = Window.partitionBy(pk).orderBy(F.col("seq_no").desc())
         latest_old = (
             old_slice.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        compacted = latest_old.unionByName(recent)
+        compacted = latest_old.unionByName(recent).unionByName(quarantined)
         if self.write_partitions:
             compacted = compacted.coalesce(self.write_partitions)
 
         jdir = self.store.journal_path(table)
-        before = spark.read.parquet(jdir).count()
         tmp = jdir + "__compacting"
+        old = jdir + "__old"
+        for stale in (tmp, old):  # crash debris from a prior attempt
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        before = spark.read.parquet(jdir).count()
         compacted.write.mode("overwrite").parquet(tmp)  # materialize first
-        shutil.rmtree(jdir)
+        os.rename(jdir, old)
         os.rename(tmp, jdir)
+        shutil.rmtree(old)
         after = spark.read.parquet(jdir).count()
         return {"before": before, "after": after, "horizon": retain_after_seq}
 

@@ -103,7 +103,13 @@ class IncrementalGroupCount:
         ]
         if not buckets:
             return spark.createDataFrame(
-                [], T.StructType([T.StructField("grp", self._grp_type)])
+                [],
+                T.StructType(
+                    [
+                        T.StructField("grp", self._grp_type),
+                        T.StructField("cnt", T.LongType()),
+                    ]
+                ),
             )
         part = self.engine.store.read_buckets(spark, self.table, buckets)
         rows = part.join(F.broadcast(keys), on=self.pk, how="left_semi").filter(
@@ -124,45 +130,56 @@ class IncrementalGroupCount:
             events = self.engine.project_after(events, self.table)
         events = events.filter(F.col(self.pk).isNotNull())
         keys = events.select(self.pk).distinct().cache()
+        tmp_before = os.path.join(self.path, f".before-{uuid.uuid4().hex[:8]}")
         try:
-            before = self._group_state_for_keys(spark, keys).collect()
+            # The before-state must be MATERIALIZED (written out) before the
+            # merge rewrites the underlying buckets — a lazy DataFrame would
+            # re-read post-merge files and difference the batch against
+            # itself. The write is group-cardinality rows, not data-scale.
+            self._group_state_for_keys(spark, keys).write.mode(
+                "overwrite"
+            ).parquet(tmp_before)
             self.engine.merge_batch(spark, self.table, events, sync_ts=sync_ts)
-            after = self._group_state_for_keys(spark, keys).collect()
+            before = spark.read.parquet(tmp_before)
+            after = self._group_state_for_keys(spark, keys)
+            # Cluster-side delta: union the negated before-contribution with
+            # the after-contribution and let groupBy fold them. groupBy treats
+            # NULL as an ordinary group, so NULL-group rows difference
+            # correctly (no driver-side dict, no collect of group state).
+            delta = (
+                before.select("grp", (-F.col("cnt")).alias("d"))
+                .unionByName(after.select("grp", F.col("cnt").alias("d")))
+                .groupBy("grp")
+                .agg(F.sum("d").alias("d"))
+                .filter(F.col("d") != 0)
+                .cache()
+            )
+            try:
+                if delta.isEmpty():
+                    return
+                mv = self.read(spark)
+                # eqNullSafe: a plain equi-join never matches NULL keys, which
+                # would leave two diverging NULL-group rows in the store.
+                merged = (
+                    mv.join(
+                        delta, mv["grp"].eqNullSafe(delta["grp"]), "full_outer"
+                    )
+                    .select(
+                        F.coalesce(mv["grp"], delta["grp"]).alias("grp"),
+                        (
+                            F.coalesce(mv["n"], F.lit(0))
+                            + F.coalesce(delta["d"], F.lit(0))
+                        ).alias("n"),
+                    )
+                    .filter(F.col("n") != 0)
+                )
+                self._write(merged)
+            finally:
+                delta.unpersist()
         finally:
             keys.unpersist()
-        delta: dict = {}
-        for r in before:
-            delta[r["grp"]] = delta.get(r["grp"], 0) - r["cnt"]
-        for r in after:
-            delta[r["grp"]] = delta.get(r["grp"], 0) + r["cnt"]
-        delta = {g: d for g, d in delta.items() if d != 0}
-        if not delta:
-            return
-        # group-cardinality merge: stored MV + delta rows, drop zeros.
-        # collect() on group-cardinality rows is bounded (the number of
-        # DISTINCT groups touched by one batch), not data-scale.
-        delta_df = spark.createDataFrame(
-            [(g, int(d)) for g, d in delta.items()],
-            T.StructType(
-                [
-                    T.StructField("grp", self._grp_type),
-                    T.StructField("d", T.LongType()),
-                ]
-            ),
-        )
-        merged = (
-            self.read(spark)
-            .join(delta_df, on="grp", how="full_outer")
-            .select(
-                "grp",
-                (
-                    F.coalesce(F.col("n"), F.lit(0))
-                    + F.coalesce(F.col("d"), F.lit(0))
-                ).alias("n"),
-            )
-            .filter(F.col("n") != 0)
-        )
-        self._write(merged)
+            if os.path.exists(tmp_before):
+                shutil.rmtree(tmp_before)
 
     # -- streaming wrapper ---------------------------------------------------
     def start_stream(

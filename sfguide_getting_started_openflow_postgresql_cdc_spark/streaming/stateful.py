@@ -99,87 +99,10 @@ def start_running_user_stats(
     return writer.start()
 
 
-def _make_stats_processor():
-    """transformWithState processor built inside a factory so cloudpickle
-    ships the CLASS by value (a module-level class pickles by reference
-    and breaks on workers without this package on their path)."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    class RunningUserStats(StatefulProcessor):
-        def init(self, handle):
-            import pyspark.sql.types as T
-
-            self._state = handle.getValueState(
-                "stats",
-                T.StructType(
-                    [
-                        T.StructField("n_events", T.LongType()),
-                        T.StructField("total_value", T.DoubleType()),
-                        T.StructField("n_batches", T.LongType()),
-                    ]
-                ),
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            n, total, batches = (
-                self._state.get() if self._state.exists() else (0, 0.0, 0)
-            )
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].fillna(0.0).sum())
-            batches += 1
-            self._state.update((n, total, batches))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [total],
-                    "n_batches": [batches],
-                }
-            )
-
-        def close(self):
-            pass
-
-    return RunningUserStats()
-
-
-def start_running_user_stats_tws(
-    spark: SparkSession,
-    source_dir: str,
-    checkpoint_dir: str,
-    query_name: str = "user_stats_tws",
-    max_files_per_trigger: int = 1,
-    available_now: bool = True,
-):
-    """The same running per-user stats on the ``transformWithState``
-    API (Spark 4.x successor to ``applyInPandasWithState``): explicit
-    state variables with TTL support, timers, and composite state —
-    this operator uses one ValueState, mirroring the legacy twin so the
-    two implementations are comparable row-for-row. Requires the
-    RocksDB state store provider (the feature's only supported backend)
-    plus ``google.protobuf`` for the state-server protocol — the test
-    suite skips when protobuf is absent (the legacy twin carries the
-    semantics either way)."""
-    stream = (
-        spark.readStream.schema(EVENTS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-    stats = stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_make_stats_processor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    writer = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+# NOTE: a transformWithStateInPandas twin of running_user_stats existed
+# here through round 3, but the API's state-server protocol requires the
+# google.protobuf runtime (pyspark ships only generated stubs), which
+# this environment cannot provide — so the twin could never be executed,
+# only skipped. Rather than ship a permanently-unverified operator, the
+# twin was removed; ``start_running_user_stats`` above expresses the
+# identical semantics on applyInPandasWithState and is fully tested.

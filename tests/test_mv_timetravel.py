@@ -137,6 +137,68 @@ def test_mv_out_of_order_batches(spark, tmp_path):
     assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {"z": 1}
 
 
+def test_mv_null_group_rows(spark, tmp_path):
+    """NULL is an ordinary group: inserts/updates/deletes of NULL-grp rows
+    must merge into ONE NULL-group MV row (the delta join is null-safe)."""
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, None), (2, "a")])
+    mv = IncrementalGroupCount(eng, "t", "grp", str(tmp_path / "mv"))
+    mv.initialize(spark)
+    assert {r["grp"]: r["n"] for r in mv.read(spark).collect()} == {None: 1, "a": 1}
+
+    # insert another NULL-grp row: must fold into the existing NULL row,
+    # not create a second one
+    mv.merge_batch(spark, _events(spark, [(1, "I", 3, None)]))
+    _assert_mv_consistent(spark, mv, eng)
+    got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+    assert got == {None: 2, "a": 1}
+    assert mv.read(spark).count() == 2  # ONE null row, not two
+
+    # move a row INTO the NULL group and one OUT of it, same batch
+    mv.merge_batch(spark, _events(spark, [(2, "U", 2, None), (3, "U", 1, "b")]))
+    _assert_mv_consistent(spark, mv, eng)
+    got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+    assert got == {None: 2, "b": 1}
+
+    # delete a NULL-grp row; repeated batches stay consistent (no compounding)
+    mv.merge_batch(spark, _events(spark, [(4, "D", 2, None)]))
+    _assert_mv_consistent(spark, mv, eng)
+    mv.merge_batch(spark, _events(spark, [(5, "I", 4, None), (6, "D", 4, None)]))
+    _assert_mv_consistent(spark, mv, eng)
+    got = {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+    assert got == {None: 1, "b": 1}
+
+
+def test_mv_wide_batch_many_groups(spark, tmp_path):
+    """A single batch touching ~10^4 distinct groups stays cluster-side and
+    correct — the delta is a DataFrame fold, never a driver-side dict."""
+    import inspect
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming import mv as mv_mod
+
+    # apply-path guard: no collect() of group state (the only collect in the
+    # module is the bounded bucket-id listing)
+    src = inspect.getsource(mv_mod.IncrementalGroupCount.merge_batch)
+    assert ".collect()" not in src
+
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(0, "seed")])
+    mv = IncrementalGroupCount(eng, "t", "grp", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    n = 10_000
+    env = [
+        (1, "2024-01-01 00:01:00", "t", "I", {"id": str(i), "grp": f"g{i}"})
+        for i in range(1, n + 1)
+    ]
+    mv.merge_batch(spark, spark.createDataFrame(env, ENVELOPE))
+    got = mv.read(spark)
+    assert got.count() == n + 1
+    assert got.agg(F.sum("n")).collect()[0][0] == n + 1
+    # spot-check + full consistency
+    _assert_mv_consistent(spark, mv, eng)
+
+
 # -- schema evolution ------------------------------------------------------
 
 
@@ -270,6 +332,107 @@ def test_quarantine_surfaces_malformed_events(spark, tmp_path):
     # the good event applied; neither malformed one reached the replica
     state = {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()}
     assert state == {1: "b"}
+
+
+def test_compaction_preserves_quarantined_events_verbatim(spark, tmp_path):
+    """compact_journal collapses pre-horizon history per key, but
+    malformed events (NULL PK / unknown op) must survive VERBATIM — the
+    quarantine() contract — and never fold into one arbitrary NULL-key
+    survivor."""
+    eng = _mk_engine(tmp_path / "w")
+    _bootstrap(spark, eng, [(1, "a")])
+    env = [
+        (1, "2024-01-01 00:01:00", "t", "U", {"id": "1", "grp": "b"}),      # good
+        (2, "2024-01-01 00:02:00", "t", "I", {"id": "oops", "grp": "c"}),   # bad PK
+        (3, "2024-01-01 00:03:00", "t", "X", {"id": "2", "grp": "d"}),      # bad op
+        (4, "2024-01-01 00:04:00", "t", "I", {"id": "nope", "grp": "e"}),   # bad PK
+        (5, "2024-01-01 00:05:00", "t", "U", {"id": "1", "grp": "f"}),      # good
+        (6, "2024-01-01 00:06:00", "t", "U", {"id": "1", "grp": "g"}),      # good
+    ]
+    eng.apply_envelope_batch(spark, spark.createDataFrame(env, ENVELOPE))
+    before_q = {
+        (r["seq_no"], r["op"], r["grp"])
+        for r in eng.quarantine(spark, "t").collect()
+    }
+    assert len(before_q) == 3  # seqs 2, 3, 4
+
+    # compact with the horizon PAST every malformed event
+    stats = eng.compact_journal(spark, "t", retain_after_seq=5)
+    assert stats["after"] < stats["before"]
+
+    after_q = {
+        (r["seq_no"], r["op"], r["grp"])
+        for r in eng.quarantine(spark, "t").collect()
+    }
+    assert after_q == before_q  # all three, verbatim — not one survivor
+
+    # well-formed pre-horizon history still collapsed to latest-per-key
+    j = eng.store.read_journal(spark, "t", dedup=True, pk="id")
+    good_old = j.filter(
+        (F.col("seq_no") <= 5) & F.col("id").isNotNull()
+        & F.col("op").isin("I", "U", "D")
+    ).collect()
+    assert sorted(r["seq_no"] for r in good_old) == [5]  # latest per key only
+    # post-horizon slice verbatim, latest state intact
+    assert [r["seq_no"] for r in j.filter(F.col("seq_no") > 5).collect()] == [6]
+
+
+def test_consistent_snapshot_falls_back_with_flag(spark, tmp_path):
+    """When one table's retained versions are ALL above the common
+    watermark, the snapshot succeeds with that table read at current and
+    flagged in .fallbacks; on_gap='raise' keeps strict behavior."""
+    two = {"t": SCHEMA, "u": SCHEMA}
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w"), keep_versions=2),
+        tables=two,
+        primary_keys={"t": "id", "u": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    eng.bootstrap(
+        spark,
+        {
+            "t": spark.createDataFrame([(1, "a")], SCHEMA),
+            "u": spark.createDataFrame([(1, "x")], SCHEMA),
+        },
+        "2024-01-01 00:00:00",
+        journal_snapshot=False,
+    )
+
+    def env(seq, table, val):
+        return spark.createDataFrame(
+            [(seq, f"2024-01-01 00:{seq:02d}:00", table, "U",
+              {"id": "1", "grp": val})],
+            ENVELOPE,
+        )
+
+    # 't' races ahead: with keep_versions=2 only versions at watermarks
+    # 3 and 4 survive — both ABOVE the common watermark ('u' is still at
+    # its bootstrap watermark -1)
+    eng.merge_batch(spark, "t", env(1, "t", "a1"))
+    eng.merge_batch(spark, "t", env(2, "t", "a2"))
+    eng.merge_batch(spark, "t", env(3, "t", "a3"))
+    eng.merge_batch(spark, "t", env(4, "t", "a4"))
+    assert eng.store.watermark("t") == 4 and eng.store.watermark("u") == -1
+
+    snap = eng.consistent_snapshot(spark)
+    assert snap.watermark == -1
+    assert snap.fallbacks == {"t"}
+    assert {r["id"]: r["grp"] for r in snap["t"].collect()} == {1: "a4"}  # current
+    assert {r["id"]: r["grp"] for r in snap["u"].collect()} == {1: "x"}
+
+    with pytest.raises(FileNotFoundError):
+        eng.consistent_snapshot(spark, on_gap="raise")
+    with pytest.raises(ValueError, match="on_gap"):
+        eng.consistent_snapshot(spark, on_gap="maybe")
+
+    # no drift -> strictly consistent, no flags
+    eng.merge_batch(spark, "u", env(5, "u", "x5"))
+    eng.merge_batch(spark, "u", env(6, "u", "x6"))
+    # u retains watermarks {5,6}; t retains {3,4}; common=4 -> t@4, u has
+    # nothing <= 4 retained... so u falls back this time
+    snap2 = eng.consistent_snapshot(spark)
+    assert snap2.watermark == 4 and snap2.fallbacks == {"u"}
 
 
 # -- crash safety & snapshot isolation -------------------------------------

@@ -76,48 +76,3 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert stream_ids == batch_ids
 
 
-def test_transform_with_state_matches_legacy_api(spark, tmp_path):
-    """The transformWithState implementation must produce the same
-    final per-user state as the applyInPandasWithState twin.
-
-    Gated: the API's state-server protocol needs google.protobuf
-    (pyspark ships only the generated stubs); environments without it
-    skip — the legacy-API twin above still covers the semantics."""
-    pytest.importorskip("google.protobuf.descriptor")
-    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.stateful import (
-        start_running_user_stats_tws,
-    )
-
-    events = load_table(spark, "/root/testdata/sf0.001", "events")
-    src = str(tmp_path / "stream_src")
-    events.repartition(3).write.parquet(src, mode="overwrite")
-
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        q = start_running_user_stats_tws(
-            spark, src, checkpoint_dir=str(tmp_path / "ck_tws"), query_name="ustats_tws"
-        )
-        q.awaitTermination(180)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-
-    out = spark.sql("SELECT * FROM ustats_tws")
-    final = {r["user_id"]: r for r in out.orderBy("user_id", "n_events").collect()}
-    truth = {
-        r["user_id"]: (r["n"], r["v"])
-        for r in events.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
-        .collect()
-    }
-    assert set(final) == set(truth)
-    for uid, row in final.items():
-        n, v = truth[uid]
-        assert row["n_events"] == n
-        assert abs(row["total_value"] - (v or 0.0)) < 1e-6

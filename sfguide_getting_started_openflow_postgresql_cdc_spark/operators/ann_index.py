@@ -62,26 +62,18 @@ class IvfIndex:
 
     # -- build --------------------------------------------------------------
     def build(self, spark: SparkSession, emb: DataFrame, sample_size: int = 512) -> None:
-        """Train the quantizer (seeds = lowest vec_ids + one Lloyd
-        refinement over a deterministic sample — driver-side math on a
-        k x dim matrix) and write the corpus partitioned by nearest
+        """Train the quantizer (spherical k-means over a deterministic
+        sample — ``similarity.train_ivf_centroids``, driver-side math on
+        a k x dim matrix) and write the corpus partitioned by nearest
         cell. Deterministic end-to-end: same data -> same index."""
-        import numpy as np
-
-        def _norm_rows(m):
-            return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
 
         head = emb.orderBy("vec_id").limit(max(self.n_cells, sample_size)).collect()
-        seeds = np.array([r["embedding"] for r in head[: self.n_cells]], np.float64)
-        sample = np.array([r["embedding"] for r in head], np.float64)
-        cells = (_norm_rows(sample) @ _norm_rows(seeds).T).argmax(axis=1)
-        centroids = np.stack(
-            [
-                sample[cells == i].mean(axis=0) if (cells == i).any() else seeds[i]
-                for i in range(self.n_cells)
-            ]
+        centroids_n = train_ivf_centroids(
+            [r["embedding"] for r in head], self.n_cells
         )
-        centroids_n = _norm_rows(centroids)
 
         os.makedirs(self.path, exist_ok=True)
         with open(self._centroids_path(), "w") as f:

@@ -10,9 +10,13 @@ hex->integer conversion — so every operator has an exact DuckDB oracle.
 Scale design:
 - exact/fingerprint dedup: hash-groupBy, one shuffle on the hash — the
   100 TB workhorse.
-- n-gram Jaccard (dd3) self-joins on shingles: EXACT but quadratic in
-  hot shingles; it is the correctness baseline for the MinHash path, not
-  the scale path.
+- n-gram Jaccard (dd3) self-joins on shingles: EXACT over cap-filtered
+  shingle sets (shingles appearing in more than SHINGLE_DOC_FREQ_CAP
+  docs are dropped before the join and the size counts — the oracle
+  caps identically); quadratic per surviving shingle, so it is the
+  correctness baseline for the MinHash path, not the scale path. dd4
+  verifies its candidates against the SAME capped sets, so dd4's pairs
+  and jaccard values are always a subset of dd3's.
 - MinHash+LSH (dd4): signatures are 8 per-doc aggregates (map-side
   combinable); candidate generation joins on (band, signature) buckets
   only, so work scales with collisions, not pairs. This is the operator
@@ -101,12 +105,14 @@ _SH_SQL = """
 )
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one canonical row (lowest id) per identical text.
-    Groups on md5(text) so the shuffle exchange carries a 32-char hash
-    instead of the full document body — same answer (the oracle groups
-    by raw text), hash-width network cost at corpus scale."""
+    Groups on (md5(text), length(text)) so the shuffle exchange carries
+    a 32-char hash + an int instead of the full document body — same
+    answer (the oracle groups by raw text), hash-width network cost at
+    corpus scale. The length term means a divergence from the oracle
+    would need a same-length md5 collision."""
     return (
         load_table(spark, sf_dir, "documents")
-        .groupBy(F.md5("text").alias("_fp"))
+        .groupBy(F.md5("text").alias("_fp"), F.length("text").alias("_len"))
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
@@ -261,12 +267,19 @@ def _band_exprs() -> list[tuple[str, Column]]:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {SHINGLE_DOC_FREQ_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
       FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -286,16 +299,31 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with exact Jaccard. Only bucket-colliding pairs are ever
     joined, so cost tracks true near-dups instead of all pairs.
 
+    Signatures are computed over the FULL shingle sets (banding already
+    suppresses hot shingles statistically), but verification — sizes and
+    intersections — uses the same doc-frequency-capped sets as dd3, so
+    every emitted (pair, jaccard) is exactly what dd3 would report and
+    the lsh-subset-of-exact invariant holds even when the cap bites.
+
     The shingle set feeds the signature pass and both sides of the
     verification join; it is persisted so the explode+distinct shuffle
     runs once (at cluster scale: checkpoint to storage instead).
     """
     sh = _doc_shingles(spark, sf_dir).persist()
-    sig_and_size = sh.groupBy("doc_id").agg(
-        *_minhash_sig_cols(), F.count("*").alias("n")
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    # hot shingles are FEW by definition (df > CAP needs CAP+ docs each),
+    # so drop them via a broadcast anti-join — map-side, no extra shuffle
+    # (dd3 uses a window because its self-join reuses the shingle
+    # partitioning; dd4's verification joins are keyed by doc_id, so a
+    # shingle-partitioned exchange would buy nothing here)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
+        .select("shingle")
     )
-    sig = sig_and_size
-    sizes = sig_and_size.select("doc_id", "n")
+    capped = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     bands = None
     for name, expr in _band_exprs():
         part = sig.select(
@@ -313,8 +341,9 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard (candidates are few)
-    sha, shb = sh.alias("sha"), sh.alias("shb")
+    # verify candidates with exact jaccard over the CAPPED sets
+    # (candidates are few; dd3-parity requires the capped sets)
+    sha, shb = capped.alias("sha"), capped.alias("shb")
     inter = (
         cand.join(sha, F.col("sha.doc_id") == F.col("doc_a"))
         .join(

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched pandas stages.
 
-North-star extension. The container ships no image/audio codecs, so the
-DECODE step is stubbed (``decode_media`` raises NotImplementedError
-unless a codec import succeeds); everything Spark-side is real and
-tested: binary column handling, metadata struct schema, ``mapInPandas``
-batch iteration, output schema, and partition-preserving execution.
+North-star extension. ``decode_media`` REALLY decodes 24-bit BMP and
+16-bit PCM WAV containers (pure-Python header + content parse — no
+codec dependency; see ``_make_media_decoder``); formats that need a
+codec library (PNG/JPEG/MP3/...) raise NotImplementedError. Everything
+Spark-side is real and tested: binary column handling, metadata struct
+schema, ``mapInPandas`` batch iteration, output schema, and
+partition-preserving execution.
 
 At 100 TB the pattern is: keep payloads as parquet binary columns
 (columnar compression + predicate pushdown on the metadata columns
@@ -33,18 +35,104 @@ N_HIST_BINS = 8
 FEATURE_SCHEMA = "doc_id long, kind string, n_bytes long, bin long, n_in_bin long"
 
 
-def decode_media(payload: bytes, kind: str):
-    """Real decode hook — STUB. Wire an actual codec here when the
-    runtime ships one (PIL for images, soundfile for audio, ...)."""
-    try:  # gated optional dependency
-        from PIL import Image  # noqa: F401
-    except ImportError:
+def _make_media_decoder():
+    """Pure-Python BMP/WAV decoder, built as a NESTED closure so
+    cloudpickle ships it by value into mapInPandas stages (workers never
+    import this package). Stdlib ``struct`` + numpy only — no codec
+    dependency.
+
+    Supported containers (dispatch on magic bytes):
+    - BMP: 24-bit uncompressed BITMAPINFOHEADER — header parse + full
+      pixel-array decode honoring the 4-byte row stride (padding bytes
+      excluded from the content sum);
+    - WAV: RIFF chunk walk -> ``fmt `` (16-bit PCM) + ``data`` — sample
+      decode via one vectorized int16 view, duration derived from the
+      PARSED sample rate.
+
+    Returns a dict: kind, width, height, duration_us, n_units (pixels or
+    samples), content_sum (sum of pixel bytes / sample values),
+    payload_bytes. Anything else (PNG, JPEG, MP3, ...) raises
+    NotImplementedError — real codecs are out of scope for this runtime.
+    """
+
+    def decode(payload: bytes) -> dict:
+        import struct as _struct
+
+        import numpy as _np
+
+        p = bytes(payload)
+        if p[:2] == b"BM":
+            if len(p) < 54:
+                raise ValueError("truncated BMP header")
+            file_size, _res, off = _struct.unpack_from("<III", p, 2)
+            (hdr_sz, w, h, planes, bpp, comp) = _struct.unpack_from(
+                "<IiiHHI", p, 14
+            )
+            if bpp != 24 or comp != 0:
+                raise NotImplementedError(
+                    f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+                    f"compression={comp})"
+                )
+            bottom_up = h > 0
+            h = abs(h)
+            stride = ((3 * w + 3) // 4) * 4
+            arr = _np.frombuffer(p, _np.uint8, count=stride * h, offset=off)
+            rows = arr.reshape(h, stride)[:, : 3 * w]  # drop stride padding
+            if bottom_up:
+                rows = rows[::-1]
+            return {
+                "kind": "bmp",
+                "width": w,
+                "height": h,
+                "duration_us": None,
+                "n_units": w * h,
+                "content_sum": int(rows.astype(_np.int64).sum()),
+                "payload_bytes": len(p),
+            }
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            pos, rate, bits, channels, data = 12, None, None, None, None
+            while pos + 8 <= len(p):
+                cid, sz = p[pos : pos + 4], _struct.unpack_from("<I", p, pos + 4)[0]
+                body = p[pos + 8 : pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt, channels, rate, _br, _ba, bits = _struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if fmt != 1 or bits != 16:
+                        raise NotImplementedError(
+                            f"only 16-bit PCM WAV supported (fmt={fmt}, bits={bits})"
+                        )
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if rate is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            samples = _np.frombuffer(data, "<i2")
+            n = samples.size // channels
+            return {
+                "kind": "wav",
+                "width": None,
+                "height": None,
+                "duration_us": n * 1_000_000 // rate,
+                "n_units": n,
+                "content_sum": int(samples.astype(_np.int64).sum()),
+                "payload_bytes": len(p),
+            }
         raise NotImplementedError(
-            "media decode requires a codec library (e.g. Pillow); "
-            "not available in this runtime — use byte_histogram_features "
-            "for the deterministic fake path"
+            "unsupported media container (supported: 24-bit BMP, 16-bit "
+            "PCM WAV); real codecs (PNG/JPEG/MP3/...) are not available "
+            "in this runtime"
         )
-    raise NotImplementedError("codec present but decode not implemented yet")
+
+    return decode
+
+
+def decode_media(payload: bytes, kind: str | None = None) -> dict:
+    """Decode a media payload — REAL for 24-bit BMP and 16-bit PCM WAV
+    (pure-Python header + content parse, see ``_make_media_decoder``);
+    other containers raise NotImplementedError. ``kind`` is advisory —
+    dispatch is on magic bytes."""
+    return _make_media_decoder()(payload)
 
 
 def byte_histogram_features(payload: bytes, bins: int = N_HIST_BINS) -> list[float]:
@@ -285,4 +373,187 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media_columns(docs)
     return media.select("doc_id", "payload").mapInPandas(
         _frames, schema="doc_id long, frame_idx long, n_frame_bytes long, byte_sum long"
+    )
+
+
+def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, kind, payload): deterministic REAL media
+    files — even doc_ids become 24-bit BMPs, odd ones 16-bit PCM WAVs.
+    Dimensions and content derive only from doc_id, so an SQL oracle can
+    predict exactly what the decoder must recover:
+
+    - BMP: width = doc_id%16+1, height = doc_id%8+1, channel byte at
+      (x, y, c) = (x + y + c + doc_id) % 256, rows bottom-up with 4-byte
+      stride padding (padding NOT part of the content sum);
+    - WAV: n = doc_id%50+10 samples at 8 kHz mono, sample i =
+      (doc_id*31 + i*7) % 65536 - 32768.
+
+    Runs as mapInPandas with a self-contained closure — the encode twin
+    of the decode stage, exercising real container headers end-to-end."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _bmp(doc_id: int) -> bytes:
+            w, h = doc_id % 16 + 1, doc_id % 8 + 1
+            stride = ((3 * w + 3) // 4) * 4
+            size = 54 + stride * h
+            hdr = _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+            )
+            # pixel grid: value (x + y + c + doc_id) % 256; stored rows
+            # bottom-up (y = h-1 first) with zero padding to the stride
+            x = _np.arange(w)[None, :, None]
+            y = _np.arange(h)[:, None, None]
+            c = _np.arange(3)[None, None, :]
+            px = ((x + y + c + doc_id) % 256).astype(_np.uint8)  # (h, w, 3)
+            rows = _np.zeros((h, stride), _np.uint8)
+            rows[:, : 3 * w] = px.reshape(h, 3 * w)
+            return hdr + rows[::-1].tobytes()
+
+        def _wav(doc_id: int) -> bytes:
+            n, rate = doc_id % 50 + 10, 8000
+            i = _np.arange(n, dtype=_np.int64)
+            samples = ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+            data = samples.tobytes()
+            return (
+                _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+                + _struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+                )
+                + _struct.pack("<4sI", b"data", len(data))
+                + data
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(_np.int64)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": ["bmp" if d % 2 == 0 else "wav" for d in ids],
+                    "payload": [
+                        _bmp(int(d)) if d % 2 == 0 else _wav(int(d)) for d in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, kind string, payload binary"
+    )
+
+
+@query(
+    "mm5_decoded_media_metadata",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    bmp AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM d WHERE doc_id % 2 = 0
+    ),
+    bmp_k AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS k FROM bmp
+    ),
+    bmp_sum AS (
+      SELECT doc_id,
+             SUM(((k % 3) + ((k // 3) % w) + (k // (3 * w)) + doc_id) % 256)
+                 AS s
+      FROM bmp_k GROUP BY doc_id
+    ),
+    wav AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM d WHERE doc_id % 2 = 1
+    ),
+    wav_i AS (SELECT doc_id, n, unnest(range(n)) AS i FROM wav),
+    wav_sum AS (
+      SELECT doc_id, SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS s
+      FROM wav_i GROUP BY doc_id
+    )
+    SELECT b.doc_id, 'bmp' AS kind,
+           CAST(b.w AS BIGINT) AS width,
+           CAST(b.h AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS duration_us,
+           CAST(b.w * b.h AS BIGINT) AS n_units,
+           CAST(bs.s AS BIGINT) AS content_sum,
+           CAST(54 + ((3 * b.w + 3) // 4) * 4 * b.h AS BIGINT) AS payload_bytes
+    FROM bmp b JOIN bmp_sum bs ON bs.doc_id = b.doc_id
+    UNION ALL
+    SELECT w.doc_id, 'wav',
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(w.n * 125 AS BIGINT),
+           CAST(w.n AS BIGINT),
+           CAST(ws.s AS BIGINT),
+           CAST(44 + 2 * w.n AS BIGINT)
+    FROM wav w JOIN wav_sum ws ON ws.doc_id = w.doc_id
+    """,
+)
+def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: synthesize actual BMP/WAV files
+    (container headers, stride padding, chunk alignment), then recover
+    width/height/duration/content through ``_make_media_decoder`` —
+    every output value comes from PARSING the binary payload, never from
+    the generation parameters. The oracle recomputes the same metadata
+    from the closed-form content definition, so a header-math or
+    stride/chunk-walk bug shows up as a value mismatch.
+
+    Plan shape: scan -> mapInPandas(encode) -> mapInPandas(decode),
+    partition-preserving (zero shuffles); both stages are self-contained
+    closures shipped by value. At 100 TB the encode stage is replaced by
+    reading real payload columns — the decode stage is unchanged."""
+    dec = _make_media_decoder()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "kind": [],
+                "width": [],
+                "height": [],
+                "duration_us": [],
+                "n_units": [],
+                "content_sum": [],
+                "payload_bytes": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = dec(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                for key in (
+                    "kind",
+                    "width",
+                    "height",
+                    "duration_us",
+                    "n_units",
+                    "content_sum",
+                    "payload_bytes",
+                ):
+                    out[key].append(meta[key])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(out["doc_id"], dtype="int64"),
+                    "kind": _pd.Series(out["kind"], dtype=object),
+                    "width": _pd.Series(out["width"], dtype="Int64"),
+                    "height": _pd.Series(out["height"], dtype="Int64"),
+                    "duration_us": _pd.Series(out["duration_us"], dtype="Int64"),
+                    "n_units": _pd.Series(out["n_units"], dtype="Int64"),
+                    "content_sum": _pd.Series(out["content_sum"], dtype="Int64"),
+                    "payload_bytes": _pd.Series(
+                        out["payload_bytes"], dtype="Int64"
+                    ),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payloads = synthesize_media_payloads(docs)
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, kind string, width long, height long, "
+            "duration_us long, n_units long, content_sum long, "
+            "payload_bytes long"
+        ),
     )

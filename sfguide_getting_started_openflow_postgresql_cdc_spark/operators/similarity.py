@@ -324,13 +324,52 @@ def sim2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_IVF_CELLS = 16
 N_PROBE = 4
+IVF_LLOYD_ITERS = 5
+
+
+def train_ivf_centroids(sample, n_cells: int, n_iters: int = IVF_LLOYD_ITERS):
+    """Spherical k-means quantizer: seeds = the first ``n_cells`` sample
+    rows, then ``n_iters`` Lloyd passes over the (normalized) sample —
+    assign by max dot product, recompute means, keep the previous
+    centroid for any emptied cell. Deterministic (no RNG): same sample
+    -> same quantizer, which keeps the IVF operators replayable.
+
+    Driver-side numpy on a sample x dim matrix — the sample is a few
+    hundred rows regardless of corpus size (at 100 TB you'd lift the
+    sample with ``df.limit``/TABLESAMPLE exactly the same way; only the
+    assignment of the CORPUS is distributed).
+
+    Returns the row-normalized centroid matrix (n_cells x dim).
+    """
+    import numpy as np
+
+    def _norm_rows(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    sample = np.asarray(sample, dtype=np.float64)
+    sn = _norm_rows(sample)
+    centroids_n = _norm_rows(sample[:n_cells].copy())
+    for _ in range(n_iters):
+        cells = (sn @ centroids_n.T).argmax(axis=1)
+        centroids_n = _norm_rows(
+            np.stack(
+                [
+                    sn[cells == i].mean(axis=0)
+                    if (cells == i).any()
+                    else centroids_n[i]
+                    for i in range(n_cells)
+                ]
+            )
+        )
+    return centroids_n
 
 
 @query("sim4_knn_ivf")  # rows-only: kmeans assignment is engine-side
 def sim4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path.
 
-    1. Train: one Lloyd iteration from deterministic seed vectors gives
+    1. Train: spherical k-means ({IVF_LLOYD_ITERS} Lloyd passes over a
+       deterministic 512-row sample, ``train_ivf_centroids``) gives
        {N_IVF_CELLS} centroids (driver-side math on a tiny k x dim
        matrix; corpus assignment is a vectorized Arrow-batched pandas UDF
        — numpy matmul per batch, no per-row Python).
@@ -344,31 +383,11 @@ def sim4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # --- train: seeds = the 16 lowest vec_ids, one Lloyd refinement ----
-    seeds = np.array(
-        [
-            r["embedding"]
-            for r in emb.orderBy("vec_id").limit(N_IVF_CELLS).collect()
-        ],
-        dtype=np.float64,
-    )
-    sample = np.array(
-        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
-        dtype=np.float64,
-    )
-
-    def _norm(m):
-        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-
-    assign = _norm(sample) @ _norm(seeds).T
-    cells = assign.argmax(axis=1)
-    centroids = np.stack(
-        [
-            sample[cells == i].mean(axis=0) if (cells == i).any() else seeds[i]
-            for i in range(N_IVF_CELLS)
-        ]
-    )
-    centroids_n = _norm(centroids)
+    # --- train: spherical k-means over a deterministic 512-row sample --
+    sample = [
+        r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()
+    ]
+    centroids_n = train_ivf_centroids(sample, N_IVF_CELLS)
 
     # --- index: vectorized cell assignment (closure ships by value) ----
     cn = centroids_n.tolist()

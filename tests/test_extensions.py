@@ -27,6 +27,74 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert len(lsh) >= len(exact) * 0.5  # banding recall at threshold
 
 
+def test_shingle_cap_bites_and_parity_holds(spark, tmp_path):
+    """Fixture where SHINGLE_DOC_FREQ_CAP actually fires: 60 docs share a
+    boilerplate 3-gram (df=60 > cap=50), two of them are near-dups. The
+    capped jaccard must differ from the uncapped one (the cap bites), the
+    Spark results must equal their DuckDB oracles on this data, and dd4
+    must stay a subset of dd3 with identical values."""
+    import glob as _glob
+
+    import duckdb
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import ORACLES
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        SHINGLE_DOC_FREQ_CAP,
+    )
+    from tests.oracle_harness import rows_to_canonical
+
+    boiler = "common boiler plate"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c", "en", "synth", 0)
+        for i in range(1, 59)
+    ]
+    tail = "alpha beta gamma delta epsilon zeta eta"
+    rows.append((59, f"{boiler} {tail} theta", "en", "synth", 0))
+    rows.append((60, f"{boiler} {tail} iota", "en", "synth", 0))
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    files = _glob.glob(f"{sf_dir}/documents.parquet/*.parquet")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet({files!r})"
+    )
+    # the cap genuinely fires on this fixture
+    df_max = con.execute(
+        """WITH sh AS (
+             SELECT DISTINCT doc_id,
+                    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+                          unnest(range(greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0))) AS i
+                   FROM documents))
+           SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM sh GROUP BY shingle)"""
+    ).fetchone()[0]
+    assert df_max > SHINGLE_DOC_FREQ_CAP
+
+    for name in ("dd3_ngram_jaccard_pairs", "dd4_minhash_lsh_pairs"):
+        sdf = QUERIES[name](spark, sf_dir)
+        got = rows_to_canonical(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        res = con.execute(ORACLES[name])
+        want = rows_to_canonical(
+            [d[0] for d in res.description], res.fetchall()
+        )
+        assert got == want, f"{name} diverged from its oracle under the cap"
+
+    exact = _pairs(QUERIES["dd3_ngram_jaccard_pairs"](spark, sf_dir))
+    lsh_rows = QUERIES["dd4_minhash_lsh_pairs"](spark, sf_dir).collect()
+    assert (59, 60) in exact
+    assert {(r["doc_a"], r["doc_b"]) for r in lsh_rows}.issubset(exact)
+    # docs 59/60: 9 shingles each, 8 shared; the capped sets drop the
+    # boilerplate shingle -> 7 shared / (8 + 8 - 7) = 7/9, where the
+    # uncapped value would be 8 / (9 + 9 - 8) = 0.8 — the cap bites.
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in lsh_rows}
+    if (59, 60) in jac:  # LSH banding is deterministic; subset may skip it
+        assert abs(jac[(59, 60)] - 7 / 9) < 1e-12
+        assert abs(jac[(59, 60)] - 8 / 10) > 1e-3  # cap changed the value
+
+
 def test_simhash_near_dups_close_in_hamming(spark):
     """Known near-dup pairs should have small simhash hamming distance
     relative to random pairs."""
@@ -97,7 +165,10 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     ivf_pairs = {(r["query_id"], r["neighbor_id"]): r["similarity"] for r in ivf}
     assert ivf_pairs, "IVF returned nothing"
     overlap = set(bf_pairs) & set(ivf_pairs)
-    assert len(overlap) >= 0.25 * len(bf_pairs), (len(overlap), len(bf_pairs))
+    # spherical-k-means quantizer (5 Lloyd passes) measures 0.84 on this
+    # fixture; gate at 0.6 to allow fixture drift without masking a
+    # regression to the pre-refinement quantizer (~0.25-0.5)
+    assert len(overlap) >= 0.6 * len(bf_pairs), (len(overlap), len(bf_pairs))
     for k in overlap:
         assert ivf_pairs[k] == bf_pairs[k]  # exact cosine, bit-identical
 
@@ -126,8 +197,54 @@ def test_byte_histogram_deterministic():
 
 
 def test_decode_stub_is_gated():
+    """Codec-requiring formats still raise — the honest-incompleteness
+    gate survives the real BMP/WAV decoder."""
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF\x00\x00\x00\x00AVI ", "video/avi")
+
+
+def test_decode_media_real_bmp_and_wav():
+    """decode_media parses REAL container bytes: header fields, BMP row
+    stride (padding excluded from content), WAV chunk walk + word
+    alignment, duration from the parsed rate."""
+    import struct
+
+    import numpy as np
+
+    # hand-build a 2x2 24-bit BMP, bottom-up, stride 8 (2 pad bytes/row)
+    w, h, stride = 2, 2, 8
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    # rows bottom-up: logical row1 = [7,8,9,10,11,12], row0 = [1..6]
+    pix = bytes([7, 8, 9, 10, 11, 12, 255, 255, 1, 2, 3, 4, 5, 6, 255, 255])
+    meta = decode_media(hdr + pix)
+    assert (meta["kind"], meta["width"], meta["height"]) == ("bmp", 2, 2)
+    assert meta["n_units"] == 4 and meta["duration_us"] is None
+    assert meta["content_sum"] == sum(range(1, 13))  # pad 255s excluded
+    assert meta["payload_bytes"] == 54 + 16
+
+    # WAV with an ODD-sized junk chunk before fmt/data (alignment walk)
+    samples = np.array([100, -200, 300], "<i2")
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+        + struct.pack("<4sI", b"junk", 3) + b"abc\x00"  # padded to word
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", 6) + samples.tobytes()
+    )
+    meta = decode_media(wav)
+    assert (meta["kind"], meta["n_units"]) == ("wav", 3)
+    assert meta["width"] is None and meta["height"] is None
+    assert meta["duration_us"] == 3 * 1_000_000 // 8000
+    assert meta["content_sum"] == 200
+
+    # corrupt/unsupported variants stay loud
+    with pytest.raises(NotImplementedError):
+        decode_media(hdr[:28] + struct.pack("<H", 8) + hdr[30:] + pix)  # 8bpp
+    with pytest.raises(ValueError):
+        decode_media(b"BM" + b"\x00" * 20)  # truncated header
 
 
 def test_arrow_paths_bit_identical_to_folds(spark):

@@ -181,6 +181,77 @@ class SemanticModel:
         return SemanticModel(d["name"], tables, rels, d.get("description", ""))
 
 
+def load_reference_yaml(path: str) -> SemanticModel:
+    """Parse the REFERENCE's Cortex-Analyst semantic-model YAML
+    (semantic-models/healthcare_cdc_semantic_model.yaml:1-649) into a
+    ``SemanticModel`` — the interop path: a user can point this engine at
+    the exact artifact they upload to the reference's stage.
+
+    Mapping notes:
+    - dimensions / time_dimensions / facts sections -> ColumnSpec.kind;
+    - primary_key.columns are uppercased in the artifact (warehouse
+      identifier folding) -> lowercased to match the source schema;
+    - relationship_columns may be written fact-side-first OR dim-side-
+      first in the artifact (e.g. ``visits_to_appointments`` has
+      ``left_table: appointments``); the relationship NAME ``A_to_B`` is
+      the normative orientation (A = many side), so sides are swapped to
+      match it when needed;
+    - verified_queries carry warehouse SQL, not DataFrame builders ->
+      kept verbatim on ``model.reference_verified_sql`` (name -> sql);
+      the executable builder twins live in ``healthcare_model()``.
+    """
+    import yaml  # vendored with pyspark's deps; gate anyway
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+
+    kinds = (
+        ("dimensions", "dimension"),
+        ("time_dimensions", "time_dimension"),
+        ("facts", "fact"),
+    )
+    tables = []
+    for t in d.get("tables", []):
+        cols = [
+            ColumnSpec(
+                c["name"],
+                kind,
+                list(c.get("synonyms") or []),
+                str(c.get("description", "")).strip(),
+            )
+            for section, kind in kinds
+            for c in t.get(section) or []
+        ]
+        pk_cols = (t.get("primary_key") or {}).get("columns") or []
+        tables.append(
+            TableSpec(
+                t["name"],
+                pk_cols[0].lower() if pk_cols else "",
+                cols,
+                list(t.get("synonyms") or []),
+                str(t.get("description", "")).strip(),
+            )
+        )
+
+    rels = []
+    for r in d.get("relationships", []):
+        name = r["name"]
+        lt, rt = r["left_table"], r["right_table"]
+        rc = r["relationship_columns"][0]
+        lk, rk = rc["left_column"].lower(), rc["right_column"].lower()
+        if "_to_" in name:
+            want_left = name.split("_to_")[0]
+            if lt != want_left and rt == want_left:
+                lt, rt, lk, rk = rt, lt, rk, lk
+        rels.append(Relationship(name, lt, rt, lk, rk))
+
+    model = SemanticModel(d["name"], tables, rels, str(d.get("description", "")))
+    model.reference_verified_sql = {
+        vq["name"]: vq["sql"] for vq in d.get("verified_queries", [])
+    }
+    return model
+
+
 # ---------------------------------------------------------------------------
 # The healthcare model (reference yaml:2-582, re-declared)
 # ---------------------------------------------------------------------------
@@ -217,7 +288,7 @@ def healthcare_model() -> SemanticModel:
                     _dim("city"), _dim("state"),
                     _dim("insurance_provider", "insurer", "payer"),
                     _tdim("registration_date"),
-                    _fact("patient_id"),
+                    _dim("patient_id"),
                     *meta,
                 ],
                 synonyms=["clients", "members"],
@@ -232,7 +303,7 @@ def healthcare_model() -> SemanticModel:
                     _dim("department"), _dim("phone"), _dim("email"),
                     _fact("years_of_experience", "experience"),
                     _dim("accepting_new_patients"),
-                    _fact("doctor_id"),
+                    _dim("doctor_id"),
                     *meta,
                 ],
                 synonyms=["physicians", "providers"],
@@ -242,9 +313,9 @@ def healthcare_model() -> SemanticModel:
                 "appointments",
                 "appointment_id",
                 [
-                    _fact("appointment_id"), _fact("patient_id"), _fact("doctor_id"),
+                    _dim("appointment_id"), _dim("patient_id"), _dim("doctor_id"),
                     _tdim("appointment_date", "visit date"),
-                    _dim("appointment_time", "time slot"),
+                    _tdim("appointment_time", "time slot"),
                     _dim("status", "appointment status"),
                     _dim("reason_for_visit", "reason"),
                     _dim("appointment_type", "type"),
@@ -258,8 +329,8 @@ def healthcare_model() -> SemanticModel:
                 "visits",
                 "visit_id",
                 [
-                    _fact("visit_id"), _fact("appointment_id"),
-                    _fact("patient_id"), _fact("doctor_id"),
+                    _dim("visit_id"), _dim("appointment_id"),
+                    _dim("patient_id"), _dim("doctor_id"),
                     _tdim("visit_date"),
                     _tdim("visit_start_time"), _tdim("visit_end_time"),
                     _dim("diagnosis"), _dim("treatment_notes"),

@@ -26,36 +26,62 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 )
 
 # Queries whose driver-side correctness evidence is stale or missing
-# (never checked / failed / changed / added since the last checked round)
 # run FIRST — external harnesses may verify only a prefix under a budget.
-# Keep this list at <= 50 entries and refresh it each round from the
-# latest CORRECTNESS_r{N}.json.
+# DERIVED MECHANICALLY: python tools/evidence_window.py (rule: changed
+# plan/oracle since last green row => unchecked first, then oldest
+# evidence; window = 50). Do not hand-curate — edit the script's
+# CHANGED_SINCE_GREEN and regenerate.
 _NEEDS_EVIDENCE_FIRST = [
-    # -- failed in r02 (oracle dtype fixed this round: CAST SUM AS BIGINT)
-    "px2_hash_split", "px3_stratified_sample",
-    # -- never driver-checked in any round (r01 ∪ r02)
-    "sim6_knn_graph", "dd8_semantic_dedup_groups", "px4_contamination_check",
-    "px5_shard_packing", "mm4_binary_metadata", "c10_salted_skew_join",
-    "c11_dense_grid_report", "i13_event_transitions", "tx8_word_bigrams",
-    "tx9_stopword_profile", "h23_conditional_funcs", "h24_string_functions",
-    "h25_date_parts", "h26_bit_operations", "h27_month_arithmetic",
-    "d22_multi_distinct", "d23_unpivot", "d24_value_histogram",
-    "d25_top_percent", "e9_distribution_windows", "g5_union_distinct",
-    "sim4_knn_ivf",
-    # -- plan rewritten after their only green check (r1); re-green the
-    #    current plans (VERDICT r2 / ADVICE: treat plan-changed as unchecked)
-    "c3_left_join_count", "c4_left_join_residual_on",
-    # -- plan/semantics changed this round (dd1 fingerprint-key shuffle,
-    #    dd3 hot-shingle cap, px5 integer division — px5 above already)
-    "dd1_exact_dedup", "dd3_ngram_jaccard_pairs",
-    # -- oldest surviving evidence (green r1 only, unchecked since)
-    "dd2_fingerprint_stats", "dd4_minhash_lsh_pairs", "dd5_simhash",
-    "d14_exact_percentiles", "d16_pivot", "h19_json_extract",
-    "i9_sessionization", "tx1_token_count", "tx2_quality_score",
-    "tx3_language_guess", "tx4_fingerprint", "tx5_chunk_documents",
-    "a5_generate_series", "c7_anti_join", "i3_latest_state_per_key",
-    "i5_tumbling_window_agg", "i8_change_volume", "i8_recent_changes",
-    "b1_project_filter", "h10_datediff_year",
+    "h21_regexp_extract",  # changed/new this round
+    "dd1_exact_dedup",  # changed/new this round
+    "dd4_minhash_lsh_pairs",  # changed/new this round
+    "mm5_decoded_media_metadata",  # changed/new this round
+    "sim4_knn_ivf",  # changed/new this round
+    "d15_approx_sketches",  # latest green r0
+    "b2_select_star",  # latest green r1
+    "b3_alias_expr",  # latest green r1
+    "b5_in_list",  # latest green r1
+    "b6_date_range",  # latest green r1
+    "b7_null_predicate",  # latest green r1
+    "b8_column_inequality",  # latest green r1
+    "c1_join_2way_agg",  # latest green r1
+    "c5_join_derived_table",  # latest green r1
+    "c6_semi_join",  # latest green r1
+    "d10_rate_avg_case",  # latest green r1
+    "d11_having",  # latest green r1
+    "d1_global_agg",  # latest green r1
+    "d2_groupby_single",  # latest green r1
+    "d3_tpch_q1_pricing_summary",  # latest green r1
+    "d4_groupby_expression",  # latest green r1
+    "d6_count_distinct",  # latest green r1
+    "d9_count_case_no_else",  # latest green r1
+    "dd6_embedding_cosine_dups",  # latest green r1
+    "flagship_revenue_by_nation",  # latest green r1
+    "h11_timestampdiff_minute",  # latest green r1
+    "h14_date_trunc_hour",  # latest green r1
+    "h2_h3_round_nullif",  # latest green r1
+    "mm2_media_metadata_stats",  # latest green r1
+    "b10_compound_predicate",  # latest green r2
+    "c8_scalar_subquery",  # latest green r2
+    "c9_not_exists",  # latest green r2
+    "d17_rollup",  # latest green r2
+    "d18_cube",  # latest green r2
+    "d19_exact_corr_moments",  # latest green r2
+    "d20_order_statistics",  # latest green r2
+    "d21_bool_aggregates",  # latest green r2
+    "d8_conditional_sum",  # latest green r2
+    "dd7_dedup_groups",  # latest green r2
+    "e1_pct_of_total",  # latest green r2
+    "e2_nested_agg_window",  # latest green r2
+    "e3_partitioned_window",  # latest green r2
+    "e4_listagg_distinct",  # latest green r2
+    "e5_lag_lead",  # latest green r2
+    "e6_moving_frame",  # latest green r2
+    "e7_rank_functions",  # latest green r2
+    "e8_running_total",  # latest green r2
+    "f4_topk_global",  # latest green r2
+    "f6_topk_per_group",  # latest green r2
+    "f7_pagination",  # latest green r2
 ]
 
 

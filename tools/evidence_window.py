@@ -1,0 +1,84 @@
+"""Regenerate operators/__init__.py::_NEEDS_EVIDENCE_FIRST mechanically.
+
+Rule (VERDICT r3 task 3): a query is UNCHECKED if it has no green driver
+row in any CORRECTNESS_r*.json, OR its plan/oracle changed after its
+latest green row (list those by hand in CHANGED_SINCE_GREEN each round —
+git decides, this script just orders). Window = unchecked first, then
+oldest-evidence queries, capped at WINDOW (the driver checks a 50-query
+prefix per round).
+
+Run:  python tools/evidence_window.py   # prints the list to paste
+"""
+
+import collections
+import glob
+import json
+import os
+import re
+import sys
+
+WINDOW = 50
+
+# Queries whose PLAN or ORACLE changed since their last green driver row
+# (update every round from the round's diffs; new queries go here too).
+CHANGED_SINCE_GREEN = [
+    "h21_regexp_extract",        # oracle BIGINT cast in r3, last green r2
+    "dd1_exact_dedup",           # r4: groupBy (md5, length)
+    "dd4_minhash_lsh_pairs",     # r4: capped verification sets + oracle
+    "mm5_decoded_media_metadata",  # r4: NEW (real BMP/WAV decode)
+    "sim4_knn_ivf",              # r4: Lloyd-refined quantizer (rows-only)
+]
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for name, row in json.load(open(f)).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+            else:
+                latest_green.setdefault(name, 0)
+
+    sys.path.insert(0, repo)
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
+
+    registered = list(QUERIES)
+    for name in registered:
+        latest_green.setdefault(name, 0)  # brand-new -> never checked
+
+    def rank(name: str):
+        changed = name in CHANGED_SINCE_GREEN
+        # changed/new first (stable CHANGED order), then oldest evidence
+        return (
+            0 if changed else 1,
+            CHANGED_SINCE_GREEN.index(name) if changed else latest_green[name],
+            name,
+        )
+
+    window = sorted(registered, key=rank)[:WINDOW]
+    by_age = collections.Counter(
+        "changed" if n in CHANGED_SINCE_GREEN else f"green_r{latest_green[n]}"
+        for n in window
+    )
+    print(f"# window of {len(window)} / {len(registered)} registered — {dict(by_age)}")
+    print("_NEEDS_EVIDENCE_FIRST = [")
+    for n in window:
+        tag = (
+            "changed/new this round"
+            if n in CHANGED_SINCE_GREEN
+            else f"latest green r{latest_green[n]}"
+        )
+        print(f'    "{n}",  # {tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()

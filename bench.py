@@ -122,10 +122,12 @@ def main() -> None:
     QUERIES["b2_select_star"](spark, sf_dir).collect()
     QUERIES["c5_join_derived_table"](spark, sf_dir).collect()
 
-    # two passes, keep the per-query minimum: insulates the recorded
-    # number from transient machine contention (observed 2x swings)
+    # three passes, keep the per-query minimum: insulates the recorded
+    # number from transient machine contention (observed 2x swings; the
+    # r3 recording was contention-inflated 1.8x with only two passes, so
+    # a third was added per the round-3 review)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()

@@ -132,10 +132,12 @@ class Engine:
         self.cdc.evolve_schema(table, new_schema)
         return self
 
-    def consistent_snapshot(self) -> dict[str, DataFrame]:
-        """All tables read at one common watermark (see
-        CdcEngine.consistent_snapshot)."""
-        return self.cdc.consistent_snapshot(self.spark)
+    def consistent_snapshot(self, on_gap: str = "fallback"):
+        """All tables read at one common watermark; the returned dict
+        carries ``.watermark`` and ``.fallbacks`` (tables whose retention
+        forced a current-version read — see CdcEngine.consistent_snapshot
+        for the ``on_gap`` contract)."""
+        return self.cdc.consistent_snapshot(self.spark, on_gap=on_gap)
 
     def rebuild(self, table: str) -> "Engine":
         """Disaster recovery: reconstruct the replica from its journal

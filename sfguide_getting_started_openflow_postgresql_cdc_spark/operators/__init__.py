@@ -37,6 +37,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "mm5_decoded_media_metadata",  # changed/new this round
     "sim4_knn_ivf",  # changed/new this round
+    "tx10_tfidf_top_terms",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "b2_select_star",  # latest green r1
     "b3_alias_expr",  # latest green r1
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "e8_running_total",  # latest green r2
     "f4_topk_global",  # latest green r2
     "f6_topk_per_group",  # latest green r2
-    "f7_pagination",  # latest green r2
 ]
 
 

@@ -395,3 +395,72 @@ def tx7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 100)
     )
+
+
+@query(
+    "tx10_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (
+      SELECT COUNT(*) AS n_docs FROM documents WHERE length(trim(text)) > 0
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfreq.df
+                 AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n)
+                        / dfreq.df DESC,
+                        tf.term
+             ) AS rnk
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf with a LINEAR idf (tf * N/df):
+    the classic keyword-extraction signal without transcendentals — N/df
+    is monotone in 1/df, so the RANKING equals log-idf's, and the score
+    stays a single exact-integer product followed by one IEEE division
+    (bit-identical across engines; the determinism contract bans ln()).
+
+    Shape at scale: explode -> (doc, term) counts (map-side combinable)
+    -> term-keyed join against the doc-frequency table (both sides
+    already shuffled on term by their groupBys — the join reuses that
+    partitioning) -> per-doc top-3 window on the doc key. The only
+    driver-side value is the corpus document count, one scalar."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    n_docs = docs.count()  # one scalar; distributed count
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .select("doc_id", F.lower(F.col("w")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfidf = (
+        F.col("tf").cast("double") * F.lit(n_docs).cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, on="term")
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -247,6 +247,62 @@ def test_decode_media_real_bmp_and_wav():
         decode_media(b"BM" + b"\x00" * 20)  # truncated header
 
 
+def test_decode_media_property_roundtrip():
+    """Property: for ANY dimensions/content, encode-then-decode recovers
+    the generation parameters exactly — BMP stride padding never leaks
+    into the content sum, WAV duration always derives from the parsed
+    rate."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 20), seed=st.integers(0, 2**31)
+    )
+    def check_bmp(w, h, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        px = rng.randint(0, 256, size=(h, 3 * w), dtype=np.uint8)
+        stride = ((3 * w + 3) // 4) * 4
+        rows = np.full((h, stride), 0xEE, np.uint8)  # poison the padding
+        rows[:, : 3 * w] = px
+        payload = (
+            struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+            + rows[::-1].tobytes()
+        )
+        meta = decode_media(payload)
+        assert (meta["width"], meta["height"], meta["n_units"]) == (w, h, w * h)
+        assert meta["content_sum"] == int(px.astype(np.int64).sum())
+        assert meta["payload_bytes"] == len(payload)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    def check_wav(n, rate, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        samples = rng.randint(-32768, 32768, size=n).astype("<i2")
+        data = samples.tobytes()
+        payload = (
+            struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+            + struct.pack("<4sI", b"data", len(data))
+            + data
+        )
+        meta = decode_media(payload)
+        assert meta["n_units"] == n
+        assert meta["duration_us"] == n * 1_000_000 // rate
+        assert meta["content_sum"] == int(samples.astype(np.int64).sum())
+
+    check_bmp()
+    check_wav()
+
+
 def test_arrow_paths_bit_identical_to_folds(spark):
     """The Arrow-vectorized dot/norm/bucket twins must return the EXACT
     bits of the F.aggregate fold definitions for every vector (and every

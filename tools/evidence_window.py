@@ -27,6 +27,7 @@ CHANGED_SINCE_GREEN = [
     "dd4_minhash_lsh_pairs",     # r4: capped verification sets + oracle
     "mm5_decoded_media_metadata",  # r4: NEW (real BMP/WAV decode)
     "sim4_knn_ivf",              # r4: Lloyd-refined quantizer (rows-only)
+    "tx10_tfidf_top_terms",      # r4: NEW (linear-idf keyword extraction)
 ]
 
 

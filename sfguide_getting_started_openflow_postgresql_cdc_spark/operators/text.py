@@ -435,10 +435,12 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical across engines; the determinism contract bans ln()).
 
     Shape at scale: explode -> (doc, term) counts (map-side combinable)
-    -> term-keyed join against the doc-frequency table (both sides
-    already shuffled on term by their groupBys — the join reuses that
-    partitioning) -> per-doc top-3 window on the doc key. The only
-    driver-side value is the corpus document count, one scalar."""
+    -> join against the doc-frequency table, which Catalyst broadcasts
+    (vocabulary-sized, not corpus-sized — the tf side is never
+    re-shuffled; at extreme vocabularies it degrades to a term-keyed
+    shuffle join) -> per-doc top-3 via row_number, which plans as
+    partial+final WindowGroupLimit (top-k pushed below the doc_id
+    exchange). The only driver-side value is the corpus count scalar."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )

@@ -171,3 +171,13 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_tfidf_broadcasts_dfreq_and_limits_window(spark, sf_dir):
+    """tx10: the doc-frequency side must broadcast (the tf side is never
+    re-shuffled on term) and the per-doc top-3 must plan as
+    WindowGroupLimit (top-k evaluated below the final window, not a full
+    per-group sort of every term)."""
+    df = QUERIES["tx10_tfidf_top_terms"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert "WindowGroupLimit" in explain_str(df)

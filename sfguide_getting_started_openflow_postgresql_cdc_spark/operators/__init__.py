@@ -38,6 +38,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "mm5_decoded_media_metadata",  # changed/new this round
     "sim4_knn_ivf",  # changed/new this round
     "tx10_tfidf_top_terms",  # changed/new this round
+    "px6_neardup_aware_curation",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "b2_select_star",  # latest green r1
     "b3_alias_expr",  # latest green r1
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "e7_rank_functions",  # latest green r2
     "e8_running_total",  # latest green r2
     "f4_topk_global",  # latest green r2
-    "f6_topk_per_group",  # latest green r2
 ]
 
 

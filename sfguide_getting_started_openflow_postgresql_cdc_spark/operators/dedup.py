@@ -697,3 +697,85 @@ def dd8_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (non-duplicates never enter the graph)."""
     pairs = dd6_embedding_cosine_dups(spark, sf_dir).select("vec_a", "vec_b")
     return _connected_components(pairs, "vec_a", "vec_b", out_id="vec_id")
+
+
+def _px6_oracle() -> str:
+    # dd7's transitive-closure CTE over dd4 pairs, extended with the
+    # keep/drop decision joined back to the corpus
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    dd4_sql = ORACLES["dd4_minhash_lsh_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({dd4_sql}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+    decided AS (
+      SELECT d.lang,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+                 AS n_tokens,
+             COALESCE(c.canonical, d.doc_id) = d.doc_id AS keep
+      FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM decided GROUP BY lang
+    """
+
+
+@query("px6_neardup_aware_curation", oracle=_px6_oracle())
+def px6_neardup_aware_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware corpus curation: px1 drops only byte-identical
+    copies; this keeps exactly ONE representative (the canonical min
+    doc_id) per dd7 near-dup cluster and reports the per-language
+    keep/drop and retained-token budget — the last step that turns
+    pairwise similarity output into a training-set manifest.
+
+    Composition, not new machinery: dd4 (banded candidates -> capped
+    verify) -> dd7 (min-label-propagation components) -> one broadcast
+    left join back to the corpus (the cluster table only holds docs that
+    appear in some near-dup pair — tiny next to the corpus) -> one
+    groupBy(lang). Every stage is the scale path of its family."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import (
+        token_count,
+    )
+
+    groups = dd7_dedup_groups(spark, sf_dir).select("doc_id", "canonical_doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(F.broadcast(groups), on="doc_id", how="left")
+    keep = (
+        F.coalesce(F.col("canonical_doc_id"), F.col("doc_id")) == F.col("doc_id")
+    )
+    return (
+        joined.select(
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            keep.alias("keep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )

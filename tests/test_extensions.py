@@ -393,3 +393,16 @@ def test_ivf_persisted_index_build_load_search(spark, tmp_path):
     for k in overlap:
         assert got[k] == bf[k]
     assert len(overlap) / len(bf) >= 0.5
+
+
+def test_neardup_curation_drops_exactly_non_canonicals(spark):
+    """px6 invariants: partition counts add up, and the dropped-doc count
+    equals the number of non-canonical members across dd7 clusters."""
+    rows = QUERIES["px6_neardup_aware_curation"](spark, SF01).collect()
+    assert rows
+    assert sum(r["n_total"] for r in rows) == 500
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_total"]
+    groups = QUERIES["dd7_dedup_groups"](spark, SF01).collect()
+    non_canon = sum(1 for g in groups if g["doc_id"] != g["canonical_doc_id"])
+    assert sum(r["n_dropped"] for r in rows) == non_canon

@@ -28,6 +28,7 @@ CHANGED_SINCE_GREEN = [
     "mm5_decoded_media_metadata",  # r4: NEW (real BMP/WAV decode)
     "sim4_knn_ivf",              # r4: Lloyd-refined quantizer (rows-only)
     "tx10_tfidf_top_terms",      # r4: NEW (linear-idf keyword extraction)
+    "px6_neardup_aware_curation",  # r4: NEW (dd7-composed curation manifest)
 ]
 
 

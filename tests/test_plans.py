@@ -181,3 +181,24 @@ def test_tfidf_broadcasts_dfreq_and_limits_window(spark, sf_dir):
     df = QUERIES["tx10_tfidf_top_terms"](spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert "WindowGroupLimit" in explain_str(df)
+
+
+def test_evidence_window_tool_is_valid():
+    """tools/evidence_window.py must keep producing a valid 50-name
+    window of registered queries (the registry list is generated output;
+    this guards the generator itself from rotting)."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/evidence_window.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    names = re.findall(r'^    "([A-Za-z0-9_]+)",', out.stdout, re.M)
+    assert len(names) == 50 and len(set(names)) == 50
+    assert all(n in QUERIES for n in names), set(names) - set(QUERIES)

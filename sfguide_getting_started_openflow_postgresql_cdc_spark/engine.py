@@ -109,6 +109,12 @@ class Engine:
         plain["_as_of_date"] = healthcare.AS_OF.isoformat()
         return self.model.run_verified(name, self.spark, plain)
 
+    def ask(self, question: str) -> DataFrame:
+        """Natural-language entry: route the question to the closest
+        verified query (deterministic lexical router with synonym
+        expansion — see SemanticModel.route_question) and run it."""
+        return self.verified(self.model.route_question(question))
+
     def history(self, table: str) -> DataFrame:
         """SCD2 type-2 history for a table (journal-derived)."""
         return self.cdc.scd2_history(self.spark, table)

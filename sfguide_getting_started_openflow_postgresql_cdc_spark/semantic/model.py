@@ -132,6 +132,92 @@ class SemanticModel:
         _, fn = self._verified[name]
         return fn(spark, dfs)
 
+    # -- NL routing (SURVEY §2.J3, deterministic part) ---------------------
+    def route_question(self, question: str, min_score: float = 0.2) -> str:
+        """Route a natural-language question to the best-matching
+        VERIFIED query — the deterministic core of the reference's agent
+        hook (`sql/1.snowflake_setup.sql:93-105`): the agent's grounding
+        is exactly this blessed-question catalog; no model is involved
+        here, so routing is a lexical scorer, reproducible and testable.
+
+        Scoring: symmetric token coverage — a question token matches if
+        the verified question can reach it directly or through a synonym
+        group, and vice versa; the score is matched tokens over total
+        tokens on both sides. Synonym groups come from (a) naive plural
+        folding (physicians == physician), (b) the model's table/column
+        synonyms (so "billed amount per physician" reaches
+        revenue_by_doctor via the total_charge and doctors groups), and
+        (c) one built-in aggregation-word group (count/number/many/
+        total/much). Expansion is used for MATCHING only, never added to
+        the denominators — token groups overlap transitively and would
+        otherwise bloat every union. Ties break by name for determinism.
+        Raises KeyError when nothing clears ``min_score`` — an agent
+        should refuse, not guess."""
+        import re
+
+        # function words carry no routing signal and inflate Jaccard
+        # between unrelated questions ("what is the ..." matching)
+        stop = {
+            "the", "a", "an", "of", "in", "on", "by", "to", "for", "do",
+            "we", "have", "is", "are", "were", "was", "what", "which",
+            "how", "via", "all", "per", "with", "and", "or", "show", "me",
+        }
+
+        def toks(s: str) -> frozenset[str]:
+            # naive plural fold: 'doctors' -> 'doctor'
+            return frozenset(
+                w[:-1] if w.endswith("s") and len(w) > 3 else w
+                for w in re.findall(r"[a-z]+", s.lower())
+                if w not in stop
+            )
+
+        # token -> all tokens of every name in the same synonym group
+        expand: dict[str, set[str]] = {}
+
+        def add_group(names: set[str]) -> None:
+            group = {w for n in names for w in toks(n)}
+            for w in group:
+                expand.setdefault(w, set()).update(group)
+
+        for t in self.tables.values():
+            add_group({t.name} | set(t.synonyms))
+            for c in t.columns:
+                add_group({c.name} | set(c.synonyms))
+        add_group({"count", "number", "many", "total", "much"})
+
+        def expanded(ts: frozenset[str]) -> frozenset[str]:
+            out = set(ts)
+            for w in ts:
+                out.update(expand.get(w, ()))
+            return frozenset(out)
+
+        q_raw = toks(question)
+        q_exp = expanded(q_raw)
+        best_name, best_score = None, 0.0
+        for name in sorted(self._verified):
+            v_raw = toks(self._verified[name][0])
+            v_exp = expanded(v_raw)
+            denom = len(q_raw) + len(v_raw)
+            score = (
+                (len(q_raw & v_exp) + len(v_raw & q_exp)) / denom
+                if denom
+                else 0.0
+            )
+            if score > best_score:
+                best_name, best_score = name, score
+        if best_name is None or best_score < min_score:
+            raise KeyError(
+                f"no verified query matches {question!r} "
+                f"(best score {best_score:.2f} < {min_score})"
+            )
+        return best_name
+
+    def ask(
+        self, question: str, spark: SparkSession, dfs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Route + run: the full question -> DataFrame path."""
+        return self.run_verified(self.route_question(question), spark, dfs)
+
     # -- serialization -----------------------------------------------------
     def to_dict(self) -> dict:
         return {

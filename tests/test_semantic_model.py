@@ -135,3 +135,27 @@ def test_loads_actual_reference_yaml(model, replicas):
         "_snowflake_deleted = FALSE" in sql or "_SNOWFLAKE_DELETED = FALSE" in sql
         for sql in ref.reference_verified_sql.values()
     )
+
+
+def test_nl_routing_reaches_verified_queries(spark, model, replicas):
+    """The deterministic NL router (SURVEY §2.J3): paraphrases — via
+    table/column synonym expansion — land on the right verified query;
+    off-domain questions are refused, never guessed."""
+    cases = {
+        "How many appointments do we have in total?": "total_appointments",
+        "count of all the bookings": "total_appointments",
+        "What is the total revenue by doctor?": "revenue_by_doctor",
+        "billed amount per physician": "revenue_by_doctor",
+        "How many appointments were modified via CDC today?":
+            "appointments_modified_today",
+    }
+    for question, want in cases.items():
+        assert model.route_question(question) == want, question
+
+    with pytest.raises(KeyError, match="no verified query"):
+        model.route_question("what is the weather on jupiter")
+
+    dfs = dict(replicas)
+    dfs["_as_of_date"] = "2024-06-02"
+    out = model.ask("how many bookings total?", spark, dfs)
+    assert out.collect()[0]["total_appointments"] > 0

@@ -1,0 +1,133 @@
+"""Role/grant and network-rule enforcement (SURVEY §2.A18, the
+functional core).
+
+The reference's setup script (sql/1.snowflake_setup.sql:14-105) does
+three testable things besides warehouse provisioning: creates a runtime
+ROLE and GRANTs it object privileges, GRANTs read on the semantic-model
+stage, and declares an EGRESS NETWORK RULE that is the only path the CDC
+connector may use to reach PostgreSQL. This module implements those
+semantics for a single-process engine:
+
+- :class:`AccessControl` — roles, ``grant``/``revoke`` of per-object
+  privileges, and ``check`` (raises PermissionError). Role hierarchy is
+  supported the same way ``GRANT ROLE a TO ROLE b`` composes: a role
+  inherits every privilege of roles granted to it.
+- :class:`NetworkRule` / ``egress_allowed`` — host:port allow-list
+  consulted by the JDBC snapshot path; a bootstrap from a database not
+  covered by a rule fails closed, mirroring how the connector cannot
+  reach endpoints outside the EXTERNAL ACCESS INTEGRATION.
+
+Authentication, warehouses, and account-level DDL stay out of scope —
+there is no multi-user surface in one Spark driver process; what is
+enforceable (and tested) is the authorization decision itself.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class NetworkRule:
+    """EGRESS allow-list entry (host:port pairs), mirroring
+    ``CREATE NETWORK RULE ... MODE = EGRESS TYPE = HOST_PORT``
+    (sql/1.snowflake_setup.sql:75-78)."""
+
+    name: str
+    host_ports: tuple[str, ...]
+    mode: str = "EGRESS"
+
+
+def jdbc_host_port(url: str) -> str:
+    """Extract ``host:port`` from a JDBC url (``jdbc:postgresql://h:p/db``,
+    ``jdbc:sqlite:/path`` has no endpoint -> ``''``)."""
+    m = re.search(r"jdbc:[a-z0-9]+://([^/?,;]+)", url)
+    return m.group(1) if m else ""
+
+
+def egress_allowed(url: str, rules: list[NetworkRule] | tuple[NetworkRule, ...]) -> bool:
+    hp = jdbc_host_port(url)
+    if not hp:
+        return False
+    return any(
+        r.mode == "EGRESS" and hp in r.host_ports for r in rules
+    )
+
+
+class PermissionDenied(PermissionError):
+    pass
+
+
+@dataclass
+class AccessControl:
+    """Role -> privilege store with Snowflake-style composition.
+
+    Privileges are ``(action, object)`` pairs; ``grant_role`` composes
+    hierarchies exactly like ``GRANT ROLE QUICKSTART_ROLE TO ROLE
+    OPENFLOW_ADMIN`` (sql/1.snowflake_setup.sql:38)."""
+
+    _privs: dict[str, set[tuple[str, str]]] = field(default_factory=dict)
+    _role_grants: dict[str, set[str]] = field(default_factory=dict)
+    network_rules: list[NetworkRule] = field(default_factory=list)
+
+    # -- DDL twins ---------------------------------------------------------
+    def create_role(self, role: str) -> "AccessControl":
+        self._privs.setdefault(role, set())
+        self._role_grants.setdefault(role, set())
+        return self
+
+    def grant(self, action: str, obj: str, to: str) -> "AccessControl":
+        self._require_role(to)
+        self._privs[to].add((action.upper(), obj))
+        return self
+
+    def revoke(self, action: str, obj: str, frm: str) -> "AccessControl":
+        self._require_role(frm)
+        self._privs[frm].discard((action.upper(), obj))
+        return self
+
+    def grant_role(self, role: str, to: str) -> "AccessControl":
+        self._require_role(role)
+        self._require_role(to)
+        self._role_grants[to].add(role)
+        return self
+
+    def add_network_rule(self, rule: NetworkRule) -> "AccessControl":
+        self.network_rules.append(rule)
+        return self
+
+    # -- decisions ---------------------------------------------------------
+    def _require_role(self, role: str) -> None:
+        if role not in self._privs:
+            raise KeyError(f"unknown role {role!r} (create_role first)")
+
+    def _effective(self, role: str, seen: set[str] | None = None) -> set[tuple[str, str]]:
+        seen = seen if seen is not None else set()
+        if role in seen:
+            return set()
+        seen.add(role)
+        out = set(self._privs.get(role, ()))
+        for sub in self._role_grants.get(role, ()):
+            out |= self._effective(sub, seen)
+        return out
+
+    def can(self, role: str, action: str, obj: str) -> bool:
+        self._require_role(role)
+        return (action.upper(), obj) in self._effective(role)
+
+    def check(self, role: str, action: str, obj: str) -> None:
+        if not self.can(role, action, obj):
+            raise PermissionDenied(
+                f"role {role!r} lacks {action.upper()} on {obj!r}"
+            )
+
+    def check_egress(self, url: str) -> None:
+        """Fail closed: a JDBC endpoint must be covered by an EGRESS
+        network rule, like the connector's EXTERNAL ACCESS INTEGRATION."""
+        if not egress_allowed(url, self.network_rules):
+            raise PermissionDenied(
+                f"egress to {jdbc_host_port(url) or url!r} not covered by "
+                f"any network rule "
+                f"({[r.name for r in self.network_rules] or 'none defined'})"
+            )

@@ -43,12 +43,26 @@ class Engine:
         spark: SparkSession,
         warehouse_dir: str,
         write_partitions: int | None = None,
+        access=None,
     ):
         self.spark = spark
+        self.access = access
         self.cdc = CdcEngine(
-            ReplicaStore(warehouse_dir), write_partitions=write_partitions
+            ReplicaStore(warehouse_dir),
+            write_partitions=write_partitions,
+            access=access,
         )
         self.model = healthcare_model()
+
+    # -- authorization (SURVEY §2.A18 functional core) ---------------------
+    def reader(self, role: str) -> "RoleReader":
+        """Role-scoped table accessor: every ``.table(name)`` checks the
+        role's effective SELECT privilege (role hierarchy included)
+        before resolving the semantic-layer view. Requires the engine to
+        be constructed with an AccessControl."""
+        if self.access is None:
+            raise ValueError("Engine built without an AccessControl")
+        return RoleReader(self, role)
 
     # -- lifecycle ---------------------------------------------------------
     def bootstrap(
@@ -185,3 +199,21 @@ class Engine:
             raw, expected_counts=expected_counts, snapshot_only=snapshot_only
         )
         return verification.report(self.spark, checks)
+
+
+class RoleReader:
+    """Table accessor bound to one role (see :meth:`Engine.reader`):
+    the single-process twin of a warehouse session running under
+    ``USE ROLE`` — object access resolves through the AccessControl's
+    effective-privilege check, everything else is denied loudly."""
+
+    def __init__(self, engine: Engine, role: str):
+        self._engine = engine
+        self.role = role
+
+    def table(self, name: str) -> DataFrame:
+        self._engine.access.check(self.role, "SELECT", name)
+        dfs = self._engine.replicas()
+        if name not in dfs:
+            raise KeyError(f"unknown table {name!r}")
+        return dfs[name]

@@ -60,6 +60,7 @@ def load_jdbc_table(
     num_partitions: int | None = None,
     fetch_size: int = 10_000,
     properties: dict[str, str] | None = None,
+    access=None,
 ) -> DataFrame:
     """A12 snapshot branch over a live database (the reference's entry
     point is PostgreSQL: sql/0.init_healthcare.sql:1-377; the OpenFlow
@@ -76,6 +77,12 @@ def load_jdbc_table(
     reference's connector chunks its initial copy); an unpartitioned JDBC
     read is a single connection on one executor.
     """
+    if access is not None:
+        # A18 twin: the endpoint must be covered by an EGRESS network
+        # rule, like the connector's EXTERNAL ACCESS INTEGRATION
+        # (sql/1.snowflake_setup.sql:75-94) — fail closed before any
+        # connection attempt.
+        access.check_egress(url)
     custom = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     reader = (
         spark.read.format("jdbc")
@@ -101,14 +108,17 @@ def load_jdbc_table(
     return reader.load()
 
 
-def load_snapshot_source(spark: SparkSession, src, table: str, schema) -> DataFrame:
+def load_snapshot_source(
+    spark: SparkSession, src, table: str, schema, access=None
+) -> DataFrame:
     """Resolve one bootstrap source: a DataFrame passes through; a
-    ``jdbc:`` URL routes to :func:`load_jdbc_table`; any other string is
-    a parquet path."""
+    ``jdbc:`` URL routes to :func:`load_jdbc_table` (gated by the
+    optional AccessControl's network rules); any other string is a
+    parquet path."""
     if isinstance(src, DataFrame):
         return src
     if isinstance(src, str) and src.startswith("jdbc:"):
-        return load_jdbc_table(spark, src, table, schema)
+        return load_jdbc_table(spark, src, table, schema, access=access)
     if isinstance(src, str):
         return spark.read.parquet(src)
     raise TypeError(f"unsupported snapshot source for '{table}': {type(src)!r}")

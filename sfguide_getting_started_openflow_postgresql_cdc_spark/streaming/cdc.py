@@ -399,8 +399,12 @@ class CdcEngine:
         n_buckets: int = 16,
         auto_compact_max_files: int | None = None,
         journal_retain_seqs: int = 10_000,
+        access=None,
     ):
         self.store = store
+        # optional AccessControl (access.py): when set, jdbc: bootstrap
+        # sources must be covered by an EGRESS network rule (A18 twin)
+        self.access = access
         self.tables = tables or schemas.HEALTHCARE_TABLES
         self.primary_keys = primary_keys or schemas.PRIMARY_KEYS
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -451,7 +455,9 @@ class CdcEngine:
         )
 
         source = {
-            table: load_snapshot_source(spark, src, table, self.tables[table])
+            table: load_snapshot_source(
+                spark, src, table, self.tables[table], access=self.access
+            )
             for table, src in source.items()
         }
         for table, df in source.items():

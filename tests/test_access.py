@@ -1,0 +1,101 @@
+"""Role/grant + network-rule enforcement (SURVEY §2.A18 functional
+core): authorization decisions, role hierarchy, egress gating of the
+JDBC snapshot path, and the Engine's role-scoped reader."""
+
+import pytest
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.access import (
+    AccessControl,
+    NetworkRule,
+    PermissionDenied,
+    egress_allowed,
+    jdbc_host_port,
+)
+
+
+def _ac() -> AccessControl:
+    return (
+        AccessControl()
+        .create_role("quickstart_role")
+        .grant("SELECT", "appointments", to="quickstart_role")
+        .grant("SELECT", "doctors", to="quickstart_role")
+    )
+
+
+def test_grant_revoke_and_check():
+    ac = _ac()
+    assert ac.can("quickstart_role", "select", "appointments")  # case-folded
+    ac.check("quickstart_role", "SELECT", "doctors")  # no raise
+    with pytest.raises(PermissionDenied, match="lacks SELECT on 'visits'"):
+        ac.check("quickstart_role", "SELECT", "visits")
+    ac.revoke("SELECT", "doctors", frm="quickstart_role")
+    assert not ac.can("quickstart_role", "SELECT", "doctors")
+    with pytest.raises(KeyError, match="unknown role"):
+        ac.check("nobody", "SELECT", "appointments")
+
+
+def test_role_hierarchy_composes_and_tolerates_cycles():
+    """GRANT ROLE a TO ROLE b -> b inherits a's privileges
+    (sql/1.snowflake_setup.sql:38)."""
+    ac = _ac().create_role("openflow_admin")
+    ac.grant_role("quickstart_role", to="openflow_admin")
+    assert ac.can("openflow_admin", "SELECT", "appointments")
+    assert not ac.can("openflow_admin", "SELECT", "visits")
+    # a cycle must not hang or grant anything new
+    ac.grant_role("openflow_admin", to="quickstart_role")
+    assert ac.can("quickstart_role", "SELECT", "appointments")
+
+
+def test_network_rules_gate_jdbc_urls():
+    rule = NetworkRule("postgres_network_rule", ("db.example.com:5432",))
+    assert jdbc_host_port("jdbc:postgresql://db.example.com:5432/healthcare") == (
+        "db.example.com:5432"
+    )
+    assert egress_allowed("jdbc:postgresql://db.example.com:5432/h", [rule])
+    assert not egress_allowed("jdbc:postgresql://evil.example.com:5432/h", [rule])
+    assert not egress_allowed("jdbc:sqlite:/tmp/x.db", [rule])  # no endpoint
+
+    ac = AccessControl().add_network_rule(rule)
+    ac.check_egress("jdbc:postgresql://db.example.com:5432/h")  # no raise
+    with pytest.raises(PermissionDenied, match="egress"):
+        ac.check_egress("jdbc:postgresql://other.host:5432/h")
+
+
+def test_jdbc_loader_fails_closed_before_connecting(spark):
+    """load_jdbc_table with an AccessControl must refuse a non-allowed
+    endpoint BEFORE any connection attempt (no driver needed)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark import schemas
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_jdbc_table,
+    )
+
+    ac = AccessControl().add_network_rule(
+        NetworkRule("pg", ("allowed.host:5432",))
+    )
+    with pytest.raises(PermissionDenied, match="not covered"):
+        load_jdbc_table(
+            spark,
+            "jdbc:postgresql://blocked.host:5432/healthcare",
+            "appointments",
+            schemas.HEALTHCARE_TABLES["appointments"],
+            access=ac,
+        )
+
+
+def test_engine_role_reader(spark, tmp_path):
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    ac = _ac()
+    eng = Engine(
+        spark, str(tmp_path / "w"), write_partitions=1, access=ac
+    ).bootstrap()
+    r = eng.reader("quickstart_role")
+    assert r.table("appointments").count() == 170
+    with pytest.raises(PermissionDenied):
+        r.table("visits")
+    ac.grant("SELECT", "visits", to="quickstart_role")
+    assert r.table("visits").count() == 100
+
+    no_ac = Engine(spark, str(tmp_path / "w2"), write_partitions=1)
+    with pytest.raises(ValueError, match="without an AccessControl"):
+        no_ac.reader("quickstart_role")

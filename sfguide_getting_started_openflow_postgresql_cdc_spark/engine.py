@@ -181,6 +181,19 @@ class Engine:
         mv.initialize(self.spark)
         return mv
 
+    def materialized_sum(
+        self, table: str, group_col: str, value_col: str, path: str
+    ):
+        """Incrementally-maintained COUNT(*) + SUM(value_col) per group —
+        the revenue-dashboard twin (see IncrementalGroupSum)."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+            IncrementalGroupSum,
+        )
+
+        mv = IncrementalGroupSum(self.cdc, table, group_col, value_col, path)
+        mv.initialize(self.spark)
+        return mv
+
     def verify_snapshot(
         self,
         expected_counts: dict[str, int] | None = None,

@@ -49,6 +49,11 @@ class IncrementalGroupCount:
         mv.initialize(spark)                      # one full scan
         mv.merge_batch(spark, events)             # replica merge + MV delta
         mv.read(spark)                            # (group, n) DataFrame
+
+    Subclasses add measures by overriding ``_measures()`` — a list of
+    (name, aggregate-expression) pairs folded through the same delta
+    machinery; ``n`` (the live-row count) must stay first, because group
+    existence (and MV-row retirement) is decided by ``n != 0``.
     """
 
     def __init__(self, engine: CdcEngine, table: str, group_col: str, path: str):
@@ -83,18 +88,25 @@ class IncrementalGroupCount:
             ~F.col(schemas.META_DELETED)
         )
         return live.groupBy(F.col(self.group_col).alias("grp")).agg(
-            F.count("*").alias("n")
+            *[expr.alias(name) for name, expr in self._measures()]
         )
 
     def initialize(self, spark: SparkSession) -> None:
         self._write(self._full_aggregate(spark))
 
+    # -- measures ----------------------------------------------------------
+    def _measures(self) -> list:
+        """(name, aggregate expression) pairs; ``n`` must be first."""
+        return [("n", F.count("*"))]
+
     # -- incremental maintenance -------------------------------------------
     def _group_state_for_keys(
         self, spark: SparkSession, keys: DataFrame
     ) -> DataFrame:
-        """(grp, cnt) contribution of the given PKs' live rows, read only
-        from the buckets those keys hash into."""
+        """Per-group measure contribution of the given PKs' live rows,
+        read only from the buckets those keys hash into. With no keys,
+        an empty frame with the right schema comes from aggregating the
+        always-false filter of the current table."""
         buckets = [
             r["b"]
             for r in keys.select(self.engine._bucket(self.pk).alias("b"))
@@ -102,21 +114,14 @@ class IncrementalGroupCount:
             .collect()
         ]
         if not buckets:
-            return spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField("grp", self._grp_type),
-                        T.StructField("cnt", T.LongType()),
-                    ]
-                ),
-            )
-        part = self.engine.store.read_buckets(spark, self.table, buckets)
-        rows = part.join(F.broadcast(keys), on=self.pk, how="left_semi").filter(
-            ~F.col(schemas.META_DELETED)
-        )
+            rows = self.engine.store.read(spark, self.table).filter(F.lit(False))
+        else:
+            part = self.engine.store.read_buckets(spark, self.table, buckets)
+            rows = part.join(
+                F.broadcast(keys), on=self.pk, how="left_semi"
+            ).filter(~F.col(schemas.META_DELETED))
         return rows.groupBy(F.col(self.group_col).alias("grp")).agg(
-            F.count("*").alias("cnt")
+            *[expr.alias(name) for name, expr in self._measures()]
         )
 
     def merge_batch(
@@ -142,18 +147,24 @@ class IncrementalGroupCount:
             self.engine.merge_batch(spark, self.table, events, sync_ts=sync_ts)
             before = spark.read.parquet(tmp_before)
             after = self._group_state_for_keys(spark, keys)
+            names = [name for name, _ in self._measures()]
             # Cluster-side delta: union the negated before-contribution with
             # the after-contribution and let groupBy fold them. groupBy treats
             # NULL as an ordinary group, so NULL-group rows difference
             # correctly (no driver-side dict, no collect of group state).
+            keep_any = None
             delta = (
-                before.select("grp", (-F.col("cnt")).alias("d"))
-                .unionByName(after.select("grp", F.col("cnt").alias("d")))
+                before.select(
+                    "grp", *[(-F.col(m)).alias(m) for m in names]
+                )
+                .unionByName(after.select("grp", *names))
                 .groupBy("grp")
-                .agg(F.sum("d").alias("d"))
-                .filter(F.col("d") != 0)
-                .cache()
+                .agg(*[F.sum(m).alias(m) for m in names])
             )
+            for m in names:
+                cond = F.col(m) != 0
+                keep_any = cond if keep_any is None else (keep_any | cond)
+            delta = delta.filter(keep_any).cache()
             try:
                 if delta.isEmpty():
                     return
@@ -166,10 +177,13 @@ class IncrementalGroupCount:
                     )
                     .select(
                         F.coalesce(mv["grp"], delta["grp"]).alias("grp"),
-                        (
-                            F.coalesce(mv["n"], F.lit(0))
-                            + F.coalesce(delta["d"], F.lit(0))
-                        ).alias("n"),
+                        *[
+                            (
+                                F.coalesce(mv[m], F.lit(0))
+                                + F.coalesce(delta[m], F.lit(0))
+                            ).alias(m)
+                            for m in names
+                        ],
                     )
                     .filter(F.col("n") != 0)
                 )
@@ -218,3 +232,63 @@ class IncrementalGroupCount:
         else:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
+
+
+class IncrementalGroupSum(IncrementalGroupCount):
+    """COUNT(*) + SUM(value_col) of live rows per group, maintained
+    incrementally — the reference's revenue-by-doctor dashboard
+    (sql/4.analytics_queries.sql revenue queries) without re-scanning
+    the base table per sync.
+
+    Semantics: the stored sum is ``SUM(COALESCE(value, 0))`` — NULL
+    values contribute 0, so the sum measure is never NULL and the delta
+    algebra (negate-union-fold) is closed. Group existence is still
+    decided by the row count ``n``: a group whose values sum to zero
+    survives as ``(grp, n, s=0)`` until its last live row goes.
+
+    The sum accumulates in a FIXED wide type (decimal columns sum at
+    precision 38 with their original scale; integral columns as long),
+    so the stored schema cannot drift as repeated merges re-add the
+    measure, and decimal accumulation keeps results independent of
+    partitioning/order — the same determinism contract as the query
+    inventory.
+    """
+
+    def __init__(
+        self,
+        engine: CdcEngine,
+        table: str,
+        group_col: str,
+        value_col: str,
+        path: str,
+    ):
+        super().__init__(engine, table, group_col, path)
+        self.value_col = value_col
+        val_fields = [
+            f for f in engine.tables[table].fields if f.name == value_col
+        ]
+        if not val_fields:
+            raise ValueError(f"{value_col!r} not in {table!r} schema")
+        vt = val_fields[0].dataType
+        if isinstance(vt, T.DecimalType):
+            self._sum_type = T.DecimalType(38, vt.scale)
+        elif isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            self._sum_type = T.LongType()
+        elif isinstance(vt, (T.FloatType, T.DoubleType)):
+            # floats sum as double; order-dependent bits — prefer decimal
+            # source columns where exactness matters (see module docstring)
+            self._sum_type = T.DoubleType()
+        else:
+            raise ValueError(f"cannot SUM over {vt.simpleString()}")
+
+    def _measures(self) -> list:
+        zero = F.lit(0).cast(self._sum_type)
+        return [
+            ("n", F.count("*")),
+            (
+                "s",
+                F.sum(
+                    F.coalesce(F.col(self.value_col).cast(self._sum_type), zero)
+                ).cast(self._sum_type),
+            ),
+        ]

@@ -169,6 +169,135 @@ def test_mv_null_group_rows(spark, tmp_path):
     assert got == {None: 1, "b": 1}
 
 
+def test_mv_incremental_group_sum(spark, tmp_path):
+    """IncrementalGroupSum invariant: after any batch sequence the store
+    equals a fresh GROUP BY of COUNT(*) and SUM(COALESCE(v, 0)) over the
+    live rows — including NULL values (contribute 0), group moves, value
+    updates, sum-to-zero groups (retained while rows live), deletes, and
+    NULL group keys."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+        IncrementalGroupSum,
+    )
+
+    schema_v = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w")),
+        tables={"t": schema_v},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", None), (4, None, 7)], schema_v
+    )
+    eng.bootstrap(spark, {"t": df}, "2024-01-01 00:00:00", journal_snapshot=False)
+    mv = IncrementalGroupSum(eng, "t", "grp", "v", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    def events(rows):
+        env = [
+            (seq, f"2024-01-01 00:{seq % 60:02d}:00", "t", op,
+             {"id": str(i), "grp": g, "v": None if v is None else str(v)})
+            for seq, op, i, g, v in rows
+        ]
+        return spark.createDataFrame(env, ENVELOPE)
+
+    def check():
+        got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+        want = {
+            r["grp"]: (r["n"], r["s"])
+            for r in eng.store.read(spark, "t")
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("s"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    assert {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()} == {
+        "a": (2, 15), "b": (1, 0), None: (1, 7),
+    }
+
+    # value update, group move, NULL-group insert, NULL-value insert
+    mv.merge_batch(
+        spark,
+        events([
+            (1, "U", 1, "a", 20),      # a: 10 -> 20
+            (2, "U", 2, "b", 5),       # move a -> b carrying 5
+            (3, "I", 5, None, 3),      # NULL group gains (1, 3)
+            (4, "I", 6, "b", None),    # NULL value counts, adds 0
+        ]),
+    )
+    check()
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    assert got == {"a": (1, 20), "b": (3, 5), None: (2, 10)}
+
+    # drive a group's sum to zero while rows stay live -> row retained
+    mv.merge_batch(spark, events([(5, "U", 2, "b", 0), (6, "U", 6, "b", 0)]))
+    check()
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    assert got["b"] == (3, 0)  # n=3 rows, sum 0 — NOT dropped
+
+    # soft-delete the last rows of a group -> row retired; replay no-op
+    batch = events([(7, "D", 1, None, None)])
+    mv.merge_batch(spark, batch)
+    check()
+    assert "a" not in {r["grp"] for r in mv.read(spark).collect()}
+    mv.merge_batch(spark, batch)  # replay
+    check()
+
+
+def test_mv_incremental_group_sum_decimal(spark, tmp_path):
+    """Decimal value columns accumulate exactly at a FIXED wide type
+    (decimal(38, scale)) — no schema drift across repeated merges."""
+    from decimal import Decimal
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+        IncrementalGroupSum,
+    )
+
+    schema_v = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.DecimalType(10, 2), True),
+        ]
+    )
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w")),
+        tables={"t": schema_v},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", Decimal("0.10")), (2, "a", Decimal("0.20"))], schema_v
+    )
+    eng.bootstrap(spark, {"t": df}, "2024-01-01 00:00:00", journal_snapshot=False)
+    mv = IncrementalGroupSum(eng, "t", "grp", "v", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    stype = dict(mv.read(spark).dtypes)["s"]
+    assert stype == "decimal(38,2)"
+    for seq, val in ((1, "0.30"), (2, "0.01"), (3, "99.99")):
+        env = [(seq, f"2024-01-01 00:0{seq}:00", "t", "I",
+                {"id": str(10 + seq), "grp": "a", "v": val})]
+        mv.merge_batch(spark, spark.createDataFrame(env, ENVELOPE))
+        # type stays pinned across merges
+        assert dict(mv.read(spark).dtypes)["s"] == "decimal(38,2)"
+    got = {r["grp"]: r["s"] for r in mv.read(spark).collect()}
+    assert got == {"a": Decimal("100.60")}
+
+
 def test_mv_wide_batch_many_groups(spark, tmp_path):
     """A single batch touching ~10^4 distinct groups stays cluster-side and
     correct — the delta is a DataFrame fold, never a driver-side dict."""

@@ -39,6 +39,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "sim4_knn_ivf",  # changed/new this round
     "tx10_tfidf_top_terms",  # changed/new this round
     "px6_neardup_aware_curation",  # changed/new this round
+    "d26_grouping_sets",  # changed/new this round
+    "h28_array_functions",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "b2_select_star",  # latest green r1
     "b3_alias_expr",  # latest green r1
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "e5_lag_lead",  # latest green r2
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
-    "e8_running_total",  # latest green r2
-    "f4_topk_global",  # latest green r2
 ]
 
 

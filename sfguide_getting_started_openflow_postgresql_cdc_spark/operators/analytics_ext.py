@@ -1565,3 +1565,106 @@ def h27_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", d).cast("date").alias("month_start"),
         )
     )
+
+
+@query(
+    "d26_grouping_sets",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(r_name) AS BIGINT) AS is_region_total,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_priority_total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+    """,
+)
+def d26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind d17 ROLLUP /
+    d18 CUBE): the (region, priority) detail plus BOTH one-dimensional
+    margins in ONE pass — Spark expands the sets over a single shuffled
+    aggregate, not one scan per set. GROUPING() flags disambiguate a
+    genuine 'ALL' value from the margin rows, same contract as the
+    warehouse. Dims broadcast; the fact side is scanned once."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+    )
+    agg = joined.groupingSets(
+        [["r_name", "o_orderpriority"], ["r_name"], ["o_orderpriority"]],
+        "r_name",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.grouping("r_name").cast("long").alias("is_region_total"),
+        F.grouping("o_orderpriority").cast("long").alias("is_priority_total"),
+    )
+    return agg.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "is_region_total",
+        "is_priority_total",
+    )
+
+
+@query(
+    "h28_array_functions",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n_name,
+             list_sort(list(DISTINCT c_mktsegment)) AS segments
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(len(segments) AS INT) AS n_segments,
+           segments[1] AS first_segment,
+           CAST(list_contains(segments, 'BUILDING') AS BOOLEAN)
+               AS has_building,
+           array_to_string(segments, '|') AS segments_joined
+    FROM per_nation
+    """,
+)
+def h28_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/semi-structured family (Snowflake ARRAY_AGG / ARRAY_SIZE /
+    ARRAY_CONTAINS / ARRAY_TO_STRING): per-nation sorted distinct
+    segment arrays, then element access, membership, and join-to-string
+    — all JVM-side built-ins. Determinism: collect_set is
+    order-unstable by contract, so the array is SORTED before any
+    positional access; every derived value is then order-independent
+    across partitionings."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    segs = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+    return segs.select(
+        "n_name",
+        F.size("segments").alias("n_segments"),
+        F.element_at("segments", 1).alias("first_segment"),
+        F.array_contains("segments", "BUILDING").alias("has_building"),
+        F.array_join("segments", "|").alias("segments_joined"),
+    )

@@ -29,6 +29,8 @@ CHANGED_SINCE_GREEN = [
     "sim4_knn_ivf",              # r4: Lloyd-refined quantizer (rows-only)
     "tx10_tfidf_top_terms",      # r4: NEW (linear-idf keyword extraction)
     "px6_neardup_aware_curation",  # r4: NEW (dd7-composed curation manifest)
+    "d26_grouping_sets",         # r4: NEW (explicit GROUPING SETS + GROUPING())
+    "h28_array_functions",       # r4: NEW (array agg/size/contains/join)
 ]
 
 

@@ -41,6 +41,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "px6_neardup_aware_curation",  # changed/new this round
     "d26_grouping_sets",  # changed/new this round
     "h28_array_functions",  # changed/new this round
+    "c12_full_outer_join",  # changed/new this round
+    "e10_range_interval_frame",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "b2_select_star",  # latest green r1
     "b3_alias_expr",  # latest green r1
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "e3_partitioned_window",  # latest green r2
     "e4_listagg_distinct",  # latest green r2
     "e5_lag_lead",  # latest green r2
-    "e6_moving_frame",  # latest green r2
-    "e7_rank_functions",  # latest green r2
 ]
 
 

@@ -1668,3 +1668,98 @@ def h28_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("segments", "BUILDING").alias("has_building"),
         F.array_join("segments", "|").alias("segments_joined"),
     )
+
+
+@query(
+    "c12_full_outer_join",
+    oracle="""
+    WITH y95 AS (
+      SELECT o_custkey AS k, COUNT(*) AS n95 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ),
+    y96 AS (
+      SELECT o_custkey AS k, COUNT(*) AS n96 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(y95.k, y96.k) AS custkey,
+           COALESCE(n95, 0) AS n_1995,
+           COALESCE(n96, 0) AS n_1996,
+           (y95.k IS NULL) AS only_1996,
+           (y96.k IS NULL) AS only_1995
+    FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k
+    """,
+)
+def c12_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN between two grouped year slices: customers active
+    in 1995, 1996, or both, with unmatched sides surfaced as zero counts
+    and direction flags. Both inputs shuffle once on the same key, so
+    the full-outer SortMergeJoin reuses the aggregation partitioning —
+    no extra exchange (and full-outer can never broadcast)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a, b = year_counts(1995, "n95"), year_counts(1996, "n96")
+    return (
+        a.join(b, a["k"] == b["k"], "full_outer")
+        .select(
+            F.coalesce(a["k"], b["k"]).alias("custkey"),
+            F.coalesce(a["n95"], F.lit(0)).alias("n_1995"),
+            F.coalesce(b["n96"], F.lit(0)).alias("n_1996"),
+            a["k"].isNull().alias("only_1996"),
+            b["k"].isNull().alias("only_1995"),
+        )
+    )
+
+
+@query(
+    "e10_range_interval_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                            AND CURRENT ROW)
+                AS DOUBLE) AS trailing90d_spend
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def e10_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: trailing-90-day spend per customer.
+    Unlike a ROWS frame, frame membership depends only on the ORDER
+    VALUE (peers included), so the result is deterministic even under
+    order-date ties — no tiebreaker column needed. Spark expresses the
+    interval bound as an epoch-seconds rangeBetween (NTZ -> timestamp
+    under the loader-pinned UTC session -> long, so the epoch is
+    process-TZ-independent), matching the oracle's INTERVAL 90 DAY
+    bound exactly (both ends inclusive). The decimal accumulation keeps
+    sums order-independent inside each frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing90d_spend"),
+        )
+    )

@@ -31,6 +31,8 @@ CHANGED_SINCE_GREEN = [
     "px6_neardup_aware_curation",  # r4: NEW (dd7-composed curation manifest)
     "d26_grouping_sets",         # r4: NEW (explicit GROUPING SETS + GROUPING())
     "h28_array_functions",       # r4: NEW (array agg/size/contains/join)
+    "c12_full_outer_join",       # r4: NEW (full outer over year slices)
+    "e10_range_interval_frame",  # r4: NEW (RANGE interval window frame)
 ]
 
 

@@ -691,6 +691,76 @@ def test_mv_streaming_end_to_end(spark, tmp_path):
     }
 
 
+def test_mv_sum_streaming_end_to_end(spark, tmp_path):
+    """The SUM MV through the inherited streaming wrapper: per-batch
+    replica merge + multi-measure delta; the stored (n, s) per group
+    equals a fresh GROUP BY after the stream drains."""
+    import json
+    import os
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+        IncrementalGroupSum,
+    )
+
+    schema_v = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w")),
+        tables={"t": schema_v},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    eng.bootstrap(
+        spark,
+        {"t": spark.createDataFrame([(1, "a", 10), (2, "a", 5)], schema_v)},
+        "2024-01-01 00:00:00",
+        journal_snapshot=False,
+    )
+    mv = IncrementalGroupSum(eng, "t", "grp", "v", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    batches = [
+        [(1, "I", 3, "b", "7"), (2, "U", 1, "b", "20")],
+        [(3, "D", 2, None, None), (4, "I", 4, "a", None)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(events_dir, f"b{i}.jsonl"), "w") as f:
+            for seq, op, key, grp, val in rows:
+                f.write(json.dumps({
+                    "seq_no": seq,
+                    "event_ts": f"2024-01-01 00:{seq:02d}:00",
+                    "table_name": "t",
+                    "op": op,
+                    "after": {"id": str(key), "grp": grp, "v": val},
+                }) + "\n")
+
+    q = mv.start_stream(
+        spark, events_dir, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(180)
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    # live rows: 1->(b,20), 3->(b,7), 4->(a,NULL=0); 2 soft-deleted
+    assert got == {"a": (1, 0), "b": (2, 27)}
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in eng.store.read(spark, "t")
+        .filter(~F.col(schemas.META_DELETED))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 # -- cross-table consistent snapshot ---------------------------------------
 
 

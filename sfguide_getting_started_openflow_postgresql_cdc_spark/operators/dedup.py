@@ -595,14 +595,15 @@ def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     group size — the step that turns pairwise dedup output into a
     keep/drop decision for a training corpus.
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each round takes the min of its own and its neighbors'
-    labels; converges in O(graph diameter) rounds (near-dup components
-    are shallow — a handful of rounds). Each round is ONE join + ONE
-    groupBy keyed on the node — at 100 TB this is the standard
-    large-graph CC recipe (alternating-star optimizations apply if
-    components ever get deep). The driver-side loop collects only a
-    1-row change count per round; data never leaves the cluster.
+    Hook + pointer-doubling label propagation: every node starts labeled
+    with itself; each round hooks the min of its own and its neighbors'
+    labels, then compresses label->label-of-label, so even a pathological
+    template-spam CHAIN of diameter d converges in O(log d) rounds — and
+    the loop runs to full convergence (a logic-bug guard raises rather
+    than ever emitting truncated group ids). Each round is two joins +
+    one groupBy keyed on the node — the standard large-graph CC recipe at
+    100 TB. The driver-side loop collects only a 1-row change count per
+    round; data never leaves the cluster.
 
     Oracle: DuckDB recursive-CTE transitive closure over the same pairs
     (fine at test scale; the label-propagation plan is the one that
@@ -612,11 +613,27 @@ def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _connected_components(pairs, "doc_a", "doc_b", out_id="doc_id")
 
 
-def _connected_components(pairs, a: str, b: str, out_id: str = "doc_id"):
-    """Iterative min-label propagation over an undirected pair graph ->
-    (out_id, canonical_<out_id>, component_size). Each round is ONE join
-    + ONE groupBy keyed on the node; converges in O(diameter) rounds and
-    the driver collects only a 1-row change count per round."""
+def _connected_components(
+    pairs, a: str, b: str, out_id: str = "doc_id", max_rounds: int = 60
+):
+    """Exact connected components over an undirected pair graph ->
+    (out_id, canonical_<out_id>, component_size).
+
+    Shiloach-Vishkin-style HOOK + pointer-doubling COMPRESS per round:
+    hook takes the min of a node's own and its neighbors' labels (one
+    join + one groupBy keyed on the node); compress then rewrites each
+    label to its label's label (one self-join), which DOUBLES the
+    distance a min has travelled — so a chain of diameter d converges in
+    O(log d) rounds, not O(d). Labels are monotonically non-increasing
+    and always in-component node ids, so the changed==0 fixed point is
+    exactly "every node labeled with its component minimum".
+
+    Runs to FULL convergence — there is no silent truncation cap. The
+    ``max_rounds`` guard (60 ~ diameter 2^60, unreachable) exists only
+    to turn a logic bug into a loud RuntimeError instead of an infinite
+    loop: wrong group ids are never emitted. Each round localCheckpoints
+    the new labels, truncating lineage so round count never deepens the
+    plan; the driver collects only a 1-row change count per round."""
     edges = pairs.unionByName(
         pairs.select(F.col(b).alias(a), F.col(a).alias(b))
     ).persist()
@@ -624,39 +641,49 @@ def _connected_components(pairs, a: str, b: str, out_id: str = "doc_id"):
         edges.select(F.col(a).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
-        nbr = (
+    for _ in range(max_rounds):
+        nbr = (  # hook: min over own + neighbors' labels
             edges.join(labels, edges[b] == labels.node)
             .groupBy(a)
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels.node == nbr[a], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        hooked = labels.join(nbr, labels.node == nbr[a], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # compress (pointer doubling): label <- label-of-label. Every
+        # label is a node id, so the inner self-join is total.
+        compressed = (
+            hooked.alias("x")
+            .join(hooked.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
+            compressed.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = compressed
         if changed == 0:
-            break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
-    return labels.join(sizes, "label").select(
-        F.col("node").alias(out_id),
-        F.col("label").alias(f"canonical_{out_id}"),
-        "component_size",
+            edges.unpersist()  # labels are materialized; plan no longer reads edges
+            sizes = labels.groupBy("label").agg(
+                F.count("*").alias("component_size")
+            )
+            return labels.join(sizes, "label").select(
+                F.col("node").alias(out_id),
+                F.col("label").alias(f"canonical_{out_id}"),
+                "component_size",
+            )
+    raise RuntimeError(
+        f"_connected_components failed to converge in {max_rounds} rounds; "
+        "doubling convergence makes this unreachable for any real graph — "
+        "refusing to emit possibly-wrong group ids"
     )
 
 

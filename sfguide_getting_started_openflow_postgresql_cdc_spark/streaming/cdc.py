@@ -967,13 +967,30 @@ class CdcEngine:
 
         Local-FS swap is write-tmp -> rename-old-aside -> rename-tmp-in
         -> delete-old: both full datasets exist on disk until the new
-        journal is in place, so a crash at any step loses nothing (a
-        leftover ``__old``/``__compacting`` dir is cleaned up on the next
-        run; a distributed deployment would swap a file manifest instead,
-        as the replica pointer does).
+        journal is in place, so a crash at any step loses nothing. The
+        next run FIRST recovers from the one window where the live dir
+        is missing (crashed between rename-aside and rename-in: ``__old``
+        is then the only complete journal and is renamed back) and only
+        after that deletes leftover ``__compacting``/``__old`` debris; a
+        distributed deployment would swap a file manifest instead, as
+        the replica pointer does.
 
         Returns ``{"before": n, "after": n, "horizon": seq}``.
         """
+        jdir = self.store.journal_path(table)
+        tmp = jdir + "__compacting"
+        old = jdir + "__old"
+        # Crash recovery must precede debris cleanup: if a prior run died
+        # between os.rename(jdir, old) and os.rename(tmp, jdir), `old` is
+        # the ONLY complete journal on disk — restore it before anything
+        # is deleted. (`tmp` at that point may be a complete compacted
+        # copy, but `old` is always complete pre-compaction, so it wins.)
+        if not os.path.exists(jdir) and os.path.exists(old):
+            os.rename(old, jdir)
+        for stale in (tmp, old):  # now genuinely-redundant debris
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+
         pk = self.primary_keys[table]
         j = self.store.read_journal(spark, table, dedup=True, pk=pk)
         well_formed = F.col(pk).isNotNull() & F.col("op").isin("I", "U", "D")
@@ -991,12 +1008,6 @@ class CdcEngine:
         if self.write_partitions:
             compacted = compacted.coalesce(self.write_partitions)
 
-        jdir = self.store.journal_path(table)
-        tmp = jdir + "__compacting"
-        old = jdir + "__old"
-        for stale in (tmp, old):  # crash debris from a prior attempt
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
         before = spark.read.parquet(jdir).count()
         compacted.write.mode("overwrite").parquet(tmp)  # materialize first
         os.rename(jdir, old)

@@ -406,3 +406,39 @@ def test_neardup_curation_drops_exactly_non_canonicals(spark):
     groups = QUERIES["dd7_dedup_groups"](spark, SF01).collect()
     non_canon = sum(1 for g in groups if g["doc_id"] != g["canonical_doc_id"])
     assert sum(r["n_dropped"] for r in rows) == non_canon
+
+
+def test_connected_components_long_chain_converges_exactly(spark):
+    """A 200-node PATH (diameter 199 — far past the old 20-round cap
+    that silently returned wrong labels) must resolve to ONE component
+    with canonical = min node: pointer-doubling convergence is O(log d),
+    so this also stays fast. A second disjoint component guards against
+    label bleed."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        _connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 200)]            # path 1..200
+    ring = [(1000 + i, 1000 + (i + 1) % 30) for i in range(30)]  # cycle of 30
+    pairs = spark.createDataFrame(chain + ring, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["component_size"])
+        for r in _connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert len(got) == 230
+    for i in range(1, 201):
+        assert got[i] == (1, 200)
+    for i in range(30):
+        assert got[1000 + i] == (1000, 30)
+
+
+def test_connected_components_raises_instead_of_truncating(spark):
+    """The safety cap must RAISE, never emit unconverged labels."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        _connected_components,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 40)],
+                                  ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        _connected_components(pairs, "doc_a", "doc_b", max_rounds=2)

@@ -816,3 +816,85 @@ def test_consistent_snapshot_pins_tables_to_common_watermark(spark, tmp_path):
     assert {r["id"]: r["grp"] for r in eng.store.read(spark, "t").collect()} == {
         1: "a3"
     }
+
+
+# -- compaction crash recovery ---------------------------------------------
+
+
+def _compaction_fixture(spark, tmp_path, name):
+    """Engine with a 6-event journal ready for compaction at horizon 4."""
+    eng = _mk_engine(tmp_path / name)
+    _bootstrap(spark, eng, [(1, "a"), (2, "b")])
+    eng.apply_envelope_batch(
+        spark,
+        _events(
+            spark,
+            [
+                (1, "U", 1, "a1"),
+                (2, "U", 1, "a2"),
+                (3, "U", 2, "b1"),
+                (4, "U", 1, "a3"),
+                (5, "U", 2, "b2"),
+                (6, "U", 1, "a4"),
+            ],
+        ),
+    )
+    return eng
+
+
+def _journal_state(spark, eng):
+    return sorted(
+        (r["seq_no"], r["op"])
+        for r in eng.store.read_journal(spark, "t").collect()
+    )
+
+
+def test_compaction_recovers_from_each_crash_window(spark, tmp_path):
+    """Simulate a crash at EVERY window of compact_journal's local-FS
+    swap (write-tmp -> rename-aside -> rename-in -> delete-old) and
+    prove the next run loses nothing. The critical window is the one
+    where the live dir is missing: ``__old`` is then the only complete
+    journal and must be RESTORED, not deleted as debris."""
+    import os
+    import shutil
+
+    # Window A: crashed after materializing __compacting, before any
+    # rename. Live journal intact; tmp is debris.
+    eng = _compaction_fixture(spark, tmp_path, "wA")
+    jdir = eng.store.journal_path("t")
+    want = _journal_state(spark, eng)
+    shutil.copytree(jdir, jdir + "__compacting")
+    stats = eng.compact_journal(spark, "t", retain_after_seq=4)
+    assert stats["before"] == len(want)  # debris did not shadow the journal
+    assert not os.path.exists(jdir + "__compacting")
+    assert not os.path.exists(jdir + "__old")
+
+    # Window B (the data-loss bug): crashed between rename(jdir, old)
+    # and rename(tmp, jdir). Live dir MISSING; __old is the only full
+    # copy, __compacting holds a compacted candidate.
+    eng = _compaction_fixture(spark, tmp_path, "wB")
+    jdir = eng.store.journal_path("t")
+    want = _journal_state(spark, eng)
+    shutil.copytree(jdir, jdir + "__compacting")  # stand-in compacted copy
+    os.rename(jdir, jdir + "__old")
+    assert not os.path.exists(jdir)
+    stats = eng.compact_journal(spark, "t", retain_after_seq=4)
+    assert stats["before"] == len(want)  # __old was restored, not deleted
+    got = _journal_state(spark, eng)
+    # horizon-4 compaction over ids {1,2}: seqs 5,6 verbatim; pre-horizon
+    # collapses to latest per key (seq 4 for id 1, seq 3 for id 2) plus
+    # the snapshot rows are absent (journal_snapshot=False)
+    assert [s for s, _ in got if s > 4] == [5, 6]
+    pre = [s for s, _ in got if s <= 4]
+    assert set(pre) == {3, 4}
+
+    # Window C: crashed after rename-in, before delete-old. Live dir is
+    # the new journal; __old is redundant debris.
+    eng = _compaction_fixture(spark, tmp_path, "wC")
+    jdir = eng.store.journal_path("t")
+    eng.compact_journal(spark, "t", retain_after_seq=4)
+    compacted_state = _journal_state(spark, eng)
+    shutil.copytree(jdir, jdir + "__old")  # pretend delete-old never ran
+    stats = eng.compact_journal(spark, "t", retain_after_seq=4)
+    assert not os.path.exists(jdir + "__old")
+    assert _journal_state(spark, eng) == compacted_state  # idempotent

@@ -21,12 +21,16 @@ Determinism notes (CLAUDE.md / oracle-parity-playbook):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.shims import (
     decimal_sum,
+    seconds_to_time,
+    time_to_seconds,
 )
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
@@ -1520,25 +1524,25 @@ def tx9_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d25_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N-PERCENT selection — the cutoff is data-dependent
-    (ceil(1% of count)), so it composes a ranking window with a global
-    count window. The empty-frame COUNT(*) OVER () applies after the
-    row set is defined, one pass. ceil and the compare are integer-
-    exact. Scale: a global ROW_NUMBER single-partitions the window —
-    for 100 TB use the f4 TakeOrderedAndProject shape with a
-    pre-computed count, or rank within partitions and merge; this
-    operator is the semantic reference."""
+    """Top-N-PERCENT selection with a data-dependent cutoff
+    (ceil(1% of count)) — the SCALE-SAFE shape: pass 1 is an exact
+    COUNT (one map-side-combinable scan), whose result lands in the
+    plan as a LITERAL limit; pass 2 is orderBy().limit(k), which
+    Catalyst plans as TakeOrderedAndProject — every partition keeps a
+    k-row heap and only k rows reach the driver-side merge, never a
+    single-partition global sort/window. The rank is recomputed over
+    the k selected rows only (k ~ 1% of n; at 100 TB pair this with a
+    LIMIT pushed into the scan — the heap never materializes the
+    table). ceil and the compare are integer-exact, so both passes see
+    the identical cutoff the one-pass window oracle computes."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_total = cust.count()  # pass 1: exact count -> literal cutoff
+    k = int(math.ceil(n_total * 0.01))
+    top = cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")).limit(k)
     w_rank = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    w_all = Window.partitionBy()
-    ranked = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_acctbal",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n_total"),
+    return top.select(
+        "c_custkey", "c_acctbal", F.row_number().over(w_rank).alias("rn")
     )
-    return ranked.filter(
-        F.col("rn") <= F.ceil(F.col("n_total") * 0.01).cast("long")
-    ).select("c_custkey", "c_acctbal", "rn")
 
 
 @query(
@@ -1762,4 +1766,55 @@ def e10_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("trailing90d_spend"),
         )
+    )
+
+
+@query(
+    "h29_time_arithmetic",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, strftime(ts, '%H:%M:%S') AS time_str
+      FROM events WHERE event_id < 2000
+    ), s AS (
+      SELECT event_id, time_str,
+             CAST(split_part(time_str, ':', 1) AS BIGINT) * 3600
+           + CAST(split_part(time_str, ':', 2) AS BIGINT) * 60
+           + CAST(split_part(time_str, ':', 3) AS BIGINT) AS secs
+      FROM t
+    )
+    SELECT event_id, time_str, secs AS secs_since_midnight,
+           printf('%02d:%02d:%02d',
+                  ((secs + 5400) % 86400) // 3600,
+                  (((secs + 5400) % 86400) % 3600) // 60,
+                  ((secs + 5400) % 86400) % 60) AS shifted_90m,
+           secs // 60 AS minute_of_day,
+           time_str >= '08:30:00' AND time_str < '17:00:00'
+             AS in_business_hours
+    FROM s
+    """,
+)
+def h29_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-of-day arithmetic over the engine's string TIME
+    representation (reference stores TIME(9) —
+    sql/0.init_healthcare.sql:76, semantic-models yaml:168; Spark has no
+    TIME type, so 'HH:mm:ss' strings + the time_to_seconds /
+    seconds_to_time shims supply the arithmetic): seconds-since-midnight
+    accessor, a +90-minute shift that wraps midnight, minute-of-day
+    bucketing, and a lexical business-hours range predicate (string
+    order == time order for fixed-width HH:mm:ss). All integer-exact —
+    no floats touch the values."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    base = ev.select(
+        "event_id", F.date_format(F.col("ts"), "HH:mm:ss").alias("time_str")
+    )
+    secs = time_to_seconds(F.col("time_str"))
+    return base.select(
+        "event_id",
+        "time_str",
+        secs.alias("secs_since_midnight"),
+        seconds_to_time((secs + F.lit(5400)) % 86400).alias("shifted_90m"),
+        F.floor(secs / 60).cast("long").alias("minute_of_day"),
+        (
+            (F.col("time_str") >= "08:30:00") & (F.col("time_str") < "17:00:00")
+        ).alias("in_business_hours"),
     )

@@ -202,3 +202,26 @@ def test_evidence_window_tool_is_valid():
     names = re.findall(r'^    "([A-Za-z0-9_]+)",', out.stdout, re.M)
     assert len(names) == 50 and len(set(names)) == 50
     assert all(n in QUERIES for n in names), set(names) - set(QUERIES)
+    # the committed list is generated output — fail on drift between the
+    # generator and what operators/__init__.py actually ships
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
+        _NEEDS_EVIDENCE_FIRST,
+    )
+
+    assert names == list(_NEEDS_EVIDENCE_FIRST), (
+        "regenerate: python tools/evidence_window.py > paste into "
+        "operators/__init__.py::_NEEDS_EVIDENCE_FIRST"
+    )
+
+
+def test_d25_top_percent_plans_take_ordered_not_global_window(spark, sf_dir):
+    """d25's selection must be TakeOrderedAndProject (per-partition k-row
+    heaps) — the single-partition global ROW_NUMBER over the full table
+    is the one plan that cannot scale. The only Window left operates on
+    the k already-selected rows."""
+    df = QUERIES["d25_top_percent"](spark, sf_dir)
+    assert has_take_ordered(df)
+    plan = explain_str(df)
+    # the Window (rank over k rows) must sit ABOVE the TakeOrdered
+    # selection, i.e. the full-table scan feeds TakeOrdered, not Window
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan

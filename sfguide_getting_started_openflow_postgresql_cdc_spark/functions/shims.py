@@ -102,3 +102,30 @@ def to_time_string(hour: Column, minute: Column, second: Column) -> Column:
         F.lpad(minute.cast("string"), 2, "0"),
         F.lpad(second.cast("string"), 2, "0"),
     )
+
+
+def time_to_seconds(col: Column | str) -> Column:
+    """'HH:mm:ss' TIME string -> integer seconds since midnight — the
+    accessor that makes the engine's string TIME representation
+    (reference sql/0.init_healthcare.sql:76 TIME(9);
+    semantic-models/...yaml:168) arithmetic-capable: differences,
+    shifts, and bucketing become exact integer math. Pure split/cast,
+    stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, ":")
+    return (
+        parts.getItem(0).cast("long") * 3600
+        + parts.getItem(1).cast("long") * 60
+        + parts.getItem(2).cast("long")
+    )
+
+
+def seconds_to_time(col: Column) -> Column:
+    """Integer seconds-since-midnight -> 'HH:mm:ss' TIME string (inverse
+    of :func:`time_to_seconds`; caller wraps around midnight with
+    ``% 86400`` where that is the intended semantic)."""
+    return to_time_string(
+        F.floor(col / 3600).cast("int"),
+        F.floor(col % 3600 / 60).cast("int"),
+        (col % 60).cast("int"),
+    )

@@ -70,7 +70,13 @@ class IvfIndex:
             train_ivf_centroids,
         )
 
-        head = emb.orderBy("vec_id").limit(max(self.n_cells, sample_size)).collect()
+        # hash-ordered deterministic sample — a vec_id prefix is biased
+        # when ingestion order tracks content (see sim4_knn_ivf)
+        head = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(max(self.n_cells, sample_size))
+            .collect()
+        )
         centroids_n = train_ivf_centroids(
             [r["embedding"] for r in head], self.n_cells
         )

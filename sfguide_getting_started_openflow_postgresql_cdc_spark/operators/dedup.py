@@ -247,6 +247,43 @@ def _band_exprs() -> list[tuple[str, Column]]:
     return bands
 
 
+_DD4_CACHE: dict = {}
+
+
+def _dd4_shingle_cache(spark: SparkSession, sf_dir: str):
+    """Memoized persisted (full, capped) shingle sets for dd4 and its
+    composers (dd7/px6). One persist per (session, sf_dir) — repeated
+    invocations reuse the SAME DataFrame objects, so no duplicate
+    CacheManager entries accumulate; ``clear_dedup_cache`` unpersists."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DD4_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sh = _doc_shingles(spark, sf_dir).persist()
+    # hot shingles are FEW by definition (df > CAP needs CAP+ docs each),
+    # so drop them via a broadcast anti-join — map-side, no extra shuffle
+    # (dd3 uses a window because its self-join reuses the shingle
+    # partitioning; dd4's verification joins are keyed by doc_id, so a
+    # shingle-partitioned exchange would buy nothing here)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
+    _DD4_CACHE[key] = (sh, capped)
+    return sh, capped
+
+
+def clear_dedup_cache() -> None:
+    """Release every shingle set dd4 has persisted this session."""
+    for sh, capped in _DD4_CACHE.values():
+        capped.unpersist()
+        sh.unpersist()
+    _DD4_CACHE.clear()
+
+
 @query(
     "dd4_minhash_lsh_pairs",
     oracle=f"""
@@ -306,23 +343,13 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lsh-subset-of-exact invariant holds even when the cap bites.
 
     The shingle set feeds the signature pass and both sides of the
-    verification join; it is persisted so the explode+distinct shuffle
-    runs once (at cluster scale: checkpoint to storage instead).
+    verification join; it is persisted ONCE per (session, sf_dir) via a
+    memo (``clear_dedup_cache`` releases it) so the explode+distinct
+    shuffle runs once even when dd7/dd8/px6 re-invoke dd4 in the same
+    session (at cluster scale: checkpoint to storage instead).
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh, capped = _dd4_shingle_cache(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
-    # hot shingles are FEW by definition (df > CAP needs CAP+ docs each),
-    # so drop them via a broadcast anti-join — map-side, no extra shuffle
-    # (dd3 uses a window because its self-join reuses the shingle
-    # partitioning; dd4's verification joins are keyed by doc_id, so a
-    # shingle-partitioned exchange would buy nothing here)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
-        .select("shingle")
-    )
-    capped = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     bands = None
     for name, expr in _band_exprs():

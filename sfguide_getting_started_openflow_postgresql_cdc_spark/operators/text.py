@@ -379,10 +379,8 @@ def tx7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy -> global top-k; Catalyst plans the final
     ordering as TakeOrderedAndProject (no full sort) since the count
     table is already reduced to distinct words."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length(F.trim(F.col("text"))) > 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
     )
     counts = (
         docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))

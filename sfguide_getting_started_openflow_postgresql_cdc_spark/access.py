@@ -39,19 +39,33 @@ class NetworkRule:
     mode: str = "EGRESS"
 
 
+def jdbc_host_ports(url: str) -> tuple[str, ...]:
+    """Extract EVERY ``host:port`` endpoint from a JDBC url — multi-host
+    failover urls (``jdbc:postgresql://h1:5432,h2:5432/db``) list several,
+    and the driver may connect to ANY of them, so egress checks must
+    cover them all. ``jdbc:sqlite:/path`` has no endpoint -> ``()``."""
+    m = re.search(r"jdbc:[a-z0-9]+://([^/?;]+)", url)
+    if not m:
+        return ()
+    return tuple(hp for hp in m.group(1).split(",") if hp)
+
+
 def jdbc_host_port(url: str) -> str:
-    """Extract ``host:port`` from a JDBC url (``jdbc:postgresql://h:p/db``,
-    ``jdbc:sqlite:/path`` has no endpoint -> ``''``)."""
-    m = re.search(r"jdbc:[a-z0-9]+://([^/?,;]+)", url)
-    return m.group(1) if m else ""
+    """First endpoint of ``url`` (display helper — egress checks use
+    :func:`jdbc_host_ports`, which covers failover endpoints too)."""
+    hps = jdbc_host_ports(url)
+    return hps[0] if hps else ""
 
 
 def egress_allowed(url: str, rules: list[NetworkRule] | tuple[NetworkRule, ...]) -> bool:
-    hp = jdbc_host_port(url)
-    if not hp:
+    """Fail-closed: every endpoint the driver could fail over to must be
+    allow-listed; a url with no parseable endpoint is denied."""
+    hps = jdbc_host_ports(url)
+    if not hps:
         return False
-    return any(
-        r.mode == "EGRESS" and hp in r.host_ports for r in rules
+    return all(
+        any(r.mode == "EGRESS" and hp in r.host_ports for r in rules)
+        for hp in hps
     )
 
 

@@ -32,56 +32,56 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # evidence; window = 50). Do not hand-curate — edit the script's
 # CHANGED_SINCE_GREEN and regenerate.
 _NEEDS_EVIDENCE_FIRST = [
-    "h21_regexp_extract",  # changed/new this round
-    "dd1_exact_dedup",  # changed/new this round
-    "dd4_minhash_lsh_pairs",  # changed/new this round
-    "mm5_decoded_media_metadata",  # changed/new this round
-    "sim4_knn_ivf",  # changed/new this round
-    "tx10_tfidf_top_terms",  # changed/new this round
+    "dd7_dedup_groups",  # changed/new this round
+    "dd8_semantic_dedup_groups",  # changed/new this round
     "px6_neardup_aware_curation",  # changed/new this round
-    "d26_grouping_sets",  # changed/new this round
-    "h28_array_functions",  # changed/new this round
-    "c12_full_outer_join",  # changed/new this round
-    "e10_range_interval_frame",  # changed/new this round
+    "d25_top_percent",  # changed/new this round
+    "sim4_knn_ivf",  # changed/new this round
+    "tx7_vocab_topk",  # changed/new this round
+    "dd4_minhash_lsh_pairs",  # changed/new this round
+    "h29_time_arithmetic",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
-    "b2_select_star",  # latest green r1
-    "b3_alias_expr",  # latest green r1
-    "b5_in_list",  # latest green r1
-    "b6_date_range",  # latest green r1
-    "b7_null_predicate",  # latest green r1
-    "b8_column_inequality",  # latest green r1
-    "c1_join_2way_agg",  # latest green r1
-    "c5_join_derived_table",  # latest green r1
-    "c6_semi_join",  # latest green r1
-    "d10_rate_avg_case",  # latest green r1
-    "d11_having",  # latest green r1
-    "d1_global_agg",  # latest green r1
-    "d2_groupby_single",  # latest green r1
-    "d3_tpch_q1_pricing_summary",  # latest green r1
-    "d4_groupby_expression",  # latest green r1
-    "d6_count_distinct",  # latest green r1
-    "d9_count_case_no_else",  # latest green r1
-    "dd6_embedding_cosine_dups",  # latest green r1
-    "flagship_revenue_by_nation",  # latest green r1
-    "h11_timestampdiff_minute",  # latest green r1
-    "h14_date_trunc_hour",  # latest green r1
-    "h2_h3_round_nullif",  # latest green r1
-    "mm2_media_metadata_stats",  # latest green r1
-    "b10_compound_predicate",  # latest green r2
-    "c8_scalar_subquery",  # latest green r2
-    "c9_not_exists",  # latest green r2
-    "d17_rollup",  # latest green r2
-    "d18_cube",  # latest green r2
-    "d19_exact_corr_moments",  # latest green r2
-    "d20_order_statistics",  # latest green r2
-    "d21_bool_aggregates",  # latest green r2
-    "d8_conditional_sum",  # latest green r2
-    "dd7_dedup_groups",  # latest green r2
-    "e1_pct_of_total",  # latest green r2
-    "e2_nested_agg_window",  # latest green r2
-    "e3_partitioned_window",  # latest green r2
-    "e4_listagg_distinct",  # latest green r2
-    "e5_lag_lead",  # latest green r2
+    "e6_moving_frame",  # latest green r2
+    "e7_rank_functions",  # latest green r2
+    "e8_running_total",  # latest green r2
+    "f4_topk_global",  # latest green r2
+    "f6_topk_per_group",  # latest green r2
+    "f7_pagination",  # latest green r2
+    "g1_union_all_rowcounts",  # latest green r2
+    "g2_data_quality_nulls",  # latest green r2
+    "g3_intersect",  # latest green r2
+    "g4_except",  # latest green r2
+    "h12_to_char_month",  # latest green r2
+    "h13_compose_timestamp",  # latest green r2
+    "h15_dayname_dayofweek",  # latest green r2
+    "h16_modulo",  # latest green r2
+    "h1_string_concat",  # latest green r2
+    "h20_like_patterns",  # latest green r2
+    "h22_array_functions",  # latest green r2
+    "h4_case_bucket",  # latest green r2
+    "h5_simple_case",  # latest green r2
+    "h6_cast_to_date",  # latest green r2
+    "h8_date_arithmetic",  # latest green r2
+    "i10_asof_join",  # latest green r2
+    "i11_range_join",  # latest green r2
+    "mm1_media_features",  # latest green r2
+    "mm3_frame_sample",  # latest green r2
+    "px1_corpus_curation",  # latest green r2
+    "sim3_pairwise_label_centroids",  # latest green r2
+    "sim5_range_search",  # latest green r2
+    "tx6_bpe_token_count",  # latest green r2
+    "a5_generate_series",  # latest green r3
+    "b1_project_filter",  # latest green r3
+    "c10_salted_skew_join",  # latest green r3
+    "c11_dense_grid_report",  # latest green r3
+    "c3_left_join_count",  # latest green r3
+    "c4_left_join_residual_on",  # latest green r3
+    "c7_anti_join",  # latest green r3
+    "d14_exact_percentiles",  # latest green r3
+    "d16_pivot",  # latest green r3
+    "d22_multi_distinct",  # latest green r3
+    "d23_unpivot",  # latest green r3
+    "d24_value_histogram",  # latest green r3
 ]
 
 

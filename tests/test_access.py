@@ -99,3 +99,58 @@ def test_engine_role_reader(spark, tmp_path):
     no_ac = Engine(spark, str(tmp_path / "w2"), write_partitions=1)
     with pytest.raises(ValueError, match="without an AccessControl"):
         no_ac.reader("quickstart_role")
+
+
+def test_egress_multi_host_failover_urls_fail_closed():
+    """A multi-host JDBC url is only allowed when EVERY failover endpoint
+    is allow-listed — the driver may connect to any of them."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.access import (
+        NetworkRule,
+        egress_allowed,
+        jdbc_host_ports,
+    )
+
+    assert jdbc_host_ports("jdbc:postgresql://h1:5432,h2:5432/db") == (
+        "h1:5432",
+        "h2:5432",
+    )
+    one = NetworkRule("r1", ("h1:5432",))
+    both = NetworkRule("r2", ("h1:5432", "h2:5432"))
+    assert not egress_allowed("jdbc:postgresql://h1:5432,h2:5432/db", [one])
+    assert egress_allowed("jdbc:postgresql://h1:5432,h2:5432/db", [both])
+    assert egress_allowed("jdbc:postgresql://h1:5432/db", [one])
+
+
+def test_role_scoped_verified_queries_and_ask(spark, tmp_path):
+    """Verified queries honor the role: a role lacking SELECT on ANY
+    table a verified query declares is refused — including through the
+    NL ask() path, where routing succeeds but execution is denied
+    (reference grant separation, sql/1.snowflake_setup.sql:40-58)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    ac = (
+        AccessControl()
+        .create_role("analyst")
+        .grant("SELECT", "appointments", to="analyst")
+    )
+    eng = Engine(
+        spark, str(tmp_path / "w"), write_partitions=1, access=ac
+    ).bootstrap()
+    r = eng.reader("analyst")
+
+    # granted surface: total_appointments reads only appointments
+    assert r.verified("total_appointments").collect()[0][0] == 170
+    assert r.ask("how many appointments in total?").collect()[0][0] == 170
+
+    # revenue_by_doctor reads doctors+visits -> refused, even via ask()
+    with pytest.raises(PermissionDenied, match="doctors|visits"):
+        r.verified("revenue_by_doctor")
+    with pytest.raises(PermissionDenied, match="doctors|visits"):
+        r.ask("what is the total revenue by doctor?")
+
+    # partial grant is still refused (needs BOTH tables)
+    ac.grant("SELECT", "doctors", to="analyst")
+    with pytest.raises(PermissionDenied, match="visits"):
+        r.verified("revenue_by_doctor")
+    ac.grant("SELECT", "visits", to="analyst")
+    assert r.verified("revenue_by_doctor").count() == 10

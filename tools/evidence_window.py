@@ -22,24 +22,21 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    "h21_regexp_extract",        # oracle BIGINT cast in r3, last green r2
-    "dd1_exact_dedup",           # r4: groupBy (md5, length)
-    "dd4_minhash_lsh_pairs",     # r4: capped verification sets + oracle
-    "mm5_decoded_media_metadata",  # r4: NEW (real BMP/WAV decode)
-    "sim4_knn_ivf",              # r4: Lloyd-refined quantizer (rows-only)
-    "tx10_tfidf_top_terms",      # r4: NEW (linear-idf keyword extraction)
-    "px6_neardup_aware_curation",  # r4: NEW (dd7-composed curation manifest)
-    "d26_grouping_sets",         # r4: NEW (explicit GROUPING SETS + GROUPING())
-    "h28_array_functions",       # r4: NEW (array agg/size/contains/join)
-    "c12_full_outer_join",       # r4: NEW (full outer over year slices)
-    "e10_range_interval_frame",  # r4: NEW (RANGE interval window frame)
+    "dd7_dedup_groups",          # r5: CC engine -> hook+pointer-doubling
+    "dd8_semantic_dedup_groups",  # r5: same CC engine change
+    "px6_neardup_aware_curation",  # r5: composes the changed CC engine
+    "d25_top_percent",           # r5: scale-safe count+limit rewrite
+    "sim4_knn_ivf",              # r5: hash-ordered sample, N_PROBE=6 (rows-only)
+    "tx7_vocab_topk",            # r5: dead repartition dropped
+    "dd4_minhash_lsh_pairs",     # r5: memoized shingle cache (same plan)
+    "h29_time_arithmetic",       # r5: NEW (TIME accessor shims)
 ]
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest_green: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for name, row in json.load(open(f)).items():
             green = (

@@ -117,17 +117,24 @@ class Engine:
 
     def verified(self, name: str) -> DataFrame:
         """Run a semantic-model verified query."""
+        return self.model.run_verified(name, self.spark, self._model_dfs())
+
+    def _model_dfs(self) -> dict:
         dfs = self.replicas(include_deleted=True)
-        # verified queries apply their own soft-delete filters
+        # verified queries / templates apply their own soft-delete filters
         plain = {t: dfs[f"{t}_raw"] for t in self.cdc.tables}
         plain["_as_of_date"] = healthcare.AS_OF.isoformat()
-        return self.model.run_verified(name, self.spark, plain)
+        return plain
 
     def ask(self, question: str) -> DataFrame:
-        """Natural-language entry: route the question to the closest
-        verified query (deterministic lexical router with synonym
-        expansion — see SemanticModel.route_question) and run it."""
-        return self.verified(self.model.route_question(question))
+        """Natural-language entry: the deterministic router — verified
+        catalog first, parameterized templates ('revenue by
+        specialization') for the breadth beyond it, loud refusal when
+        neither resolves (see SemanticModel.route)."""
+        kind, target = self.model.route(question)
+        if kind == "verified":
+            return self.verified(target)
+        return self.model.run_template(target, self.spark, self._model_dfs())
 
     def history(self, table: str) -> DataFrame:
         """SCD2 type-2 history for a table (journal-derived)."""
@@ -230,3 +237,25 @@ class RoleReader:
         if name not in dfs:
             raise KeyError(f"unknown table {name!r}")
         return dfs[name]
+
+    def verified(self, name: str) -> DataFrame:
+        """Run a semantic-model verified query AS this role: requires
+        SELECT on every table the query declares it reads (reference
+        separation — grants gate object access even through blessed
+        queries, sql/1.snowflake_setup.sql:40-58)."""
+        for t in self._engine.model.verified_tables(name):
+            self._engine.access.check(self.role, "SELECT", t)
+        return self._engine.verified(name)
+
+    def ask(self, question: str) -> DataFrame:
+        """NL entry as this role: route first (verified or template),
+        then enforce the routed query's grant surface — an ungranted
+        role is refused even when the router finds a match."""
+        kind, target = self._engine.model.route(question)
+        if kind == "verified":
+            return self.verified(target)
+        for t in target.tables:
+            self._engine.access.check(self.role, "SELECT", t)
+        return self._engine.model.run_template(
+            target, self._engine.spark, self._engine._model_dfs()
+        )

@@ -62,6 +62,43 @@ class Relationship:
     right_key: str
 
 
+# routing lexicon shared by the verified-query router and the template
+# router: function words carry no signal; count-words mark aggregation
+_STOP = {
+    "the", "a", "an", "of", "in", "on", "by", "to", "for", "do",
+    "we", "have", "is", "are", "were", "was", "what", "which",
+    "how", "via", "all", "per", "with", "and", "or", "show", "me",
+    "each", "every",
+}
+_COUNT_WORDS = {"count", "number", "many", "much", "total"}
+
+
+def _toks(s: str) -> frozenset[str]:
+    """Content tokens, naive-plural-folded ('doctors' -> 'doctor')."""
+    import re as _re
+
+    return frozenset(
+        w[:-1] if w.endswith("s") and len(w) > 3 else w
+        for w in _re.findall(r"[a-z]+", s.lower())
+        if w not in _STOP
+    )
+
+
+@dataclass(frozen=True)
+class TemplateRoute:
+    """A parameterized-query routing decision (SURVEY §2.J3 breadth):
+    the deterministic router resolved the question into a template
+    family plus model objects — ``tables`` is the grant surface a
+    role-scoped caller must hold SELECT on."""
+
+    family: str  # 'count_table' | 'count_by_dimension' | 'measure_by_dimension'
+    tables: tuple[str, ...]
+    measure: str | None = None
+    measure_table: str | None = None
+    dimension: str | None = None
+    dimension_table: str | None = None
+
+
 class SemanticModel:
     def __init__(
         self,
@@ -75,6 +112,7 @@ class SemanticModel:
         self.tables = {t.name: t for t in tables}
         self.relationships = {r.name: r for r in relationships}
         self._verified: dict[str, tuple[str, object]] = {}
+        self._verified_tables: dict[str, tuple[str, ...]] = {}
 
     # -- validation -----------------------------------------------------
     def validate(self, dfs: dict[str, DataFrame]) -> list[str]:
@@ -116,14 +154,29 @@ class SemanticModel:
         raise KeyError(f"no relationship {left} -> {right}")
 
     # -- verified queries --------------------------------------------------
-    def verified(self, name: str, question: str):
-        """Decorator registering a blessed question -> DataFrame builder."""
+    def verified(self, name: str, question: str, tables: list[str] | None = None):
+        """Decorator registering a blessed question -> DataFrame builder.
+
+        ``tables`` declares which logical tables the query reads — the
+        authorization surface: a role must hold SELECT on every one of
+        them to run the query through a role-scoped reader (reference
+        separation: stage/table grants, sql/1.snowflake_setup.sql:40-58).
+        Defaults (conservatively) to EVERY table in the model."""
 
         def deco(fn):
             self._verified[name] = (question, fn)
+            self._verified_tables[name] = (
+                tuple(tables) if tables is not None else tuple(self.tables)
+            )
             return fn
 
         return deco
+
+    def verified_tables(self, name: str) -> tuple[str, ...]:
+        """Logical tables a verified query reads (its grant surface)."""
+        if name not in self._verified:
+            raise KeyError(f"unknown verified query {name!r}")
+        return self._verified_tables[name]
 
     def verified_queries(self) -> dict[str, str]:
         return {k: q for k, (q, _) in self._verified.items()}
@@ -212,11 +265,167 @@ class SemanticModel:
             )
         return best_name
 
+    # -- template routing (SURVEY §2.J3 breadth) ---------------------------
+    def _resolve_column(self, text_toks: frozenset, kinds: set[str]):
+        """(table, column) whose name-or-synonym tokens are fully
+        contained in ``text_toks``; longest match wins, then name order
+        — deterministic. None when nothing resolves."""
+        best = None
+        for t in self.tables.values():
+            for c in t.columns:
+                if c.kind not in kinds:
+                    continue
+                for cand in (c.name, *c.synonyms):
+                    ct = _toks(cand)
+                    if ct and ct <= text_toks:
+                        key = (-len(ct), t.name, c.name)
+                        if best is None or key < best[0]:
+                            best = (key, t.name, c.name)
+        return (best[1], best[2]) if best else None
+
+    def _resolve_tables(self, text_toks: frozenset) -> list[str]:
+        hits = []
+        for name in sorted(self.tables):
+            t = self.tables[name]
+            if any(
+                _toks(n) and _toks(n) <= text_toks
+                for n in (t.name, *t.synonyms)
+            ):
+                hits.append(name)
+        return hits
+
+    def _rel_between(self, a: str, b: str):
+        """The declared one-hop relationship between two tables, in
+        either direction -> (a_key, b_key); KeyError when absent."""
+        for r in self.relationships.values():
+            if r.left_table == a and r.right_table == b:
+                return r.left_key, r.right_key
+            if r.left_table == b and r.right_table == a:
+                return r.right_key, r.left_key
+        raise KeyError(f"no relationship between {a} and {b}")
+
+    def route_template(self, question: str) -> TemplateRoute:
+        """Resolve a question into a parameterized template — the
+        deterministic generalization beyond the blessed catalog:
+
+        - ``<measure> by <dimension>``  -> grouped SUM (tables joined
+          along a declared relationship when they differ)
+        - ``count ... by <dimension>``  -> grouped COUNT(*)
+        - ``how many <table>``          -> table COUNT(*) — only when
+          every content token is explained by count-words + the table
+          (leftover tokens mean the question asks something MORE
+          specific, and guessing would silently drop the qualifier)
+
+        Measures/dimensions resolve through the model's declared column
+        names and synonyms only; unresolvable questions raise KeyError —
+        refuse, never guess."""
+        import re
+
+        q = question.lower()
+        m = re.search(r"\b(?:by|per|for each|grouped by)\s+(.+)$", q)
+        if m:
+            lt, rt = _toks(q[: m.start()]), _toks(m.group(1))
+            dim = self._resolve_column(rt, kinds={"dimension", "time_dimension"})
+            if dim is not None:
+                dt, dcol = dim
+                meas = self._resolve_column(lt, kinds={"fact"})
+                if meas is not None:
+                    mt, mcol = meas
+                    if mt != dt:
+                        self._rel_between(mt, dt)  # must be joinable
+                    tabs = (mt,) if mt == dt else (mt, dt)
+                    return TemplateRoute(
+                        "measure_by_dimension", tabs, mcol, mt, dcol, dt
+                    )
+                if lt & _COUNT_WORDS or not lt:
+                    return TemplateRoute(
+                        "count_by_dimension", (dt,), None, None, dcol, dt
+                    )
+        qt = _toks(q)
+        if qt & _COUNT_WORDS:
+            tabs = self._resolve_tables(qt)
+            if len(tabs) == 1:
+                table_toks = set().union(
+                    *(
+                        _toks(n)
+                        for n in (tabs[0], *self.tables[tabs[0]].synonyms)
+                    )
+                )
+                leftover = qt - _COUNT_WORDS - table_toks
+                if not leftover:
+                    return TemplateRoute("count_table", (tabs[0],))
+        raise KeyError(f"no query template matches {question!r}")
+
+    def run_template(
+        self, route: TemplateRoute, spark: SparkSession, dfs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Execute a TemplateRoute over raw replica DataFrames (templates
+        apply the soft-delete filter themselves, like verified queries).
+        Dimension sides broadcast; facts aggregate map-side first."""
+
+        def live(t: str) -> DataFrame:
+            df = dfs[t]
+            if schemas.META_DELETED in df.columns:
+                df = df.filter(~F.col(schemas.META_DELETED))
+            return df
+
+        if route.family == "count_table":
+            t = route.tables[0]
+            return live(t).agg(F.count("*").alias(f"total_{t}"))
+        if route.family == "count_by_dimension":
+            return (
+                live(route.dimension_table)
+                .groupBy(route.dimension)
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), route.dimension)
+            )
+        mt, dt = route.measure_table, route.dimension_table
+        out_measure = f"total_{route.measure}"
+        if mt == dt:
+            grouped = live(mt).groupBy(route.dimension).agg(
+                F.sum(route.measure).alias(out_measure)
+            )
+        else:
+            ak, bk = self._rel_between(mt, dt)
+            m_side = live(mt).alias("m")
+            d_side = live(dt).alias("d")
+            grouped = (
+                m_side.join(
+                    F.broadcast(d_side), F.col(f"m.{ak}") == F.col(f"d.{bk}")
+                )
+                .groupBy(F.col(f"d.{route.dimension}").alias(route.dimension))
+                .agg(F.sum(F.col(f"m.{route.measure}")).alias(out_measure))
+            )
+        return grouped.orderBy(
+            F.col(out_measure).desc_nulls_last(), route.dimension
+        )
+
+    def route(self, question: str):
+        """Full routing decision: ('verified', name) or
+        ('template', TemplateRoute). Templates are PRECISION-gated —
+        they fire only when every referenced object resolves exactly
+        (a ``by <dimension>`` clause naming a real column, or a count
+        question fully explained by one table) — so a resolved template
+        outranks lexical similarity to a verified question (which
+        happily matches 'how many patients' to an appointments count).
+        The similarity-gated verified catalog catches the paraphrases
+        templates cannot parse. Raises KeyError when neither clears
+        its bar — refuse, never guess."""
+        try:
+            return ("template", self.route_template(question))
+        except KeyError:
+            return ("verified", self.route_question(question))
+
     def ask(
         self, question: str, spark: SparkSession, dfs: dict[str, DataFrame]
     ) -> DataFrame:
-        """Route + run: the full question -> DataFrame path."""
-        return self.run_verified(self.route_question(question), spark, dfs)
+        """Route + run: the full question -> DataFrame path (verified
+        catalog first, parameterized templates for the breadth beyond
+        it, loud refusal when neither resolves)."""
+        kind, target = self.route(question)
+        if kind == "verified":
+            return self.run_verified(target, spark, dfs)
+        return self.run_template(target, spark, dfs)
 
     # -- serialization -----------------------------------------------------
     def to_dict(self) -> dict:
@@ -445,7 +654,11 @@ def healthcare_model() -> SemanticModel:
 
     # -- verified queries (reference yaml:583-649) -------------------------
 
-    @model.verified("total_appointments", "How many appointments do we have in total?")
+    @model.verified(
+        "total_appointments",
+        "How many appointments do we have in total?",
+        tables=["appointments"],
+    )
     def total_appointments(spark: SparkSession, dfs: dict[str, DataFrame]):
         # yaml:592-595: COUNT(*) WHERE NOT deleted
         return dfs["appointments"].filter(~F.col(schemas.META_DELETED)).agg(
@@ -455,6 +668,7 @@ def healthcare_model() -> SemanticModel:
     @model.verified(
         "appointments_modified_today",
         "How many appointments were modified via CDC today?",
+        tables=["appointments"],
     )
     def modified_today(spark: SparkSession, dfs: dict[str, DataFrame]):
         # yaml:608-617: rows whose _SNOWFLAKE_UPDATED_AT falls on the
@@ -466,7 +680,11 @@ def healthcare_model() -> SemanticModel:
             F.col(schemas.META_UPDATED_AT).cast("date") == day
         ).agg(F.count("*").alias("appointments_modified_today"))
 
-    @model.verified("revenue_by_doctor", "What is the total revenue by doctor?")
+    @model.verified(
+        "revenue_by_doctor",
+        "What is the total revenue by doctor?",
+        tables=["doctors", "visits"],
+    )
     def revenue_by_doctor(spark: SparkSession, dfs: dict[str, DataFrame]):
         # yaml:621-648: doctors LEFT JOIN visits (not deleted), revenue
         # stats per doctor, ordered desc nulls last.

@@ -159,3 +159,69 @@ def test_nl_routing_reaches_verified_queries(spark, model, replicas):
     dfs["_as_of_date"] = "2024-06-02"
     out = model.ask("how many bookings total?", spark, dfs)
     assert out.collect()[0]["total_appointments"] > 0
+
+
+def test_template_routing_three_families(spark, model, replicas):
+    """Parameterized NL templates (SURVEY §2.J3 breadth): grouped-measure,
+    grouped-count, and table-count questions resolve through the model's
+    column/table synonyms into deterministic DataFrame plans — no LLM,
+    same refusal discipline as the verified router."""
+    # family 1: <measure> by <dimension>, tables joined via relationship
+    kind, t = model.route("total revenue by specialization")
+    assert kind == "template" and t.family == "measure_by_dimension"
+    assert (t.measure_table, t.measure) == ("visits", "total_charge")
+    assert (t.dimension_table, t.dimension) == ("doctors", "specialization")
+    out = model.run_template(t, spark, replicas).collect()
+    want = {
+        r["specialization"]: float(r["total"])
+        for r in replicas["visits"]
+        .join(
+            replicas["doctors"], "doctor_id"
+        )
+        .groupBy("specialization")
+        .agg(F.sum("total_charge").alias("total"))
+        .collect()
+    }
+    got = {r["specialization"]: float(r["total_total_charge"]) for r in out}
+    assert got == want
+    # synonym resolution: 'billed amount per specialty' -> same route
+    kind2, t2 = model.route("billed amount per specialty")
+    assert (kind2, t2) == (kind, t)
+
+    # family 2: count by dimension (single table)
+    kind, t = model.route("how many appointments per status")
+    assert kind == "template" and t.family == "count_by_dimension"
+    assert (t.dimension_table, t.dimension) == ("appointments", "status")
+    got = {r["status"]: r["n"] for r in model.run_template(t, spark, replicas).collect()}
+    assert sum(got.values()) == 170 and got["completed"] == 100
+
+    # family 3: bare table count (patients — NOT in any verified query)
+    kind, t = model.route("how many patients")
+    assert kind == "template" and t.family == "count_table"
+    assert t.tables == ("patients",)
+    assert model.run_template(t, spark, replicas).collect()[0]["total_patients"] == 100
+
+
+def test_template_routing_preserves_verified_and_refusal(spark, model, replicas):
+    """The blessed catalog still wins when the question matches it (the
+    'by doctor' questions group by an entity, not a resolvable dim
+    column), qualified count questions are NOT flattened into bare
+    counts, and off-domain questions still refuse."""
+    assert model.route("What is the total revenue by doctor?") == (
+        "verified",
+        "revenue_by_doctor",
+    )
+    assert model.route("billed amount per physician") == (
+        "verified",
+        "revenue_by_doctor",
+    )
+    # qualified count: leftover tokens (modified/cdc/today) block the
+    # count_table template; the verified query keeps the qualifier
+    assert model.route("How many appointments were modified via CDC today?") == (
+        "verified",
+        "appointments_modified_today",
+    )
+    with pytest.raises(KeyError):
+        model.route("what is the weather on jupiter")
+    with pytest.raises(KeyError):
+        model.route_template("average nonsense by moon phase")

@@ -47,6 +47,14 @@ HEADLINE = [
     "sim2_knn_lsh_bucketed",
     "dd6_embedding_cosine_dups",
     "mm1_media_features",
+    # r5 additions: the round-3/4 heavy operators join the headline so
+    # regressions in them are caught by the recorded baseline
+    "d26_grouping_sets",
+    "tx10_tfidf_top_terms",
+    "mm5_decoded_media_metadata",
+    "sim6_knn_graph",
+    "dd7_dedup_groups",
+    "px6_neardup_aware_curation",
 ]
 
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""sf1 scaling checkpoint (VERDICT r4 task 5): validate that the heavy
+operators' cost tracks DATA VOLUME, not worse — the cheapest local proxy
+for the 100x-scale claims the operator docstrings make.
+
+Builds a 10x corpus from sf0.1 (no external data):
+
+- ``documents``: 10 disjoint replicas; replica i > 0 suffixes every
+  whitespace token with ``r{i}``, so every shingle is replica-unique —
+  within-replica Jaccard structure (and thus the near-dup pair/cluster
+  distribution) is EXACTLY preserved while replicas never collide. A
+  10x corpus with the same dup rate, which is what "same distribution,
+  more data" means for dedup.
+- ``orders``: 10 key-shifted replicas (10x rows for the CDC merge).
+
+Then times dd4 / dd7 / px6 / cdc-merge at sf0.1 and at the 10x dir and
+prints one JSON line with per-query seconds and the 10x/1x ratios.
+Near-linear ratios (~10, modulo fixed overheads) = pass; super-linear =
+a scale bug. Results are recorded in BASELINE.md.
+
+Run: python tools/scale_check.py   (writes .scale_sf1/ under the repo;
+     delete the dir to regenerate)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scale_sf1")
+N_REPLICAS = 10
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    os.makedirs(DST, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(N_REPLICAS):
+        r = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000).cast("long")
+        )
+        if i > 0:  # replica-unique shingles, identical internal structure
+            r = r.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}")
+            )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    parts = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000).cast("long")
+        )
+        for i in range(N_REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    open(os.path.join(DST, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
+        QUERIES,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        clear_dedup_cache,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="scale_check")
+    build(spark)
+
+    import bench
+
+    names = ["dd4_minhash_lsh_pairs", "dd7_dedup_groups",
+             "px6_neardup_aware_curation"]
+    result: dict[str, dict[str, float]] = {}
+    for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        clear_dedup_cache()  # each scale measures its own shingle pass
+        # warm-up on an unrelated query so JIT/codegen cost stays out
+        QUERIES["tx4_fingerprint"](spark, sf_dir).collect()
+        for name in names:
+            clear_dedup_cache()
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            result.setdefault(name, {})[sf_tag] = round(
+                time.perf_counter() - t0, 3
+            )
+            result[name][f"{sf_tag}_rows"] = n
+        t_merge = bench._bench_cdc_merge(spark, sf_dir)
+        result.setdefault("cdc_merge_10pct_churn", {})[sf_tag] = round(
+            t_merge, 3
+        )
+    for name, r in result.items():
+        r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
+    print(json.dumps({"metric": "sf1_over_sf01_ratios", "queries": result}))
+
+
+if __name__ == "__main__":
+    main()

@@ -670,6 +670,17 @@ def _connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(df) -> int:
+        # labels only ever DECREASE (hook takes a min including the own
+        # label; compress maps through an already-min'd table), so an
+        # unchanged per-round SUM proves no label moved — one map-side
+        # aggregate instead of a compare-join per round. decimal(38,0):
+        # exact at any node count / id width.
+        row = df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0]
+        return row[0] or 0
+
+    prev_sum = label_sum(labels)
     for _ in range(max_rounds):
         nbr = (  # hook: min over own + neighbors' labels
             edges.join(labels, edges[b] == labels.node)
@@ -690,14 +701,9 @@ def _connected_components(
             .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = label_sum(compressed)
         labels = compressed
-        if changed == 0:
+        if cur_sum == prev_sum:
             edges.unpersist()  # labels are materialized; plan no longer reads edges
             sizes = labels.groupBy("label").agg(
                 F.count("*").alias("component_size")
@@ -707,6 +713,7 @@ def _connected_components(
                 F.col("label").alias(f"canonical_{out_id}"),
                 "component_size",
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"_connected_components failed to converge in {max_rounds} rounds; "
         "doubling convergence makes this unreachable for any real graph — "

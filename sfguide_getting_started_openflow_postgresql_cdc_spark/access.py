@@ -16,10 +16,17 @@ semantics for a single-process engine:
   consulted by the JDBC snapshot path; a bootstrap from a database not
   covered by a rule fails closed, mirroring how the connector cannot
   reach endpoints outside the EXTERNAL ACCESS INTEGRATION.
+- USER principals: ``create_user`` / ``grant_role_to_user`` model the
+  warehouse session contract the reference exercises with ``USE ROLE``
+  (sql/1.snowflake_setup.sql:14,42,81,110 switch roles mid-script;
+  :37 grants the runtime role to the admin role) — a principal may only
+  assume roles granted to it, and every object decision then flows
+  through the assumed role's effective privileges.
 
-Authentication, warehouses, and account-level DDL stay out of scope —
-there is no multi-user surface in one Spark driver process; what is
-enforceable (and tested) is the authorization decision itself.
+Credential verification and account-level DDL stay out of scope — there
+is no secret store in one Spark driver process; what is enforceable
+(and tested) is the authorization decision itself: who may assume which
+role, and what that role may read.
 """
 
 from __future__ import annotations
@@ -83,6 +90,8 @@ class AccessControl:
 
     _privs: dict[str, set[tuple[str, str]]] = field(default_factory=dict)
     _role_grants: dict[str, set[str]] = field(default_factory=dict)
+    _user_roles: dict[str, set[str]] = field(default_factory=dict)
+    _user_default_role: dict[str, str] = field(default_factory=dict)
     network_rules: list[NetworkRule] = field(default_factory=list)
 
     # -- DDL twins ---------------------------------------------------------
@@ -110,6 +119,43 @@ class AccessControl:
     def add_network_rule(self, rule: NetworkRule) -> "AccessControl":
         self.network_rules.append(rule)
         return self
+
+    # -- user principals ---------------------------------------------------
+    def create_user(self, name: str, default_role: str) -> "AccessControl":
+        """``CREATE USER ... DEFAULT_ROLE = r`` twin; the default role
+        must exist and is implicitly granted to the user."""
+        self._require_role(default_role)
+        self._user_roles.setdefault(name, set()).add(default_role)
+        self._user_default_role[name] = default_role
+        return self
+
+    def grant_role_to_user(self, role: str, user: str) -> "AccessControl":
+        """``GRANT ROLE r TO USER u`` — lets the user ``USE ROLE r``."""
+        self._require_role(role)
+        self._require_user(user)
+        self._user_roles[user].add(role)
+        return self
+
+    def _require_user(self, user: str) -> None:
+        if user not in self._user_roles:
+            raise KeyError(f"unknown user {user!r} (create_user first)")
+
+    def user_roles(self, user: str) -> frozenset[str]:
+        self._require_user(user)
+        return frozenset(self._user_roles[user])
+
+    def default_role(self, user: str) -> str:
+        self._require_user(user)
+        return self._user_default_role[user]
+
+    def check_user_role(self, user: str, role: str) -> None:
+        """The USE ROLE gate: a principal may only assume granted roles."""
+        self._require_user(user)
+        if role not in self._user_roles[user]:
+            raise PermissionDenied(
+                f"user {user!r} was not granted role {role!r} "
+                f"(holds {sorted(self._user_roles[user])})"
+            )
 
     # -- decisions ---------------------------------------------------------
     def _require_role(self, role: str) -> None:

@@ -64,6 +64,16 @@ class Engine:
             raise ValueError("Engine built without an AccessControl")
         return RoleReader(self, role)
 
+    def login(self, user: str) -> "UserSession":
+        """Start a session as a USER principal: the session opens under
+        the user's DEFAULT_ROLE and may ``use_role`` only among roles
+        granted to the user — the warehouse session contract the
+        reference exercises with USE ROLE
+        (sql/1.snowflake_setup.sql:14,42,81,110)."""
+        if self.access is None:
+            raise ValueError("Engine built without an AccessControl")
+        return UserSession(self, user)
+
     # -- lifecycle ---------------------------------------------------------
     def bootstrap(
         self,
@@ -259,3 +269,36 @@ class RoleReader:
         return self._engine.model.run_template(
             target, self._engine.spark, self._engine._model_dfs()
         )
+
+
+class UserSession:
+    """A principal's session (see :meth:`Engine.login`): opens under the
+    user's default role; ``use_role`` re-binds the session to another
+    role ONLY if it was granted to the user (``GRANT ROLE r TO USER u``)
+    — the missing piece between "a string names a role" and "a caller
+    is entitled to that role". All object access delegates to the
+    current role's :class:`RoleReader`."""
+
+    def __init__(self, engine: Engine, user: str):
+        self._engine = engine
+        engine.access._require_user(user)
+        self.user = user
+        self._reader = RoleReader(engine, engine.access.default_role(user))
+
+    @property
+    def role(self) -> str:
+        return self._reader.role
+
+    def use_role(self, role: str) -> "UserSession":
+        self._engine.access.check_user_role(self.user, role)
+        self._reader = RoleReader(self._engine, role)
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        return self._reader.table(name)
+
+    def verified(self, name: str) -> DataFrame:
+        return self._reader.verified(name)
+
+    def ask(self, question: str) -> DataFrame:
+        return self._reader.ask(question)

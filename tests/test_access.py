@@ -154,3 +154,46 @@ def test_role_scoped_verified_queries_and_ask(spark, tmp_path):
         r.verified("revenue_by_doctor")
     ac.grant("SELECT", "visits", to="analyst")
     assert r.verified("revenue_by_doctor").count() == 10
+
+
+def test_user_principals_and_use_role(spark, tmp_path):
+    """USER principals close the 'Engine.reader trusts the string' gap:
+    a session opens under the user's DEFAULT_ROLE, USE ROLE succeeds
+    only for roles granted to the user, and object decisions then flow
+    through the assumed role (reference switches roles with USE ROLE —
+    sql/1.snowflake_setup.sql:14,42,81,110)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    ac = (
+        AccessControl()
+        .create_role("analyst")
+        .create_role("admin")
+        .grant("SELECT", "appointments", to="analyst")
+        .grant("SELECT", "doctors", to="admin")
+        .grant("SELECT", "visits", to="admin")
+        .create_user("dana", default_role="analyst")
+    )
+    eng = Engine(
+        spark, str(tmp_path / "w"), write_partitions=1, access=ac
+    ).bootstrap()
+
+    s = eng.login("dana")
+    assert s.role == "analyst"
+    assert s.table("appointments").count() == 170
+    with pytest.raises(PermissionDenied):  # analyst lacks doctors
+        s.table("doctors")
+    with pytest.raises(PermissionDenied, match="not granted role"):
+        s.use_role("admin")  # dana does not hold admin
+    with pytest.raises(KeyError, match="unknown user"):
+        eng.login("mallory")
+
+    ac.grant_role_to_user("admin", "dana")
+    s.use_role("admin")
+    assert s.role == "admin"
+    assert s.table("doctors").count() == 10
+    with pytest.raises(PermissionDenied):  # admin lacks appointments
+        s.table("appointments")
+    # role-scoped verified queries compose with the user session
+    assert s.verified("revenue_by_doctor").count() == 10
+    with pytest.raises(PermissionDenied):
+        s.verified("total_appointments")

@@ -40,6 +40,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "tx7_vocab_topk",  # changed/new this round
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "h29_time_arithmetic",  # changed/new this round
+    "px7_language_balanced_cap",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "d16_pivot",  # latest green r3
     "d22_multi_distinct",  # latest green r3
     "d23_unpivot",  # latest green r3
-    "d24_value_histogram",  # latest green r3
 ]
 
 

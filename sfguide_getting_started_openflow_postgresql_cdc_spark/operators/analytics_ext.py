@@ -1818,3 +1818,44 @@ def h29_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("time_str") >= "08:30:00") & (F.col("time_str") < "17:00:00")
         ).alias("in_business_hours"),
     )
+
+
+LANG_CAP_DOCS = 150
+
+
+@query(
+    "px7_language_balanced_cap",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= {LANG_CAP_DOCS}
+    """,
+)
+def px7_language_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-BALANCED downsampling for training mixes: cap every
+    language at {LANG_CAP_DOCS} docs by keeping each language's
+    lowest-md5 documents — the deterministic equivalent of per-language
+    uniform random downsampling (md5 of the doc id is a seeded uniform
+    draw), the standard recipe for reining in over-represented
+    languages before pretraining. Integer/string-exact end to end: no
+    float thresholds, identical decisions in any engine. Scale: one
+    shuffle on lang; the rank-filter window compiles to per-partition
+    {LANG_CAP_DOCS}-row heaps (WindowGroupLimit), so a billion-doc
+    language never materializes a full sort."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= LANG_CAP_DOCS)
+    )

@@ -30,6 +30,7 @@ CHANGED_SINCE_GREEN = [
     "tx7_vocab_topk",            # r5: dead repartition dropped
     "dd4_minhash_lsh_pairs",     # r5: memoized shingle cache (same plan)
     "h29_time_arithmetic",       # r5: NEW (TIME accessor shims)
+    "px7_language_balanced_cap",  # r5: NEW (training-mix language cap)
 ]
 
 

@@ -41,6 +41,9 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "h29_time_arithmetic",  # changed/new this round
     "px7_language_balanced_cap",  # changed/new this round
+    "tx11_repetition_stats",  # changed/new this round
+    "dd9_crossdoc_ngram_stats",  # changed/new this round
+    "h30_edit_distance",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
@@ -79,9 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "c4_left_join_residual_on",  # latest green r3
     "c7_anti_join",  # latest green r3
     "d14_exact_percentiles",  # latest green r3
-    "d16_pivot",  # latest green r3
-    "d22_multi_distinct",  # latest green r3
-    "d23_unpivot",  # latest green r3
 ]
 
 

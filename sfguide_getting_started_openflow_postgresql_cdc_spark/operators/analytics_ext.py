@@ -1859,3 +1859,45 @@ def px7_language_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= LANG_CAP_DOCS)
     )
+
+
+@query(
+    "h30_edit_distance",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(levenshtein(a.event_type, b.event_type) AS BIGINT)
+               AS edit_distance,
+           1.0 - CAST(levenshtein(a.event_type, b.event_type) AS DOUBLE)
+               / greatest(length(a.event_type), length(b.event_type))
+               AS similarity
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def h30_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via LEVENSHTEIN edit distance — the
+    entity-resolution primitive (typo-tolerant joins, near-key matching)
+    both engines implement with the identical integer DP. Computed over
+    the DISTINCT value domain first (a handful of rows), never the raw
+    table: at 100 TB you dedupe the join keys, broadcast the tiny
+    distinct-pair matrix, and map rows through it — the pattern this
+    operator demonstrates. Similarity = 1 - dist/max(len), one double
+    division of exact ints."""
+    t = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.event_type"), F.col("b.event_type"))
+    max_len = F.greatest(
+        F.length(F.col("a.event_type")), F.length(F.col("b.event_type"))
+    )
+    return a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        dist.cast("long").alias("edit_distance"),
+        (F.lit(1.0) - dist.cast("double") / max_len).alias("similarity"),
+    )

@@ -840,3 +840,85 @@ def px6_neardup_aware_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DUP_NGRAM_N = 5
+
+
+def _gram5_sql() -> str:
+    words = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, DUP_NGRAM_N + 1))
+    return f"""
+    g AS (
+      SELECT doc_id, {words} AS gram
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               unnest(range(greatest(len(string_split_regex(trim(text), '\\s+'))
+                                     - {DUP_NGRAM_N - 1}, 0))) AS i
+        FROM documents
+      )
+    )
+    """
+
+
+@query(
+    "dd9_crossdoc_ngram_stats",
+    oracle=f"""
+    WITH {_gram5_sql()},
+    shared AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+      ) WHERE nd > 1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM shared))
+               AS n_shared_grams,
+           CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM shared))
+                AS DOUBLE) / COUNT(*) AS shared_fraction
+    FROM g GROUP BY doc_id
+    """,
+)
+def dd9_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup signal (the Lee-et-al "Deduplicating
+    Training Data" recipe, measured at {DUP_NGRAM_N}-gram granularity):
+    per document, how many of its word-{DUP_NGRAM_N}-gram instances also
+    occur in ANOTHER document — the per-doc score a substring-dedup pass
+    thresholds on before cutting spans. Pipeline: one explode (grams
+    with multiplicity), a distinct-doc count per gram (map-side
+    combinable) keeps only grams seen in >= 2 docs, a semi-join marks
+    shared instances, one per-doc aggregate. Two shuffles — gram, then
+    doc_id; cost tracks corpus size and true overlap, never pairs."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [
+        F.lead("w", k).over(win) for k in range(1, DUP_NGRAM_N)
+    ]
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("gram"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "gram")
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    marked = grams.join(shared.withColumn("_shared", F.lit(1)), "gram", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("_shared").alias("n_shared_grams"),
+        (F.count("_shared").cast("double") / F.count("*")).alias(
+            "shared_fraction"
+        ),
+    )

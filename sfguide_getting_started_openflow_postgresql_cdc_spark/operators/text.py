@@ -464,3 +464,58 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+@query(
+    "tx11_repetition_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               unnest(range(greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0))) AS i
+        FROM documents
+      )
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams3,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS dup3_fraction,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top3_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def tx11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition signals (the Gopher quality rules'
+    repetition family): per doc, the fraction of word-3-gram instances
+    whose gram repeats inside the document and the share taken by the
+    single most frequent 3-gram — template spam and degenerate
+    generations score high on both, natural text scores low. One
+    explode -> per-(doc,gram) count -> per-doc aggregate: two shuffles,
+    both keyed on doc_id(+gram), map-side combinable. Integer counts
+    with one final double division — exact in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), w1, w2).alias("gram"),
+            w2.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    return per_gram.groupBy("doc_id").agg(
+        n.alias("n_grams3"),
+        (dup.cast("double") / n).alias("dup3_fraction"),
+        (F.max("cnt").cast("double") / n).alias("top3_fraction"),
+    )

@@ -31,6 +31,9 @@ CHANGED_SINCE_GREEN = [
     "dd4_minhash_lsh_pairs",     # r5: memoized shingle cache (same plan)
     "h29_time_arithmetic",       # r5: NEW (TIME accessor shims)
     "px7_language_balanced_cap",  # r5: NEW (training-mix language cap)
+    "tx11_repetition_stats",     # r5: NEW (Gopher repetition signals)
+    "dd9_crossdoc_ngram_stats",  # r5: NEW (exact-substring dedup signal)
+    "h30_edit_distance",         # r5: NEW (levenshtein fuzzy matching)
 ]
 
 

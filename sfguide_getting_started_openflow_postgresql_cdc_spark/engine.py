@@ -211,6 +211,21 @@ class Engine:
         mv.initialize(self.spark)
         return mv
 
+    def materialized_minmax(
+        self, table: str, group_col: str, value_col: str, path: str
+    ):
+        """Incrementally-maintained COUNT(*) + MIN/MAX(value_col) per
+        group — extremes extend monotonically on growth and recompute
+        per-group when a delete/update retires the witness (see
+        IncrementalGroupMinMax)."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+            IncrementalGroupMinMax,
+        )
+
+        mv = IncrementalGroupMinMax(self.cdc, table, group_col, value_col, path)
+        mv.initialize(self.spark)
+        return mv
+
     def verify_snapshot(
         self,
         expected_counts: dict[str, int] | None = None,

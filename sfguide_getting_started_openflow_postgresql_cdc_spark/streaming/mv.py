@@ -292,3 +292,132 @@ class IncrementalGroupSum(IncrementalGroupCount):
                 ).cast(self._sum_type),
             ),
         ]
+
+
+class IncrementalGroupMinMax(IncrementalGroupCount):
+    """COUNT(*) + MIN/MAX(value_col) of live rows per group, maintained
+    incrementally — the dashboard family SUM's delta algebra cannot
+    cover: a delete (or a group-moving / value-lowering update) can
+    retire the CURRENT extreme, and no negate-union-fold recovers the
+    runner-up. The classic resolution, implemented here per batch:
+
+    - GROW path (groups the batch only ADDS rows to — none of the
+      batch's keys had a live pre-merge row there): extremes extend
+      monotonically, ``least/greatest(stored, batch contribution)`` —
+      no base read beyond the changed buckets.
+    - SHRINK path (groups where any batch key HAD a live row — updates,
+      deletes, replays): the stored extreme may have lost its witness,
+      so exactly those groups are recomputed from their live rows (a
+      group-predicate scan; parquet zone stats prune it, and an MV with
+      hot shrink traffic would store its base group-partitioned).
+
+    Untouched groups are carried over verbatim, so per-batch cost
+    tracks the batch's group footprint, never the table. NULL groups
+    ride the same eqNullSafe joins as the other MVs; NULL values are
+    ignored by MIN/MAX (a group of all-NULL values shows NULL extremes
+    with a live count) — matching a fresh GROUP BY exactly, which the
+    property test asserts after every batch."""
+
+    def __init__(
+        self,
+        engine: CdcEngine,
+        table: str,
+        group_col: str,
+        value_col: str,
+        path: str,
+    ):
+        super().__init__(engine, table, group_col, path)
+        self.value_col = value_col
+        if not any(
+            f.name == value_col for f in engine.tables[table].fields
+        ):
+            raise ValueError(f"{value_col!r} not in {table!r} schema")
+
+    def _measures(self) -> list:
+        v = F.col(self.value_col)
+        return [
+            ("n", F.count("*")),
+            ("mn", F.min(v)),
+            ("mx", F.max(v)),
+        ]
+
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        sync_ts: str | None = None,
+    ) -> None:
+        if "after" in events.columns:
+            events = self.engine.project_after(events, self.table)
+        events = events.filter(F.col(self.pk).isNotNull())
+        keys = events.select(self.pk).distinct().cache()
+        tmp_before = os.path.join(self.path, f".before-{uuid.uuid4().hex[:8]}")
+        try:
+            # before-state materialized pre-merge (see IncrementalGroupCount)
+            self._group_state_for_keys(spark, keys).write.mode(
+                "overwrite"
+            ).parquet(tmp_before)
+            self.engine.merge_batch(spark, self.table, events, sync_ts=sync_ts)
+            before = spark.read.parquet(tmp_before)
+            after = self._group_state_for_keys(spark, keys)
+
+            shrink = before.select("grp").distinct().cache()
+            grow = (
+                after.alias("a")
+                .join(
+                    shrink.alias("s"),
+                    F.col("a.grp").eqNullSafe(F.col("s.grp")),
+                    "left_anti",
+                )
+                .cache()
+            )
+            try:
+                if shrink.isEmpty() and grow.isEmpty():
+                    return
+                mv = self.read(spark)
+                touched = shrink.unionByName(grow.select("grp")).distinct()
+                untouched = mv.alias("m").join(
+                    touched.alias("t"),
+                    F.col("m.grp").eqNullSafe(F.col("t.grp")),
+                    "left_anti",
+                )
+                # GROW: stored (if any) extended by the batch contribution
+                mv_grow = mv.alias("m").join(
+                    grow.select("grp").alias("g"),
+                    F.col("m.grp").eqNullSafe(F.col("g.grp")),
+                    "left_semi",
+                )
+                g, m = grow.alias("g"), mv_grow.alias("m")
+                grown = (
+                    g.join(m, F.col("g.grp").eqNullSafe(F.col("m.grp")), "left")
+                    .select(
+                        F.col("g.grp").alias("grp"),
+                        (
+                            F.coalesce(F.col("m.n"), F.lit(0)) + F.col("g.n")
+                        ).alias("n"),
+                        F.least(F.col("m.mn"), F.col("g.mn")).alias("mn"),
+                        F.greatest(F.col("m.mx"), F.col("g.mx")).alias("mx"),
+                    )
+                )
+                # SHRINK: recompute exactly those groups from live rows
+                live = self.engine.store.read(spark, self.table).filter(
+                    ~F.col(schemas.META_DELETED)
+                )
+                rec = (
+                    live.alias("l")
+                    .join(
+                        shrink.alias("s"),
+                        F.col(f"l.{self.group_col}").eqNullSafe(F.col("s.grp")),
+                        "left_semi",
+                    )
+                    .groupBy(F.col(f"l.{self.group_col}").alias("grp"))
+                    .agg(*[e.alias(nm) for nm, e in self._measures()])
+                )
+                self._write(untouched.unionByName(grown).unionByName(rec))
+            finally:
+                shrink.unpersist()
+                grow.unpersist()
+        finally:
+            keys.unpersist()
+            if os.path.exists(tmp_before):
+                shutil.rmtree(tmp_before)

@@ -508,3 +508,56 @@ def test_dd4_shingle_cache_memoized_and_releasable(spark):
     dedup.clear_dedup_cache()
     assert not dedup._DD4_CACHE
     assert not (sh1.storageLevel.useMemory or sh1.storageLevel.useDisk)
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Property: on random graphs (mixed chains, cliques, stars,
+    singleton-free edge soups), the distributed CC labels equal a
+    driver-side union-find ground truth exactly — canonical = component
+    min, sizes consistent."""
+    import random
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        _connected_components,
+    )
+
+    rng = random.Random(20240814)
+    for trial in range(4):
+        n = rng.randint(10, 120)
+        edges = []
+        for _ in range(rng.randint(5, 2 * n)):
+            a, b = rng.randint(1, n), rng.randint(1, n)
+            if a != b:
+                edges.append((a, b))
+        if not edges:
+            continue
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want_label = {x: find(x) for x in parent}
+        sizes = {}
+        for x, c in want_label.items():
+            sizes[c] = sizes.get(c, 0) + 1
+
+        got = {
+            r["doc_id"]: (r["canonical_doc_id"], r["component_size"])
+            for r in _connected_components(
+                spark.createDataFrame(edges, ["doc_a", "doc_b"]),
+                "doc_a",
+                "doc_b",
+            ).collect()
+        }
+        assert got == {
+            x: (c, sizes[c]) for x, c in want_label.items()
+        }, f"trial {trial} (n={n}, edges={len(edges)})"

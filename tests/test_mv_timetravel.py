@@ -898,3 +898,94 @@ def test_compaction_recovers_from_each_crash_window(spark, tmp_path):
     stats = eng.compact_journal(spark, "t", retain_after_seq=4)
     assert not os.path.exists(jdir + "__old")
     assert _journal_state(spark, eng) == compacted_state  # idempotent
+
+
+def test_mv_incremental_group_minmax(spark, tmp_path):
+    """IncrementalGroupMinMax invariant: after any batch sequence the
+    store equals a fresh GROUP BY of COUNT/MIN/MAX over live rows. The
+    shrink cases are the ones SUM's delta algebra cannot express: the
+    extreme's witness row is deleted or updated downward, and the
+    runner-up must surface (targeted per-group recompute)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.mv import (
+        IncrementalGroupMinMax,
+    )
+
+    schema_v = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    eng = CdcEngine(
+        ReplicaStore(str(tmp_path / "w")),
+        tables={"t": schema_v},
+        primary_keys={"t": "id"},
+        write_partitions=1,
+        n_buckets=4,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", None), (4, None, 7)], schema_v
+    )
+    eng.bootstrap(spark, {"t": df}, "2024-01-01 00:00:00", journal_snapshot=False)
+    mv = IncrementalGroupMinMax(eng, "t", "grp", "v", str(tmp_path / "mv"))
+    mv.initialize(spark)
+
+    def events(rows):
+        env = [
+            (seq, f"2024-01-01 00:{seq % 60:02d}:00", "t", op,
+             {"id": str(i), "grp": g, "v": None if v is None else str(v)})
+            for seq, op, i, g, v in rows
+        ]
+        return spark.createDataFrame(env, ENVELOPE)
+
+    def check():
+        got = {
+            r["grp"]: (r["n"], r["mn"], r["mx"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["grp"]: (r["n"], r["mn"], r["mx"])
+            for r in eng.store.read(spark, "t")
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.min("v").alias("mn"),
+                 F.max("v").alias("mx"))
+            .collect()
+        }
+        assert got == want, (got, want)
+        return got
+
+    assert check() == {
+        "a": (2, 5, 10), "b": (1, None, None), None: (1, 7, 7),
+    }
+
+    # pure growth: new keys extend extremes without touching the base
+    mv.merge_batch(spark, events([
+        (1, "I", 5, "a", 50),          # new max for a
+        (2, "I", 6, "a", 1),           # new min for a
+        (3, "I", 7, None, 2),          # NULL group grows
+    ]))
+    assert check()["a"] == (4, 1, 50)
+
+    # the hard shrink cases:
+    mv.merge_batch(spark, events([
+        (4, "D", 5, None, None),       # delete the max witness of a
+        (5, "U", 6, "a", 8),           # raise the min witness of a
+    ]))
+    assert check()["a"] == (3, 5, 10)  # runner-ups resurfaced
+
+    # group move: row leaves b (shrink b) and enters a (grow a)
+    mv.merge_batch(spark, events([(6, "U", 3, "a", 100)]))
+    got = check()
+    assert got["a"] == (4, 5, 100) and "b" not in got
+
+    # replayed batch is a no-op (seq guard) and stays consistent
+    batch = events([(7, "U", 1, "a", 0)])
+    mv.merge_batch(spark, batch)
+    mv.merge_batch(spark, batch)
+    assert check()["a"] == (4, 0, 100)
+
+    # all-NULL-value group keeps NULL extremes with a live count
+    mv.merge_batch(spark, events([(8, "I", 8, "c", None)]))
+    assert check()["c"] == (1, None, None)

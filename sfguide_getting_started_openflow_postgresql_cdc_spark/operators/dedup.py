@@ -922,3 +922,79 @@ def dd9_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_fraction"
         ),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.75
+
+
+@query(
+    "dd10_containment_pairs",
+    oracle=f"""
+    WITH {_SH_SQL},
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {SHINGLE_DOC_FREQ_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / sa.n AS containment_a,
+           CAST(n_shared AS DOUBLE) / sb.n AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(CAST(n_shared AS DOUBLE) / sa.n,
+                   CAST(n_shared AS DOUBLE) / sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dd10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection: |A∩B| / |A| per direction —
+    the signal Jaccard misses when a SHORT document is wholly quoted
+    inside a LONG one (jaccard stays low because the union is large;
+    containment of the short side hits 1.0). The quote/subset-dedup
+    primitive for training corpora. Same capped-shingle machinery and
+    scale posture as dd3 (exact ground-truth engine; at corpus scale
+    candidates come from dd4's banding and verification switches to
+    this directional ratio). Shares dd4's memoized capped shingle set,
+    so composing it with the other dedup operators costs one shuffle,
+    not a re-explode."""
+    _, capped = _dd4_shingle_cache(spark, sf_dir)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c_a = F.col("n_shared").cast("double") / F.col("sa.n")
+    c_b = F.col("n_shared").cast("double") / F.col("sb.n")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )

@@ -34,6 +34,7 @@ CHANGED_SINCE_GREEN = [
     "tx11_repetition_stats",     # r5: NEW (Gopher repetition signals)
     "dd9_crossdoc_ngram_stats",  # r5: NEW (exact-substring dedup signal)
     "h30_edit_distance",         # r5: NEW (levenshtein fuzzy matching)
+    "dd10_containment_pairs",    # r5: NEW (asymmetric containment)
 ]
 
 

@@ -77,3 +77,69 @@ def start_windowed_aggregation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionized_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SESSION-window aggregation per user (the streaming twin of the
+    batch gaps-and-islands ``i9_sessionization``): ``session_window``
+    merges events separated by less than ``gap`` into one growing
+    window, closing it ``gap`` after the last event. Works on batch and
+    streaming frames with the same plan; when streaming, the watermark
+    bounds open-session state and append mode emits each session ONCE,
+    finalized — state is keyed by (user, open session), independent of
+    input volume.
+
+    ``session_end`` follows session_window semantics (last event + gap);
+    ``n_events``/``session_start`` match the batch i9 spans exactly,
+    which the e2e test asserts."""
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_sessionized_aggregation(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "sessionized_events",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """File-source stream -> watermarked session windows -> memory sink
+    (tests); swap the sink in production, the plan is identical."""
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = sessionized_event_stats(stream, gap=gap, watermark=watermark)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

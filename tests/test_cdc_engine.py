@@ -486,3 +486,47 @@ def test_journal_compaction(spark, tmp_path, snapshot_rows):
         ~F.col(schemas.META_DELETED)
     ).collect():
         assert cur[row["appointment_id"]] == row["status"]
+
+
+def test_streaming_sessionization_matches_batch_and_i9(spark, tmp_path):
+    """Session windows (streaming) == session windows (batch) for every
+    finalized session, and both agree with the batch gaps-and-islands
+    i9 operator on (user, session_start, n_events)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
+        QUERIES,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.windows import (
+        sessionized_event_stats,
+        start_sessionized_aggregation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_stream")
+    load_table(spark, sf, "events").write.parquet(src, mode="overwrite")
+
+    q = start_sessionized_aggregation(
+        spark, src, checkpoint_dir=str(tmp_path / "ck"), query_name="sessw"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessw").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in sessionized_event_stats(load_table(spark, sf, "events")).collect()
+    }
+    assert streamed, "no finalized sessions emitted"
+    for k, v in streamed.items():
+        assert batch[k] == v
+
+    # cross-check the window-function formulation: identical session
+    # boundaries and event counts per user
+    i9 = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["i9_sessionization"](spark, sf).collect()
+    }
+    assert {k: v[0] for k, v in batch.items()} == i9

@@ -45,6 +45,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd9_crossdoc_ngram_stats",  # changed/new this round
     "h30_edit_distance",  # changed/new this round
     "dd10_containment_pairs",  # changed/new this round
+    "px8_ngram_decontamination",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "c11_dense_grid_report",  # latest green r3
     "c3_left_join_count",  # latest green r3
     "c4_left_join_residual_on",  # latest green r3
-    "c7_anti_join",  # latest green r3
 ]
 
 

@@ -998,3 +998,55 @@ def dd10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+DECONTAM_OVERLAP = 0.2  # fraction of a train doc's grams seen in any benchmark doc
+
+
+@query(
+    "px8_ngram_decontamination",
+    oracle=f"""
+    WITH {_SH_SQL},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 >= 2),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE t.shingle IN (SELECT shingle FROM bench))
+                 AS n_overlap
+      FROM train t GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_grams AS overlap_fraction,
+           CAST(n_overlap AS DOUBLE) / n_grams >= {DECONTAM_OVERLAP}
+               AS contaminated
+    FROM scored
+    """,
+)
+def px8_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL DECONTAMINATION by n-gram overlap — the published recipe
+    (GPT-3 appendix C / Llama eval hygiene): a training document is
+    contaminated when >= {DECONTAM_OVERLAP:.0%} of its distinct word
+    n-grams appear in ANY benchmark document. px4 catches byte-identical
+    leaks; this catches paraphrased/partial ones. Benchmark set here =
+    the deterministic doc_id%100<2 slice (stand-in for a real eval
+    suite). Plan: the benchmark's distinct grams (small by construction)
+    broadcast into a map-side overlap mark on the train grams; one
+    per-doc aggregate. At 100 TB the benchmark side stays broadcastable
+    (eval suites are tiny) so the 100 TB train side never shuffles on
+    gram — the property that makes this runnable per training dump."""
+    sh, _ = _dd4_shingle_cache(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 100 < 2).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 100 >= 2)
+    marked = train.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    frac = F.count("_hit").cast("double") / F.count("*")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("_hit").alias("n_overlap"),
+        frac.alias("overlap_fraction"),
+        (frac >= DECONTAM_OVERLAP).alias("contaminated"),
+    )

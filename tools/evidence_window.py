@@ -35,6 +35,7 @@ CHANGED_SINCE_GREEN = [
     "dd9_crossdoc_ngram_stats",  # r5: NEW (exact-substring dedup signal)
     "h30_edit_distance",         # r5: NEW (levenshtein fuzzy matching)
     "dd10_containment_pairs",    # r5: NEW (asymmetric containment)
+    "px8_ngram_decontamination",  # r5: NEW (eval decontamination)
 ]
 
 

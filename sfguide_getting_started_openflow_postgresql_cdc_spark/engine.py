@@ -44,15 +44,25 @@ class Engine:
         warehouse_dir: str,
         write_partitions: int | None = None,
         access=None,
+        warehouse=None,
     ):
         self.spark = spark
         self.access = access
+        self.warehouse = warehouse  # optional Warehouse (compute sizing)
+        if warehouse is not None:
+            warehouse.apply(spark)
         self.cdc = CdcEngine(
             ReplicaStore(warehouse_dir),
             write_partitions=write_partitions,
             access=access,
         )
         self.model = healthcare_model()
+
+    def _use_compute(self) -> None:
+        """AUTO_RESUME hook: query entry points route through here so a
+        suspended warehouse resumes (or refuses) before work runs."""
+        if self.warehouse is not None:
+            self.warehouse.ensure_active(self.spark)
 
     # -- authorization (SURVEY §2.A18 functional core) ---------------------
     def reader(self, role: str) -> "RoleReader":
@@ -115,11 +125,13 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         """Ad-hoc Spark SQL over the registered replica views."""
+        self._use_compute()
         self.refresh_views()
         return self.spark.sql(query)
 
     def analytics(self, name: str, as_of: dt.date = healthcare.AS_OF) -> DataFrame:
         """Run one of the reference's analytics queries by name."""
+        self._use_compute()
         return ANALYTICS[name](self.replicas(), as_of)
 
     def analytics_names(self) -> list[str]:
@@ -127,6 +139,7 @@ class Engine:
 
     def verified(self, name: str) -> DataFrame:
         """Run a semantic-model verified query."""
+        self._use_compute()
         return self.model.run_verified(name, self.spark, self._model_dfs())
 
     def _model_dfs(self) -> dict:

@@ -519,3 +519,36 @@ def tx11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dup.cast("double") / n).alias("dup3_fraction"),
         (F.max("cnt").cast("double") / n).alias("top3_fraction"),
     )
+
+
+def _px9_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    return f"""
+    WITH q AS ({ORACLES["tx2_quality_score"]})
+    SELECT doc_id, quality_score,
+           CAST(NTILE(4) OVER (ORDER BY quality_score DESC, doc_id)
+                AS BIGINT) AS curriculum_stage
+    FROM q
+    """
+
+
+@query("px9_quality_curriculum", oracle=_px9_oracle())
+def px9_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM staging for quality-ordered training: quartile
+    assignment over the tx2 quality score (stage 1 = highest-quality
+    quarter), the standard recipe for quality-staged / annealed data
+    ordering. NTILE over a TOTAL order (score desc, doc_id) is
+    deterministic in any engine. Scale note: a global NTILE sorts once
+    on (score, doc_id) — for 100 TB swap in percentile cutpoints from a
+    one-pass approx-quantile and bucket by comparison (d24's shape);
+    the quartile SEMANTICS stay as specified here."""
+    q = tx2_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return q.select(
+        "doc_id",
+        "quality_score",
+        F.ntile(4).over(w).cast("long").alias("curriculum_stage"),
+    )

@@ -225,3 +225,38 @@ def test_template_routing_preserves_verified_and_refusal(spark, model, replicas)
         model.route("what is the weather on jupiter")
     with pytest.raises(KeyError):
         model.route_template("average nonsense by moon phase")
+
+
+def test_template_resolution_edges(model):
+    """Resolver determinism and refusal edges: longest-synonym match
+    wins, ambiguous/unknown tables refuse, qualified counts refuse."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+        _toks,
+    )
+
+    # longest token-set match wins: "billed amount" (2 tokens) beats any
+    # 1-token candidate inside the same text
+    assert model._resolve_column(
+        _toks("total billed amount"), kinds={"fact"}
+    ) == ("visits", "total_charge")
+    # synonym and plural folding reach the same column
+    assert model._resolve_column(_toks("revenues"), kinds={"fact"}) == (
+        "visits",
+        "total_charge",
+    )
+    # no fact resolves from dimension-ish text
+    assert model._resolve_column(_toks("city state"), kinds={"fact"}) is None
+
+    # two tables mentioned -> count_table refuses (ambiguous target)
+    with pytest.raises(KeyError):
+        model.route_template("how many patients and doctors")
+    # count with an unexplained qualifier refuses (would drop semantics)
+    with pytest.raises(KeyError):
+        model.route_template("how many appointments next week")
+    # 'by' clause naming a non-column refuses rather than guessing
+    with pytest.raises(KeyError):
+        model.route_template("revenue by horoscope sign")
+    # dimension alone (no measure, no count-word) on the left still
+    # routes as a count-by-dimension only when the left side is empty
+    kind = model.route_template("by status")
+    assert kind.family == "count_by_dimension"

@@ -52,3 +52,27 @@ def test_presets_are_a_monotone_ladder():
     parts = [SIZE_PRESETS[s][0] for s in
              ("XSMALL", "SMALL", "MEDIUM", "LARGE", "XLARGE")]
     assert parts == sorted(parts) and len(set(parts)) == len(parts)
+
+
+def test_engine_warehouse_integration(spark, tmp_path):
+    """Engine(warehouse=...) applies the preset at construction and
+    resumes a suspended warehouse on the next query (or refuses with
+    AUTO_RESUME off)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    wh = Warehouse("quickstart_pgcdc_wh", size="SMALL")
+    eng = Engine(
+        spark, str(tmp_path / "w"), write_partitions=1, warehouse=wh
+    ).bootstrap()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    wh.suspend(spark)
+    assert eng.sql("SELECT COUNT(*) AS n FROM appointments").collect()[0]["n"] == 170
+    assert not wh.suspended  # auto-resumed by the query
+
+    wh.auto_resume = False
+    wh.suspend(spark)
+    with pytest.raises(RuntimeError, match="AUTO_RESUME"):
+        eng.analytics("revenue_by_doctor")
+    # restore defaults for other tests
+    wh.auto_resume = True
+    wh.resize(spark, "MEDIUM")

@@ -36,6 +36,7 @@ CHANGED_SINCE_GREEN = [
     "h30_edit_distance",         # r5: NEW (levenshtein fuzzy matching)
     "dd10_containment_pairs",    # r5: NEW (asymmetric containment)
     "px8_ngram_decontamination",  # r5: NEW (eval decontamination)
+    "px9_quality_curriculum",    # r5: NEW (quality curriculum staging)
 ]
 
 

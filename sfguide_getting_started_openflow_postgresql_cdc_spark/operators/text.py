@@ -537,18 +537,32 @@ def _px9_oracle() -> str:
 
 @query("px9_quality_curriculum", oracle=_px9_oracle())
 def px9_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CURRICULUM staging for quality-ordered training: quartile
+    """CURRICULUM staging for quality-ordered training: exact quartile
     assignment over the tx2 quality score (stage 1 = highest-quality
     quarter), the standard recipe for quality-staged / annealed data
-    ordering. NTILE over a TOTAL order (score desc, doc_id) is
-    deterministic in any engine. Scale note: a global NTILE sorts once
-    on (score, doc_id) — for 100 TB swap in percentile cutpoints from a
-    one-pass approx-quantile and bucket by comparison (d24's shape);
-    the quartile SEMANTICS stay as specified here."""
+    ordering. The SCALE-SAFE shape from the start — a bare
+    ``NTILE() OVER (ORDER BY ...)`` would single-partition the corpus
+    (the d25 lesson), so this ranks via range-repartition +
+    per-partition row numbers + driver prefix offsets
+    (``functions/ranking.with_global_rank``) and derives the bucket
+    with literal arithmetic (``ntile_from_rank``). Every stage is
+    parallel; the driver sees only partition counts. The oracle is the
+    plain NTILE(4) — proving the distributed formula matches the
+    engine builtin bit-for-bit."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
     q = tx2_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
-    return q.select(
+    n = q.count()
+    ranked = with_global_rank(
+        q,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        rank_col="_grk",
+    )
+    return ranked.select(
         "doc_id",
         "quality_score",
-        F.ntile(4).over(w).cast("long").alias("curriculum_stage"),
+        ntile_from_rank(F.col("_grk"), n, 4).alias("curriculum_stage"),
     )

@@ -225,3 +225,51 @@ def test_d25_top_percent_plans_take_ordered_not_global_window(spark, sf_dir):
     # the Window (rank over k rows) must sit ABOVE the TakeOrdered
     # selection, i.e. the full-table scan feeds TakeOrdered, not Window
     assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+
+
+def test_with_global_rank_exact_and_partitioned(spark):
+    """functions/ranking.with_global_rank must equal the single-partition
+    ROW_NUMBER exactly (ties broken by the total order) while its plan
+    windows only WITHIN range partitions — the scale-safe global-rank
+    primitive px9 builds on."""
+    from pyspark.sql.window import Window
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(1, 501)]  # ties in score
+    df = spark.createDataFrame(rows, ["id", "score"]).repartition(13)
+    order = [F.col("score").desc(), F.col("id")]
+    got = {
+        r["id"]: r["global_rank"]
+        for r in with_global_rank(df, order, num_partitions=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+    # ntile formula matches the builtin for awkward n/k combinations
+    for n, k in ((500, 4), (7, 3), (3, 4), (10, 10)):
+        sub = spark.createDataFrame(rows[:n], ["id", "score"])
+        w = Window.orderBy(*order)
+        builtin = {
+            r["id"]: r["t"]
+            for r in sub.select("id", F.ntile(k).over(w).alias("t")).collect()
+        }
+        mine = {
+            r["id"]: r["t"]
+            for r in with_global_rank(sub, order, num_partitions=4)
+            .select("id", ntile_from_rank(F.col("global_rank"), n, k).alias("t"))
+            .collect()
+        }
+        assert mine == builtin, (n, k)
+
+    # empty input: empty output, schema preserved
+    empty = with_global_rank(df.filter(F.lit(False)), order)
+    assert empty.count() == 0 and "global_rank" in empty.columns

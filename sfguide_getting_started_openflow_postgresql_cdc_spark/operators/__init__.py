@@ -47,6 +47,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd10_containment_pairs",  # changed/new this round
     "px8_ngram_decontamination",  # changed/new this round
     "px9_quality_curriculum",  # changed/new this round
+    "dd11_softdedup_weights",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "b1_project_filter",  # latest green r3
     "c10_salted_skew_join",  # latest green r3
     "c11_dense_grid_report",  # latest green r3
-    "c3_left_join_count",  # latest green r3
 ]
 
 

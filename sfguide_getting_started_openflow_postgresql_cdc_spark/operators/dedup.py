@@ -1050,3 +1050,59 @@ def px8_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("overlap_fraction"),
         (frac >= DECONTAM_OVERLAP).alias("contaminated"),
     )
+
+
+def _dd11_oracle() -> str:
+    # dd7's transitive closure -> per-doc cluster size -> 1/size weight,
+    # singletons (never paired) get weight 1.0
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    dd4_sql = ORACLES["dd4_minhash_lsh_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({dd4_sql}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS canonical,
+             COUNT(DISTINCT dst) AS component_size
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component_size, 1) AS BIGINT) AS component_size,
+           1.0 / COALESCE(c.component_size, 1) AS sample_weight
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """
+
+
+@query("dd11_softdedup_weights", oracle=_dd11_oracle())
+def dd11_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-dup cluster members
+    (px6's hard keep/drop), assign every document a sampling weight of
+    1/cluster_size so each near-dup CLUSTER contributes one document's
+    worth of probability mass to the training mix — the
+    down-weight-don't-delete recipe for cases where duplicates carry
+    complementary context. Composes dd7's components with a left join
+    back to the corpus (singletons weight 1.0); the division is one
+    double op of exact ints, identical in any engine. Cost = dd7 + one
+    broadcast-sized join of the (tiny) component table against the
+    corpus keyed by doc_id."""
+    comp = dd7_dedup_groups(spark, sf_dir).select("doc_id", "component_size")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    size = F.coalesce(F.col("component_size"), F.lit(1)).cast("long")
+    return docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        size.alias("component_size"),
+        (F.lit(1.0) / size).alias("sample_weight"),
+    )

@@ -452,7 +452,12 @@ class SemanticModel:
             ],
             "relationships": [vars(r) for r in self.relationships.values()],
             "verified_queries": [
-                {"name": k, "question": q} for k, (q, _) in self._verified.items()
+                {
+                    "name": k,
+                    "question": q,
+                    "tables": list(self._verified_tables[k]),
+                }
+                for k, (q, _) in self._verified.items()
             ],
         }
 

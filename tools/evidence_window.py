@@ -37,6 +37,7 @@ CHANGED_SINCE_GREEN = [
     "dd10_containment_pairs",    # r5: NEW (asymmetric containment)
     "px8_ngram_decontamination",  # r5: NEW (eval decontamination)
     "px9_quality_curriculum",    # r5: NEW (quality curriculum staging)
+    "dd11_softdedup_weights",    # r5: NEW (soft-dedup sample weights)
 ]
 
 

@@ -48,6 +48,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "px8_ngram_decontamination",  # changed/new this round
     "px9_quality_curriculum",  # changed/new this round
     "dd11_softdedup_weights",  # changed/new this round
+    "mm6_image_ahash",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "e6_moving_frame",  # latest green r2
     "e7_rank_functions",  # latest green r2
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "a5_generate_series",  # latest green r3
     "b1_project_filter",  # latest green r3
     "c10_salted_skew_join",  # latest green r3
-    "c11_dense_grid_report",  # latest green r3
 ]
 
 

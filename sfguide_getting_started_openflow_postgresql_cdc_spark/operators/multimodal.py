@@ -557,3 +557,92 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload_bytes long"
         ),
     )
+
+
+@query(
+    "mm6_image_ahash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    pk AS (SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d),
+    px AS (
+      SELECT doc_id, w, h, k % w AS x, k // w AS y,
+             ((k % w) + (k // w) + 0 + doc_id) % 256
+           + ((k % w) + (k // w) + 1 + doc_id) % 256
+           + ((k % w) + (k // w) + 2 + doc_id) % 256 AS g3
+      FROM pk
+    ),
+    tot AS (
+      SELECT doc_id, SUM(g3) AS total, COUNT(*) AS np FROM px GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(MAX(p.w) AS BIGINT) AS width,
+           CAST(MAX(p.h) AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN p.g3 * t.np > t.total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           md5(string_agg(CASE WHEN p.g3 * t.np > t.total THEN '1' ELSE '0'
+                          END, '' ORDER BY p.y, p.x)) AS ahash
+    FROM px p JOIN tot t ON t.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image hashing (average-hash) over REAL decoded pixels:
+    parse the BMP container (header offsets, bottom-up rows, stride
+    padding — the same byte layout ``_make_media_decoder`` walks),
+    grayscale each pixel (channel sum — order-free), and emit one bit
+    per pixel for gray > image mean; md5 of the bit string is the
+    portable fixed-width hash id. The compare is integer-exact
+    (``g3 * n_pixels > total``), so the hash is bit-identical in any
+    engine — the oracle recomputes it from the closed-form pixel
+    definition, catching any decode/stride/orientation bug. This is the
+    image near-dup primitive: identical aHash -> duplicate candidates,
+    hamming distance on the bit string -> near-dups (dd5's SimHash
+    machinery downstream). Arrow-batched mapInPandas; payload bytes
+    never leave the executors."""
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_above": [],
+                   "bits": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                off = _struct.unpack_from("<I", p, 10)[0]
+                w = _struct.unpack_from("<i", p, 18)[0]
+                h = _struct.unpack_from("<i", p, 22)[0]
+                stride = ((3 * w + 3) // 4) * 4
+                grid = _np.frombuffer(
+                    p, _np.uint8, stride * h, off
+                ).reshape(h, stride)
+                # stored bottom-up: flip to top-down, drop stride padding
+                px = grid[::-1, : 3 * w].reshape(h, w, 3).astype(_np.int64)
+                g3 = px.sum(axis=2)
+                total, npix = int(g3.sum()), w * h
+                above = (g3 * npix) > total
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_above"].append(int(above.sum()))
+                out["bits"].append(
+                    "".join("1" if b else "0" for b in above.ravel())
+                )
+            yield _pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    imgs = synthesize_media_payloads(docs).filter(F.col("kind") == "bmp")
+    hashed = imgs.select("doc_id", "payload").mapInPandas(
+        _ahash,
+        schema="doc_id long, width long, height long, n_above long, bits string",
+    )
+    return hashed.select(
+        "doc_id", "width", "height", "n_above", F.md5("bits").alias("ahash")
+    )

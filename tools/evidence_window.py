@@ -38,6 +38,7 @@ CHANGED_SINCE_GREEN = [
     "px8_ngram_decontamination",  # r5: NEW (eval decontamination)
     "px9_quality_curriculum",    # r5: NEW (quality curriculum staging)
     "dd11_softdedup_weights",    # r5: NEW (soft-dedup sample weights)
+    "mm6_image_ahash",           # r5: NEW (perceptual hash over real decode)
 ]
 
 

@@ -197,3 +197,28 @@ def test_user_principals_and_use_role(spark, tmp_path):
     assert s.verified("revenue_by_doctor").count() == 10
     with pytest.raises(PermissionDenied):
         s.verified("total_appointments")
+
+
+def test_template_ask_honors_grant_surface(spark, tmp_path):
+    """The parameterized-template ask path must enforce SELECT on the
+    template's resolved tables, same as verified queries."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    ac = (
+        AccessControl()
+        .create_role("analyst")
+        .grant("SELECT", "visits", to="analyst")
+        .grant("SELECT", "doctors", to="analyst")
+    )
+    eng = Engine(
+        spark, str(tmp_path / "w"), write_partitions=1, access=ac
+    ).bootstrap()
+    r = eng.reader("analyst")
+
+    # resolved template reads visits+doctors -> allowed, grouped result
+    out = {row[0]: row[1] for row in r.ask("total revenue by specialization").collect()}
+    assert out and all(v is not None for v in out.values())
+
+    # count_table template resolves patients -> denied (no grant)
+    with pytest.raises(PermissionDenied, match="patients"):
+        r.ask("how many patients")

@@ -427,6 +427,38 @@ class SemanticModel:
             return self.run_verified(target, spark, dfs)
         return self.run_template(target, spark, dfs)
 
+    def explain_route(self, question: str) -> dict:
+        """AUDITABLE routing decision — what an agent host logs before
+        running anything: the resolved kind/target, the tables the
+        answer will read (the grant surface), and for refusals the
+        reason. Never executes a query."""
+        try:
+            kind, target = self.route(question)
+        except KeyError as e:
+            return {"kind": "refused", "reason": str(e), "tables": []}
+        if kind == "verified":
+            return {
+                "kind": "verified",
+                "name": target,
+                "question": self._verified[target][0],
+                "tables": list(self.verified_tables(target)),
+            }
+        return {
+            "kind": "template",
+            "family": target.family,
+            "measure": (
+                f"{target.measure_table}.{target.measure}"
+                if target.measure
+                else None
+            ),
+            "dimension": (
+                f"{target.dimension_table}.{target.dimension}"
+                if target.dimension
+                else None
+            ),
+            "tables": list(target.tables),
+        }
+
     # -- serialization -----------------------------------------------------
     def to_dict(self) -> dict:
         return {

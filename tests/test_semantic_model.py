@@ -260,3 +260,22 @@ def test_template_resolution_edges(model):
     # routes as a count-by-dimension only when the left side is empty
     kind = model.route_template("by status")
     assert kind.family == "count_by_dimension"
+
+
+def test_explain_route_is_auditable_and_side_effect_free(model):
+    """explain_route reports the decision an agent host would log —
+    kind, target, grant surface — without executing anything, and turns
+    refusals into structured records instead of exceptions."""
+    v = model.explain_route("What is the total revenue by doctor?")
+    assert v["kind"] == "verified" and v["name"] == "revenue_by_doctor"
+    assert set(v["tables"]) == {"doctors", "visits"}
+
+    t = model.explain_route("total revenue by specialization")
+    assert t["kind"] == "template" and t["family"] == "measure_by_dimension"
+    assert t["measure"] == "visits.total_charge"
+    assert t["dimension"] == "doctors.specialization"
+    assert set(t["tables"]) == {"visits", "doctors"}
+
+    r = model.explain_route("what is the weather on jupiter")
+    assert r["kind"] == "refused" and r["tables"] == []
+    assert "weather" in r["reason"]

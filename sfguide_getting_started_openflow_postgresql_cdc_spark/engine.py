@@ -154,6 +154,7 @@ class Engine:
         catalog first, parameterized templates ('revenue by
         specialization') for the breadth beyond it, loud refusal when
         neither resolves (see SemanticModel.route)."""
+        self._use_compute()
         kind, target = self.model.route(question)
         if kind == "verified":
             return self.verified(target)
@@ -289,6 +290,7 @@ class RoleReader:
         """NL entry as this role: route first (verified or template),
         then enforce the routed query's grant surface — an ungranted
         role is refused even when the router finds a match."""
+        self._engine._use_compute()
         kind, target = self._engine.model.route(question)
         if kind == "verified":
             return self.verified(target)

@@ -32,58 +32,57 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # evidence; window = 50). Do not hand-curate — edit the script's
 # CHANGED_SINCE_GREEN and regenerate.
 _NEEDS_EVIDENCE_FIRST = [
-    "dd7_dedup_groups",  # changed/new this round
-    "dd8_semantic_dedup_groups",  # changed/new this round
-    "px6_neardup_aware_curation",  # changed/new this round
-    "d25_top_percent",  # changed/new this round
-    "sim4_knn_ivf",  # changed/new this round
-    "tx7_vocab_topk",  # changed/new this round
-    "dd4_minhash_lsh_pairs",  # changed/new this round
-    "h29_time_arithmetic",  # changed/new this round
-    "px7_language_balanced_cap",  # changed/new this round
-    "tx11_repetition_stats",  # changed/new this round
-    "dd9_crossdoc_ngram_stats",  # changed/new this round
-    "h30_edit_distance",  # changed/new this round
-    "dd10_containment_pairs",  # changed/new this round
-    "px8_ngram_decontamination",  # changed/new this round
-    "px9_quality_curriculum",  # changed/new this round
-    "dd11_softdedup_weights",  # changed/new this round
-    "mm6_image_ahash",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
-    "e6_moving_frame",  # latest green r2
-    "e7_rank_functions",  # latest green r2
-    "e8_running_total",  # latest green r2
-    "f4_topk_global",  # latest green r2
-    "f6_topk_per_group",  # latest green r2
-    "f7_pagination",  # latest green r2
-    "g1_union_all_rowcounts",  # latest green r2
-    "g2_data_quality_nulls",  # latest green r2
-    "g3_intersect",  # latest green r2
-    "g4_except",  # latest green r2
-    "h12_to_char_month",  # latest green r2
-    "h13_compose_timestamp",  # latest green r2
-    "h15_dayname_dayofweek",  # latest green r2
-    "h16_modulo",  # latest green r2
-    "h1_string_concat",  # latest green r2
-    "h20_like_patterns",  # latest green r2
-    "h22_array_functions",  # latest green r2
-    "h4_case_bucket",  # latest green r2
-    "h5_simple_case",  # latest green r2
-    "h6_cast_to_date",  # latest green r2
-    "h8_date_arithmetic",  # latest green r2
-    "i10_asof_join",  # latest green r2
-    "i11_range_join",  # latest green r2
-    "mm1_media_features",  # latest green r2
-    "mm3_frame_sample",  # latest green r2
-    "px1_corpus_curation",  # latest green r2
-    "sim3_pairwise_label_centroids",  # latest green r2
-    "sim5_range_search",  # latest green r2
-    "tx6_bpe_token_count",  # latest green r2
-    "a5_generate_series",  # latest green r3
-    "b1_project_filter",  # latest green r3
-    "c10_salted_skew_join",  # latest green r3
+    "sim4_knn_ivf",  # latest green r0
+    "c11_dense_grid_report",  # latest green r3
+    "c3_left_join_count",  # latest green r3
+    "c4_left_join_residual_on",  # latest green r3
+    "c7_anti_join",  # latest green r3
+    "d14_exact_percentiles",  # latest green r3
+    "d16_pivot",  # latest green r3
+    "d22_multi_distinct",  # latest green r3
+    "d23_unpivot",  # latest green r3
+    "d24_value_histogram",  # latest green r3
+    "dd2_fingerprint_stats",  # latest green r3
+    "dd3_ngram_jaccard_pairs",  # latest green r3
+    "dd5_simhash",  # latest green r3
+    "e9_distribution_windows",  # latest green r3
+    "g5_union_distinct",  # latest green r3
+    "h10_datediff_year",  # latest green r3
+    "h19_json_extract",  # latest green r3
+    "h23_conditional_funcs",  # latest green r3
+    "h24_string_functions",  # latest green r3
+    "h25_date_parts",  # latest green r3
+    "h26_bit_operations",  # latest green r3
+    "h27_month_arithmetic",  # latest green r3
+    "i13_event_transitions",  # latest green r3
+    "i3_latest_state_per_key",  # latest green r3
+    "i5_tumbling_window_agg",  # latest green r3
+    "i8_change_volume",  # latest green r3
+    "i8_recent_changes",  # latest green r3
+    "i9_sessionization",  # latest green r3
+    "mm4_binary_metadata",  # latest green r3
+    "px2_hash_split",  # latest green r3
+    "px3_stratified_sample",  # latest green r3
+    "px4_contamination_check",  # latest green r3
+    "px5_shard_packing",  # latest green r3
+    "sim1_knn_cosine_bruteforce",  # latest green r3
+    "sim2_knn_lsh_bucketed",  # latest green r3
+    "sim6_knn_graph",  # latest green r3
+    "tx1_token_count",  # latest green r3
+    "tx2_quality_score",  # latest green r3
+    "tx3_language_guess",  # latest green r3
+    "tx4_fingerprint",  # latest green r3
+    "tx5_chunk_documents",  # latest green r3
+    "tx8_word_bigrams",  # latest green r3
+    "tx9_stopword_profile",  # latest green r3
+    "b10_compound_predicate",  # latest green r4
+    "b2_select_star",  # latest green r4
+    "b3_alias_expr",  # latest green r4
+    "b5_in_list",  # latest green r4
+    "b6_date_range",  # latest green r4
+    "b7_null_predicate",  # latest green r4
 ]
-
 
 def _reorder_registry() -> None:
     missing = [k for k in _NEEDS_EVIDENCE_FIRST if k not in QUERIES]

@@ -258,7 +258,13 @@ def _dd4_shingle_cache(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _DD4_CACHE.get(key)
     if hit is not None:
-        return hit
+        lvl = hit[0].storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return hit
+        # someone ran spark.catalog.clearCache() behind our back (e.g.
+        # Warehouse.suspend) — the memo would hand out uncached frames
+        # forever; drop the stale entry and rebuild the persist below
+        _DD4_CACHE.pop(key, None)
     sh = _doc_shingles(spark, sf_dir).persist()
     # hot shingles are FEW by definition (df > CAP needs CAP+ docs each),
     # so drop them via a broadcast anti-join — map-side, no extra shuffle

@@ -402,15 +402,30 @@ class SemanticModel:
 
     def route(self, question: str):
         """Full routing decision: ('verified', name) or
-        ('template', TemplateRoute). Templates are PRECISION-gated —
-        they fire only when every referenced object resolves exactly
-        (a ``by <dimension>`` clause naming a real column, or a count
-        question fully explained by one table) — so a resolved template
-        outranks lexical similarity to a verified question (which
-        happily matches 'how many patients' to an appointments count).
-        The similarity-gated verified catalog catches the paraphrases
-        templates cannot parse. Raises KeyError when neither clears
-        its bar — refuse, never guess."""
+        ('template', TemplateRoute).
+
+        Precedence: (1) a verbatim match to a blessed question (same
+        normalized content-token set) routes to the VERIFIED catalog —
+        the documented "verified catalog first" contract holds for
+        questions the catalog literally covers, and ``explain_route``
+        audits them as the catalog entry, not a coincidentally-
+        equivalent template. Equality is on RAW tokens, no synonym
+        expansion — expansion groups overlap ('appointment status'
+        links status to appointments) and would swallow genuinely
+        different questions.
+        (2) Otherwise templates, which are PRECISION-gated — they fire
+        only when every referenced object resolves exactly (a ``by
+        <dimension>`` clause naming a real column, or a count question
+        fully explained by one table) — so a resolved template outranks
+        loose lexical similarity to a verified question (which happily
+        matches 'how many patients' to an appointments count).
+        (3) The similarity-gated verified catalog catches the
+        paraphrases templates cannot parse. Raises KeyError when none
+        clears its bar — refuse, never guess."""
+        q = _toks(question)
+        for name in sorted(self._verified):
+            if q and q == _toks(self._verified[name][0]):
+                return ("verified", name)
         try:
             return ("template", self.route_template(question))
         except KeyError:

@@ -77,7 +77,17 @@ class Warehouse:
         return self.apply(spark)
 
     def suspend(self, spark) -> "Warehouse":
-        """Release compute-held session state (cached blocks)."""
+        """Release compute-held session state (cached blocks).
+
+        Also drops the dedup shingle memo (operators/dedup.py), whose
+        entries hold references to persisted frames — clearCache alone
+        would unpersist the blocks while the memo kept serving the same
+        now-uncached DataFrames."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+            clear_dedup_cache,
+        )
+
+        clear_dedup_cache()
         spark.catalog.clearCache()
         self._suspended = True
         return self

@@ -211,6 +211,17 @@ def test_template_routing_preserves_verified_and_refusal(spark, model, replicas)
         "verified",
         "revenue_by_doctor",
     )
+    # ADVICE r5: a (near-)verbatim blessed question routes VERIFIED even
+    # though a count_table template could also parse it — explain_route
+    # must audit the catalog entry, not a coincidental template
+    assert model.route("How many appointments do we have in total?") == (
+        "verified",
+        "total_appointments",
+    )
+    assert (
+        model.explain_route("How many appointments do we have in total?")["kind"]
+        == "verified"
+    )
     assert model.route("billed amount per physician") == (
         "verified",
         "revenue_by_doctor",

@@ -22,23 +22,10 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    "dd7_dedup_groups",          # r5: CC engine -> hook+pointer-doubling
-    "dd8_semantic_dedup_groups",  # r5: same CC engine change
-    "px6_neardup_aware_curation",  # r5: composes the changed CC engine
-    "d25_top_percent",           # r5: scale-safe count+limit rewrite
-    "sim4_knn_ivf",              # r5: hash-ordered sample, N_PROBE=6 (rows-only)
-    "tx7_vocab_topk",            # r5: dead repartition dropped
-    "dd4_minhash_lsh_pairs",     # r5: memoized shingle cache (same plan)
-    "h29_time_arithmetic",       # r5: NEW (TIME accessor shims)
-    "px7_language_balanced_cap",  # r5: NEW (training-mix language cap)
-    "tx11_repetition_stats",     # r5: NEW (Gopher repetition signals)
-    "dd9_crossdoc_ngram_stats",  # r5: NEW (exact-substring dedup signal)
-    "h30_edit_distance",         # r5: NEW (levenshtein fuzzy matching)
-    "dd10_containment_pairs",    # r5: NEW (asymmetric containment)
-    "px8_ngram_decontamination",  # r5: NEW (eval decontamination)
-    "px9_quality_curriculum",    # r5: NEW (quality curriculum staging)
-    "dd11_softdedup_weights",    # r5: NEW (soft-dedup sample weights)
-    "mm6_image_ahash",           # r5: NEW (perceptual hash over real decode)
+    # r6: all 17 r5 entries cleared — CORRECTNESS_r05 green (sim4/d15
+    # are rows-only by design and auto-rank first as never-green).
+    # r5's plan-affecting r6 changes: none yet (advice fixes touched
+    # engine/warehouse/routing, not registered query plans).
 ]
 
 

@@ -32,6 +32,11 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # evidence; window = 50). Do not hand-curate — edit the script's
 # CHANGED_SINCE_GREEN and regenerate.
 _NEEDS_EVIDENCE_FIRST = [
+    "e10_rank_distributions",  # changed/new this round
+    "px10_source_mixture_weights",  # changed/new this round
+    "i14_replication_freshness",  # changed/new this round
+    "dd12_keepfirst_manifest",  # changed/new this round
+    "sim7_kmeans_assign",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -77,11 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "tx8_word_bigrams",  # latest green r3
     "tx9_stopword_profile",  # latest green r3
     "b10_compound_predicate",  # latest green r4
-    "b2_select_star",  # latest green r4
-    "b3_alias_expr",  # latest green r4
-    "b5_in_list",  # latest green r4
-    "b6_date_range",  # latest green r4
-    "b7_null_predicate",  # latest green r4
 ]
 
 def _reorder_registry() -> None:

@@ -1901,3 +1901,53 @@ def h30_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.cast("long").alias("edit_distance"),
         (F.lit(1.0) - dist.cast("double") / max_len).alias("similarity"),
     )
+
+
+@query(
+    "px10_source_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           total_chars * 1000000
+               // CAST(SUM(total_chars) OVER () AS BIGINT) AS share_ppm,
+           CAST(SUM(total_chars) OVER () AS BIGINT) * 1000000
+               // (COUNT(*) OVER () * total_chars) AS weight_ppm
+    FROM s
+    """,
+)
+def px10_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing weights per corpus source: each source's
+    actual share of the corpus (in chars) and the sampling multiplier
+    that would take the mix to a UNIFORM target share — the domain-
+    mixture knob of a pretraining pipeline (weight > 1e6 ppm means
+    upsample, < 1e6 ppm means downsample).
+
+    Determinism at scale: shares and weights are INTEGER ppm via
+    floor division of exact counts (all positive, so Spark's truncating
+    DIV == DuckDB's flooring //) — no double division whose rounding
+    could drift between engines or partitionings. The no-key window
+    runs AFTER aggregation has reduced the corpus to source-cardinality
+    rows (module-header convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    return (
+        s.withColumn("_corpus", F.sum("total_chars").over(w))
+        .withColumn("_k", F.count("*").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars * 1000000 DIV _corpus").alias("share_ppm"),
+            F.expr("_corpus * 1000000 DIV (_k * total_chars)").alias(
+                "weight_ppm"
+            ),
+        )
+    )

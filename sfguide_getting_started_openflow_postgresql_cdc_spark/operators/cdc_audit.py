@@ -320,3 +320,56 @@ def i11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_following_1h"),
     )
+
+
+@query(
+    "i14_replication_freshness",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, latest_ts,
+           (epoch_us(TIMESTAMP '{AS_OF_EVENT_TS}') - epoch_us(latest_ts))
+               // 60000000 AS staleness_minutes,
+           (SELECT COUNT(*) FROM events e
+            WHERE e.event_type = m.event_type
+              AND e.ts >= TIMESTAMP '{AS_OF_EVENT_TS}' - INTERVAL 24 HOUR)
+               AS n_last_24h
+    FROM m
+    """,
+)
+def i14_replication_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-freshness audit per stream: how stale is each
+    event_type's latest change vs the pinned "now", and how much volume
+    arrived in the trailing 24 h — the lag dashboard a 1-minute CDC
+    sync is monitored with (reference: the quickstart's sync-latency
+    checks; SURVEY.md §2.I5 operational face).
+
+    Exactness: staleness is computed on integer MICROSECOND epochs with
+    integer floor division (all lags positive — pinned AS_OF postdates
+    the stream), never on double seconds; the trailing-24 h count is a
+    single conditional aggregate in the same groupBy pass (the oracle's
+    correlated subquery is the same predicate, spelled for DuckDB)."""
+    asof_us = 1706659200000000  # epoch_us('2024-01-31 00:00:00')
+    cutoff = "2024-01-30 00:00:00"  # AS_OF - 24h, precomputed literal
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("latest_ts"),
+            F.count(
+                F.when(
+                    F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"), 1
+                )
+            ).alias("n_last_24h"),
+        )
+        .withColumn(
+            "_us",
+            F.lit(asof_us)
+            - F.unix_micros(F.col("latest_ts").cast("timestamp")),
+        )
+        .withColumn("staleness_minutes", F.expr("_us DIV 60000000"))
+        .drop("_us")
+    )

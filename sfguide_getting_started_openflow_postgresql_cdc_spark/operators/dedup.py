@@ -1112,3 +1112,66 @@ def dd11_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.alias("component_size"),
         (F.lit(1.0) / size).alias("sample_weight"),
     )
+
+
+@query(
+    "dd12_keepfirst_manifest",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ),
+    k AS (
+      SELECT source, n_chars,
+             doc_id = MIN(doc_id) OVER (PARTITION BY f) AS kept
+      FROM fp
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM k GROUP BY source
+    """,
+)
+def dd12_keepfirst_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup MANIFEST per source: after normalized-fingerprint
+    dedup (lowercased, whitespace-collapsed — the dd2 fingerprint) with
+    the deterministic lowest-doc_id keep rule, how many docs and chars
+    each source actually contributes — the retention report a curation
+    pipeline emits alongside the deduped corpus (dd1 returns the
+    canonical rows; this returns the per-source accounting).
+
+    Scale shape: one shuffle keyed on the 32-char fingerprint (window
+    MIN per fingerprint — the exchange carries the hash, never the
+    text), then a source-keyed aggregation over booleans. Both stages
+    partial-aggregate map-side; no joins back to the corpus."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", fingerprint(F.col("text")).alias("f")
+    )
+    kept = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("f"))
+    ).alias("kept")
+    return (
+        docs.select("source", "n_chars", kept)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )

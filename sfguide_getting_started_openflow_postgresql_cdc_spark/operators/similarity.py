@@ -485,3 +485,89 @@ def sim3_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("i").alias("dim"),
         (F.sum(fixed).cast("double") / F.lit(_FIXED_POINT)).alias("component_sum"),
     )
+
+
+N_CENTROIDS = 8
+
+
+@query(
+    "sim7_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CENTROIDS}
+    ),
+    sims AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+                 AS sim
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, centroid_id, sim AS similarity
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, centroid_id) AS rn
+      FROM sims
+    ) WHERE rn = 1
+    """,
+)
+def sim7_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means ASSIGNMENT step: every vector -> its most-cosine-
+    similar centroid, seeds drawn deterministically as the first
+    N_CENTROIDS vectors in md5(vec_id) order (the same de-biased
+    hash-order sample the IVF trainer uses — a prefix of vec_ids would
+    inherit generator ordering bias). This is the inner loop of
+    k-means / IVF training and of cluster-balanced corpus sampling.
+
+    Scale shape: the centroid table is tiny -> broadcast; the corpus
+    streams past it (no corpus shuffle) and the argmax folds INSIDE the
+    per-vector aggregation via max(struct(sim, -centroid_id)) — the
+    k candidate rows collapse map-side (partial agg) before the one
+    vec_id-keyed exchange, instead of sorting k rows per key in a
+    ranking window. Ties break to the lowest centroid_id, exactly the
+    oracle's ORDER BY sim DESC, centroid_id.
+
+    Numeric note: centroids COME FROM the corpus, so self-pairs hit the
+    one case where the raw ``dot/(||a||*||b||)`` exceeds 1 by an ulp
+    (1.0000000000000002) while DuckDB's list_cosine_similarity CLAMPS
+    to [-1, 1] (probed: identical vectors -> exactly 1.0, antipodal ->
+    exactly -1.0, generic pairs -> the unclamped sqrt*sqrt value). The
+    same clamp is applied here; sim1/sim2 exclude self-pairs, so they
+    never see it."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "en", arrow_norm(F.col("embedding"))
+    )
+    cent = (
+        emb.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+            F.col("en").alias("cn"),
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")))
+        .limit(N_CENTROIDS)  # TakeOrderedAndProject: no global sort
+    )
+    sim = F.greatest(
+        F.lit(-1.0),
+        F.least(
+            F.lit(1.0),
+            arrow_dot(F.col("embedding"), F.col("cv"))
+            / (F.col("en") * F.col("cn")),
+        ),
+    )
+    best = F.max(
+        F.struct(
+            F.col("sim").alias("s"), (-F.col("centroid_id")).alias("negid")
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(best.alias("_b"))
+        .select(
+            "vec_id",
+            (-F.col("_b.negid")).alias("centroid_id"),
+            F.col("_b.s").alias("similarity"),
+        )
+    )

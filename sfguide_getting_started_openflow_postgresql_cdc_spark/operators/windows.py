@@ -173,3 +173,69 @@ def f6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "e10_rank_distributions",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS sum_price,
+           MIN(pr) AS first_pct_rank,
+           MAX(cd) AS last_cume_dist
+    FROM r GROUP BY decile
+    """,
+)
+def e10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST distribution report (decile summary of
+    order values) — the remaining SQL ranking-window family beyond
+    ROW_NUMBER/RANK (e7) and NTILE (px9).
+
+    Scale shape: a bare ``PERCENT_RANK() OVER (ORDER BY ...)`` is a
+    single-partition sort (the d25 lesson), so all three functions are
+    derived ARITHMETICALLY from one exact distributed global rank
+    (functions/ranking.with_global_rank: range repartition +
+    per-partition row numbers + broadcast prefix offsets). Under a
+    TOTAL order (price, orderkey tiebreak) rank == row_number, so
+    percent_rank = (r-1)/(n-1) and cume_dist = r/n — single IEEE
+    divisions of exact integers, bit-identical to the engine builtins
+    (the oracle runs the real NTILE/PERCENT_RANK/CUME_DIST to prove
+    it). Every stage parallel; the driver sees only partition counts."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = orders.count()
+    ranked = with_global_rank(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="_grk"
+    )
+    r = F.col("_grk")
+    per_row = ranked.select(
+        "o_totalprice",
+        ntile_from_rank(r, n, 10).alias("decile"),
+        ((r - F.lit(1)).cast("double") / F.lit(float(n - 1))).alias("pr"),
+        (r.cast("double") / F.lit(float(n))).alias("cd"),
+    )
+    return per_row.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        decimal_sum("o_totalprice").cast("double").alias("sum_price"),
+        F.min("pr").alias("first_pct_rank"),
+        F.max("cd").alias("last_cume_dist"),
+    )

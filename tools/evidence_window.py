@@ -24,8 +24,11 @@ WINDOW = 50
 CHANGED_SINCE_GREEN = [
     # r6: all 17 r5 entries cleared — CORRECTNESS_r05 green (sim4/d15
     # are rows-only by design and auto-rank first as never-green).
-    # r5's plan-affecting r6 changes: none yet (advice fixes touched
-    # engine/warehouse/routing, not registered query plans).
+    "e10_rank_distributions",      # r6: NEW (percent_rank/cume_dist report)
+    "px10_source_mixture_weights",  # r6: NEW (training-mix source weights)
+    "i14_replication_freshness",   # r6: NEW (CDC staleness audit)
+    "dd12_keepfirst_manifest",     # r6: NEW (per-source dedup manifest)
+    "sim7_kmeans_assign",          # r6: NEW (spherical k-means assignment)
 ]
 
 

@@ -37,6 +37,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "i14_replication_freshness",  # changed/new this round
     "dd12_keepfirst_manifest",  # changed/new this round
     "sim7_kmeans_assign",  # changed/new this round
+    "mm7_audio_frame_energy",  # changed/new this round
+    "sim8_kmeans_fit",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "tx4_fingerprint",  # latest green r3
     "tx5_chunk_documents",  # latest green r3
     "tx8_word_bigrams",  # latest green r3
-    "tx9_stopword_profile",  # latest green r3
-    "b10_compound_predicate",  # latest green r4
 ]
 
 def _reorder_registry() -> None:

@@ -646,3 +646,106 @@ def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", "width", "height", "n_above", F.md5("bits").alias("ahash")
     )
+
+
+FRAME_SAMPLES = 16  # mm7 analysis-frame length (non-overlapping)
+
+
+@query(
+    "mm7_audio_frame_energy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+      WHERE doc_id % 2 = 1
+    ),
+    s AS (
+      SELECT doc_id, i, i // {FRAME_SAMPLES} AS frame_id,
+             (doc_id * 31 + i * 7) % 65536 - 32768 AS v
+      FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM w)
+    ),
+    x AS (
+      SELECT doc_id, frame_id, i, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id, frame_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN i % {FRAME_SAMPLES} <> 0
+                          AND (v >= 0) <> (pv >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM x GROUP BY doc_id, frame_id
+    """,
+)
+def mm7_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAME analysis over REAL decoded PCM: parse the WAV
+    container (RIFF/fmt/data chunk walk — the same layout
+    ``_make_media_decoder`` validates), split each clip into
+    non-overlapping FRAME_SAMPLES-sample frames (tail frame partial),
+    and emit per-frame energy (sum of squared samples), peak amplitude,
+    and zero-crossing count — the classic speech/VAD feature triple and
+    the audio twin of mm6's image hashing. Every number is an exact
+    INTEGER computed from decoded int16 samples, so the oracle — which
+    rebuilds the samples from the closed-form definition — catches any
+    chunk-offset, endianness, or framing bug bit-for-bit.
+
+    Plan shape: scan -> mapInPandas(encode) -> mapInPandas(frame
+    features); payload bytes stay on the executors and each clip's
+    frames are emitted by the worker that decoded it — no shuffle at
+    all until the driver's final collect. Crossings are counted against
+    the previous sample WITHIN the frame (numpy sign-diff per segment),
+    matching the oracle's lag-within-doc + frame-boundary filter."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        W = 16  # == FRAME_SAMPLES (closure must stay self-contained)
+
+        def _pcm(p: bytes) -> "_np.ndarray":
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            off = 12
+            while off + 8 <= len(p):
+                cid, size = _struct.unpack_from("<4sI", p, off)
+                if cid == b"data":
+                    return _np.frombuffer(p, "<i2", size // 2, off + 8)
+                off += 8 + size + (size & 1)  # chunks are word-aligned
+            raise ValueError("no data chunk")
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "n_samples": [],
+                   "energy": [], "peak": [], "zero_crossings": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _pcm(bytes(payload)).astype(_np.int64)
+                sign = s >= 0
+                # crossing at i (vs i-1), then zero out frame boundaries
+                cross = _np.zeros(len(s), dtype=_np.int64)
+                cross[1:] = (sign[1:] != sign[:-1]).astype(_np.int64)
+                cross[::W] = 0
+                for f in range((len(s) + W - 1) // W):
+                    seg = s[f * W : (f + 1) * W]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_id"].append(f)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(_np.abs(seg).max()))
+                    out["zero_crossings"].append(
+                        int(cross[f * W : (f + 1) * W].sum())
+                    )
+            yield _pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    clips = synthesize_media_payloads(docs).filter(F.col("kind") == "wav")
+    return clips.select("doc_id", "payload").mapInPandas(
+        _frames,
+        schema=(
+            "doc_id long, frame_id long, n_samples long, energy long, "
+            "peak long, zero_crossings long"
+        ),
+    )

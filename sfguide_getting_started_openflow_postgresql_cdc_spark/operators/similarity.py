@@ -571,3 +571,160 @@ def sim7_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.s").alias("similarity"),
         )
     )
+
+
+KMEANS_MAX_ITERS = 8
+
+
+def kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = 8,
+               max_iters: int = KMEANS_MAX_ITERS):
+    """Distributed spherical k-means over the FULL corpus — the scale
+    path past ``train_ivf_centroids`` (which Lloyd-iterates a driver
+    sample): here every pass streams the whole embedding table, so it
+    works when even a training sample can't represent the corpus.
+
+    Determinism is engineered, not hoped for:
+    - seeds = first ``k`` vectors in md5(vec_id) order (de-biased, same
+      rule as IVF), renumbered by seed vec_id so tie-breaks mean
+      "lowest seed vec_id" exactly like sim7;
+    - the assignment dot products accumulate DIMENSION-BY-DIMENSION in
+      index order (elementwise numpy, never BLAS gemm, whose blocking
+      — and therefore rounding — can vary with Arrow batch size);
+    - centroid updates accumulate per (cluster, dim) in DECIMAL(38,18)
+      — order-independent exact sums — so the new centroids are
+      bit-identical under ANY partitioning/batching; one double
+      division + driver-side normalization per dim closes the loop.
+    - iteration stops when the centroid matrix reproduces itself
+      (exact comparison — meaningful only because the sums are exact).
+
+    Returns ``(cluster_ids, centroids, assigned, history)``: seed-derived
+    cluster ids, the final row-normalized k x dim matrix, the UNCOLLECTED
+    final assignment frame (vec_id, cluster_id, sim), and per-iteration
+    [(n_changed_centroids, mean_sim)] history.
+    """
+    import numpy as np
+
+    def _norm_rows(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    seeds = sorted(
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cluster_ids = [int(r["vec_id"]) for r in seeds]
+    centroids = _norm_rows(
+        np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+    )
+    dim = centroids.shape[1]
+
+    embp = emb.select("vec_id", "embedding").persist()
+
+    def _assign_col(cn):
+        """(cluster index, cosine to it) via fixed-order accumulation."""
+        rows = [list(map(float, c)) for c in cn]
+
+        @F.pandas_udf("struct<cluster:int,sim:double>")
+        def _assign(xs: pd.Series) -> pd.DataFrame:
+            import numpy as _np
+            import pandas as _pd
+
+            if len(xs) == 0:
+                return _pd.DataFrame({"cluster": _pd.Series([], dtype="int32"),
+                                      "sim": _pd.Series([], dtype="float64")})
+            m = _np.stack(xs.to_numpy()).astype(_np.float64)
+            c = _np.array(rows, dtype=_np.float64)
+            acc = _np.zeros((len(m), len(c)), dtype=_np.float64)
+            nx = _np.zeros(len(m), dtype=_np.float64)
+            for i in range(m.shape[1]):  # index order == arrow_dot's fold
+                acc = acc + m[:, i : i + 1] * c[:, i]
+                nx = nx + m[:, i] * m[:, i]
+            best = acc.argmax(axis=1)  # first max -> lowest seed vec_id
+            sim = acc[_np.arange(len(m)), best] / _np.sqrt(nx)
+            return _pd.DataFrame(
+                {"cluster": best.astype("int32"), "sim": sim}
+            )
+
+        return _assign
+
+    history = []
+    for _ in range(max_iters):
+        assigned = embp.withColumn(
+            "_a", _assign_col(centroids.tolist())(F.col("embedding"))
+        ).select(
+            "vec_id", "embedding",
+            F.col("_a.cluster").alias("cluster"),
+            F.col("_a.sim").alias("sim"),
+        )
+        stats = (
+            assigned.select(
+                "cluster", "sim", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("dim") == 0,
+                           F.col("sim").cast("decimal(38,18)"))
+                ).alias("simsum"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        sums = np.zeros((k, dim)); counts = np.zeros(k, dtype=np.int64)
+        simsum = 0.0
+        for r in stats:
+            sums[r["cluster"], r["dim"]] = float(r["s"])
+            counts[r["cluster"]] = r["n"]
+            if r["simsum"] is not None:
+                simsum += float(r["simsum"])
+        n_rows = int(counts.sum())
+        for j in range(k):
+            if counts[j]:
+                new[j] = sums[j] / counts[j]
+        new = _norm_rows(new)
+        moved = int((~np.isclose(new, centroids, rtol=0, atol=0)).any(axis=1).sum())
+        history.append((moved, simsum / max(n_rows, 1)))
+        if np.array_equal(new, centroids):
+            break
+        centroids = new
+
+    final = embp.withColumn(
+        "_a", _assign_col(centroids.tolist())(F.col("embedding"))
+    ).select(
+        "vec_id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in cluster_ids]),
+            F.col("_a.cluster") + 1,
+        ).alias("cluster_id"),
+        F.col("_a.sim").alias("sim"),
+    )
+    embp.unpersist()
+    return cluster_ids, centroids, final, history
+
+
+@query("sim8_kmeans_fit")  # rows-only: iterative algorithm, no SQL twin
+def sim8_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means FIT (Lloyd iterations to convergence or
+    KMEANS_MAX_ITERS) and the resulting cluster summary: members and
+    decimal-exact mean cosine per cluster. Iteration 0 starts from
+    sim7's seeds and tie rule (seeds are renormalized, so per-pair sims
+    differ only in final-ulp rounding); later iterations move the
+    centroids, so no closed-form SQL oracle exists -> rows-only driver
+    check, with convergence/determinism/quality gates in
+    tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, assigned, _ = kmeans_fit(spark, emb, k=N_CENTROIDS)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            (
+                F.sum(F.col("sim").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mean_sim"),
+        )
+    )

@@ -561,3 +561,58 @@ def test_connected_components_fuzz_vs_union_find(spark):
         assert got == {
             x: (c, sizes[c]) for x, c in want_label.items()
         }, f"trial {trial} (n={n}, edges={len(edges)})"
+
+
+def test_kmeans_fit_partitioning_invariant_and_converging(spark, sf_dir):
+    """sim8's engine (distributed spherical k-means): decimal-exact
+    centroid accumulation must make the fit BIT-IDENTICAL under any
+    input partitioning, cluster quality (corpus mean cosine to assigned
+    centroid) must be non-decreasing across Lloyd iterations, and the
+    final assignment must partition the corpus."""
+    import numpy as np
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        N_CENTROIDS,
+        kmeans_fit,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids1, c1, final1, hist1 = kmeans_fit(spark, emb, k=N_CENTROIDS)
+    ids2, c2, final2, hist2 = kmeans_fit(
+        spark, emb.repartition(7), k=N_CENTROIDS
+    )
+
+    # determinism: same seeds, bit-identical centroids and history
+    assert ids1 == ids2
+    assert np.array_equal(c1, c2)
+    assert hist1 == hist2
+    rows1 = sorted(map(tuple, final1.collect()))
+    rows2 = sorted(map(tuple, final2.collect()))
+    assert rows1 == rows2
+
+    # quality: mean cosine to assigned centroid never degrades
+    sims = [s for _, s in hist1]
+    assert all(b >= a - 1e-12 for a, b in zip(sims, sims[1:]))
+    # converged runs end with zero moved centroids
+    if len(hist1) < 8:  # early exit == exact reproduction
+        assert hist1[-1][0] == 0
+
+    # assignment partitions the corpus into the seed-derived ids
+    n = emb.count()
+    assert len(rows1) == n
+    assert {r[1] for r in rows1} <= set(ids1)
+
+    # seeds follow sim7's rule: first N_CENTROIDS in md5(vec_id) order
+    import pyspark.sql.functions as F
+
+    expected = sorted(
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
+        .collect()
+    )
+    assert ids1 == expected

@@ -29,6 +29,8 @@ CHANGED_SINCE_GREEN = [
     "i14_replication_freshness",   # r6: NEW (CDC staleness audit)
     "dd12_keepfirst_manifest",     # r6: NEW (per-source dedup manifest)
     "sim7_kmeans_assign",          # r6: NEW (spherical k-means assignment)
+    "mm7_audio_frame_energy",      # r6: NEW (PCM frame features, real decode)
+    "sim8_kmeans_fit",             # r6: NEW (iterative k-means; rows-only)
 ]
 
 

@@ -32,13 +32,14 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # evidence; window = 50). Do not hand-curate — edit the script's
 # CHANGED_SINCE_GREEN and regenerate.
 _NEEDS_EVIDENCE_FIRST = [
-    "e10_rank_distributions",  # changed/new this round
+    "e11_rank_distributions",  # changed/new this round
     "px10_source_mixture_weights",  # changed/new this round
     "i14_replication_freshness",  # changed/new this round
     "dd12_keepfirst_manifest",  # changed/new this round
     "sim7_kmeans_assign",  # changed/new this round
     "mm7_audio_frame_energy",  # changed/new this round
     "sim8_kmeans_fit",  # changed/new this round
+    "sim6_knn_graph",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -75,7 +76,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "px5_shard_packing",  # latest green r3
     "sim1_knn_cosine_bruteforce",  # latest green r3
     "sim2_knn_lsh_bucketed",  # latest green r3
-    "sim6_knn_graph",  # latest green r3
     "tx1_token_count",  # latest green r3
     "tx2_quality_score",  # latest green r3
     "tx3_language_guess",  # latest green r3

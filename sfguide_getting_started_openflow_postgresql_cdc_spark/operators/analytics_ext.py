@@ -1380,12 +1380,17 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # each undirected pair is joined, deduped, and dotted ONCE (a < b —
+    # halves the candidate volume and the similarity work), then both
+    # directed edges are emitted by an explode: cosine is symmetric down
+    # to the bit (IEEE multiply commutes), so the mirrored edge carries
+    # the identical value the two-sided join used to recompute
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
         .distinct()
@@ -1408,6 +1413,19 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(x, "vec_id")
         .join(y, "neighbor_id")
         .select("vec_id", "neighbor_id", sim.alias("similarity"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("vec_id", "neighbor_id", "similarity"),
+                    F.struct(
+                        F.col("neighbor_id").alias("vec_id"),
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("similarity"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_GRAPH_K)
     )

@@ -176,7 +176,7 @@ def f6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e10_rank_distributions",
+    "e11_rank_distributions",
     oracle="""
     WITH r AS (
       SELECT o_totalprice,
@@ -197,7 +197,7 @@ def f6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY decile
     """,
 )
-def e10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e11_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK / CUME_DIST distribution report (decile summary of
     order values) — the remaining SQL ranking-window family beyond
     ROW_NUMBER/RANK (e7) and NTILE (px9).

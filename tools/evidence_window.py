@@ -24,13 +24,14 @@ WINDOW = 50
 CHANGED_SINCE_GREEN = [
     # r6: all 17 r5 entries cleared — CORRECTNESS_r05 green (sim4/d15
     # are rows-only by design and auto-rank first as never-green).
-    "e10_rank_distributions",      # r6: NEW (percent_rank/cume_dist report)
+    "e11_rank_distributions",      # r6: NEW (percent_rank/cume_dist report)
     "px10_source_mixture_weights",  # r6: NEW (training-mix source weights)
     "i14_replication_freshness",   # r6: NEW (CDC staleness audit)
     "dd12_keepfirst_manifest",     # r6: NEW (per-source dedup manifest)
     "sim7_kmeans_assign",          # r6: NEW (spherical k-means assignment)
     "mm7_audio_frame_energy",      # r6: NEW (PCM frame features, real decode)
     "sim8_kmeans_fit",             # r6: NEW (iterative k-means; rows-only)
+    "sim6_knn_graph",              # r6: half-pair candidates + mirrored edges
 ]
 
 

@@ -40,6 +40,9 @@ _NEEDS_EVIDENCE_FIRST = [
     "mm7_audio_frame_energy",  # changed/new this round
     "sim8_kmeans_fit",  # changed/new this round
     "sim6_knn_graph",  # changed/new this round
+    "g6_except_all",  # changed/new this round
+    "g7_intersect_all",  # changed/new this round
+    "h31_array_hof",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -79,9 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "tx1_token_count",  # latest green r3
     "tx2_quality_score",  # latest green r3
     "tx3_language_guess",  # latest green r3
-    "tx4_fingerprint",  # latest green r3
-    "tx5_chunk_documents",  # latest green r3
-    "tx8_word_bigrams",  # latest green r3
 ]
 
 def _reorder_registry() -> None:

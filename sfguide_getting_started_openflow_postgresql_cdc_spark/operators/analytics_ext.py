@@ -1969,3 +1969,64 @@ def px10_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _years_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("custkey"))
+
+
+@query(
+    "g6_except_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n_excess FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) GROUP BY custkey
+    """,
+)
+def g6_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — MULTISET difference (g4's bag twin): per customer,
+    how many MORE 1995 orders than 1996 orders (max(0, n95-n96) copies
+    survive). ``exceptAll`` compiles to a single shuffle on the key with
+    per-side counts subtracted — no row-by-row matching; the follow-up
+    count collapses the surviving copies, so the pair of aggregations
+    pipelines into the same exchange under AQE."""
+    a = _years_custkeys(spark, sf_dir, 1995)
+    b = _years_custkeys(spark, sf_dir, 1996)
+    return a.exceptAll(b).groupBy("custkey").agg(
+        F.count("*").alias("n_excess")
+    )
+
+
+@query(
+    "g7_intersect_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n_common FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) GROUP BY custkey
+    """,
+)
+def g7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (g3's bag twin): per
+    customer, min(n95, n96) copies survive; grouped to a deterministic
+    per-key count. Same single-shuffle count-based plan as g6."""
+    a = _years_custkeys(spark, sf_dir, 1995)
+    b = _years_custkeys(spark, sf_dir, 1996)
+    return a.intersectAll(b).groupBy("custkey").agg(
+        F.count("*").alias("n_common")
+    )

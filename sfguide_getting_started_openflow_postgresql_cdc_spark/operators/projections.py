@@ -354,3 +354,42 @@ def h16_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_bucket"),
         )
     )
+
+
+@query(
+    "h31_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+               AS n_positive,
+           CAST(len(list_filter(embedding, x -> abs(x) > 0.5)) AS BIGINT)
+               AS n_large,
+           list_max(embedding) AS max_val,
+           CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT)
+               AS max_pos
+    FROM embeddings
+    """,
+)
+def h31_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (lambda filter / reduce family) —
+    per-vector sign and magnitude profiles over the embedding column.
+    All outputs are exact (integer counts, the float32 max itself, its
+    1-based position), so the HOF semantics — not float accumulation —
+    are what the oracle checks. Catalyst interprets HOF lambdas
+    per-element (no codegen); for counts like these that is still far
+    cheaper than shipping rows to Python, and the scan stays
+    column-pruned to (vec_id, embedding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0)))
+        .cast("long")
+        .alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: F.abs(x) > F.lit(0.5)))
+        .cast("long")
+        .alias("n_large"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_position("embedding", F.array_max("embedding")).alias(
+            "max_pos"
+        ),
+    )

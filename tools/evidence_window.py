@@ -32,6 +32,9 @@ CHANGED_SINCE_GREEN = [
     "mm7_audio_frame_energy",      # r6: NEW (PCM frame features, real decode)
     "sim8_kmeans_fit",             # r6: NEW (iterative k-means; rows-only)
     "sim6_knn_graph",              # r6: half-pair candidates + mirrored edges
+    "g6_except_all",               # r6: NEW (multiset EXCEPT)
+    "g7_intersect_all",            # r6: NEW (multiset INTERSECT)
+    "h31_array_hof",               # r6: NEW (array lambda filter/position)
 ]
 
 

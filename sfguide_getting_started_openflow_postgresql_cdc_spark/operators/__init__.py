@@ -43,6 +43,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "g6_except_all",  # changed/new this round
     "g7_intersect_all",  # changed/new this round
     "h31_array_hof",  # changed/new this round
+    "d29_modern_aggregates",  # changed/new this round
+    "i15_state_islands",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "sim1_knn_cosine_bruteforce",  # latest green r3
     "sim2_knn_lsh_bucketed",  # latest green r3
     "tx1_token_count",  # latest green r3
-    "tx2_quality_score",  # latest green r3
-    "tx3_language_guess",  # latest green r3
 ]
 
 def _reorder_registry() -> None:

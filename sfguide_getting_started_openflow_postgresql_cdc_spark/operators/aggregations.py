@@ -448,3 +448,33 @@ def h14_date_trunc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("value").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "d29_modern_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT_IF(o_totalprice > 100000) AS n_big,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           MAX_BY(o_orderdate, o_orderkey) AS latest_keyed_date,
+           MIN_BY(o_orderdate, o_orderkey) AS first_keyed_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d29_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern conditional/selector aggregate family: COUNT_IF,
+    BOOL_AND/BOOL_OR, MAX_BY/MIN_BY — one pass, all map-side
+    combinable. Determinism: MAX_BY/MIN_BY select by the UNIQUE
+    o_orderkey, so there is no tie for the engines to break
+    differently (selecting by a non-unique measure is the documented
+    nondeterminism trap — same reason ORDER BY always carries a key
+    tiebreaker here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_orderdate", "o_orderkey").alias("latest_keyed_date"),
+        F.min_by("o_orderdate", "o_orderkey").alias("first_keyed_date"),
+    )

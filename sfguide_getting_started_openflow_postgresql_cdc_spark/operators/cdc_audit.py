@@ -373,3 +373,63 @@ def i14_replication_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("staleness_minutes", F.expr("_us DIV 60000000"))
         .drop("_us")
     )
+
+
+@query(
+    "i15_state_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type = LAG(event_type)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id, event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS island_start,
+           MAX(ts) AS island_end
+    FROM islands GROUP BY user_id, island_id, event_type
+    HAVING COUNT(*) >= 2
+    """,
+)
+def i15_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of the SAME event_type per user
+    (ordered by ts with event_id tiebreak), the classic
+    change-detection shape CDC consumers use to collapse repeated
+    states into intervals (the journal's SCD2 compaction is this exact
+    computation over column values — streaming/cdc.py). Runs shorter
+    than 2 events are dropped to keep the report at run-granularity.
+
+    One shuffle on user_id serves both windows AND the final group-by
+    (island_id is a function of the window ordering), so the plan is a
+    single exchange + sort despite three logical steps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        ).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("user_id", "island_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )

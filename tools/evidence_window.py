@@ -35,6 +35,8 @@ CHANGED_SINCE_GREEN = [
     "g6_except_all",               # r6: NEW (multiset EXCEPT)
     "g7_intersect_all",            # r6: NEW (multiset INTERSECT)
     "h31_array_hof",               # r6: NEW (array lambda filter/position)
+    "d29_modern_aggregates",       # r6: NEW (count_if/bool/max_by family)
+    "i15_state_islands",           # r6: NEW (gaps-and-islands runs)
 ]
 
 

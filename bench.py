@@ -55,6 +55,12 @@ HEADLINE = [
     "sim6_knn_graph",
     "dd7_dedup_groups",
     "px6_neardup_aware_curation",
+    # r6 additions: distributed global-rank report, k-means assignment,
+    # real PCM frame decode, and the keep-first dedup manifest
+    "e11_rank_distributions",
+    "sim7_kmeans_assign",
+    "mm7_audio_frame_energy",
+    "dd12_keepfirst_manifest",
 ]
 
 

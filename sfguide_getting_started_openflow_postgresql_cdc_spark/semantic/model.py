@@ -71,6 +71,7 @@ _STOP = {
     "each", "every",
 }
 _COUNT_WORDS = {"count", "number", "many", "much", "total"}
+_AVG_WORDS = {"average", "avg", "mean"}
 
 
 def _toks(s: str) -> frozenset[str]:
@@ -91,12 +92,15 @@ class TemplateRoute:
     family plus model objects — ``tables`` is the grant surface a
     role-scoped caller must hold SELECT on."""
 
-    family: str  # 'count_table' | 'count_by_dimension' | 'measure_by_dimension'
+    # 'count_table' | 'count_by_dimension' | 'measure_by_dimension'
+    # | 'avg_measure_by_dimension' | 'top_dimension_by_measure'
+    family: str
     tables: tuple[str, ...]
     measure: str | None = None
     measure_table: str | None = None
     dimension: str | None = None
     dimension_table: str | None = None
+    limit: int | None = None
 
 
 class SemanticModel:
@@ -310,6 +314,11 @@ class SemanticModel:
 
         - ``<measure> by <dimension>``  -> grouped SUM (tables joined
           along a declared relationship when they differ)
+        - ``average <measure> by <dimension>`` -> grouped AVG (an
+          avg-word on the measure side flips SUM to AVG)
+        - ``top N <dimension> by <measure>`` -> grouped SUM, ordered
+          desc, LIMIT N (the by-clause names the MEASURE here — tried
+          when the by-side fails to resolve as a dimension)
         - ``count ... by <dimension>``  -> grouped COUNT(*)
         - ``how many <table>``          -> table COUNT(*) — only when
           every content token is explained by count-words + the table
@@ -328,19 +337,40 @@ class SemanticModel:
             dim = self._resolve_column(rt, kinds={"dimension", "time_dimension"})
             if dim is not None:
                 dt, dcol = dim
-                meas = self._resolve_column(lt, kinds={"fact"})
+                meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
                 if meas is not None:
                     mt, mcol = meas
                     if mt != dt:
                         self._rel_between(mt, dt)  # must be joinable
                     tabs = (mt,) if mt == dt else (mt, dt)
-                    return TemplateRoute(
-                        "measure_by_dimension", tabs, mcol, mt, dcol, dt
+                    fam = (
+                        "avg_measure_by_dimension"
+                        if lt & _AVG_WORDS
+                        else "measure_by_dimension"
                     )
+                    return TemplateRoute(fam, tabs, mcol, mt, dcol, dt)
                 if lt & _COUNT_WORDS or not lt:
                     return TemplateRoute(
                         "count_by_dimension", (dt,), None, None, dcol, dt
                     )
+            else:
+                # inverse grammar: 'top N <dimension> by <measure>'
+                top = re.search(r"\btop\s+(\d+)\b", q[: m.start()])
+                meas = self._resolve_column(rt, kinds={"fact"})
+                if top and meas is not None:
+                    dim = self._resolve_column(
+                        lt - {"top"}, kinds={"dimension", "time_dimension"}
+                    )
+                    if dim is not None:
+                        dt, dcol = dim
+                        mt, mcol = meas
+                        if mt != dt:
+                            self._rel_between(mt, dt)
+                        tabs = (mt,) if mt == dt else (mt, dt)
+                        return TemplateRoute(
+                            "top_dimension_by_measure", tabs, mcol, mt,
+                            dcol, dt, limit=int(top.group(1)),
+                        )
         qt = _toks(q)
         if qt & _COUNT_WORDS:
             tabs = self._resolve_tables(qt)
@@ -380,10 +410,12 @@ class SemanticModel:
                 .orderBy(F.col("n").desc(), route.dimension)
             )
         mt, dt = route.measure_table, route.dimension_table
-        out_measure = f"total_{route.measure}"
+        is_avg = route.family == "avg_measure_by_dimension"
+        agg_fn = F.avg if is_avg else F.sum
+        out_measure = f"{'avg' if is_avg else 'total'}_{route.measure}"
         if mt == dt:
             grouped = live(mt).groupBy(route.dimension).agg(
-                F.sum(route.measure).alias(out_measure)
+                agg_fn(route.measure).alias(out_measure)
             )
         else:
             ak, bk = self._rel_between(mt, dt)
@@ -394,11 +426,14 @@ class SemanticModel:
                     F.broadcast(d_side), F.col(f"m.{ak}") == F.col(f"d.{bk}")
                 )
                 .groupBy(F.col(f"d.{route.dimension}").alias(route.dimension))
-                .agg(F.sum(F.col(f"m.{route.measure}")).alias(out_measure))
+                .agg(agg_fn(F.col(f"m.{route.measure}")).alias(out_measure))
             )
-        return grouped.orderBy(
+        out = grouped.orderBy(
             F.col(out_measure).desc_nulls_last(), route.dimension
         )
+        if route.family == "top_dimension_by_measure":
+            out = out.limit(route.limit)
+        return out
 
     def route(self, question: str):
         """Full routing decision: ('verified', name) or
@@ -471,6 +506,7 @@ class SemanticModel:
                 if target.dimension
                 else None
             ),
+            "limit": target.limit,
             "tables": list(target.tables),
         }
 

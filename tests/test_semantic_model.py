@@ -290,3 +290,35 @@ def test_explain_route_is_auditable_and_side_effect_free(model):
     r = model.explain_route("what is the weather on jupiter")
     assert r["kind"] == "refused" and r["tables"] == []
     assert "weather" in r["reason"]
+
+
+def test_template_routing_avg_and_topn_families(spark, model, replicas):
+    """r6 families: 'average <measure> by <dimension>' flips SUM to AVG;
+    'top N <dimension> by <measure>' resolves the inverse grammar (the
+    by-clause names the measure) into an ordered, limited group-by."""
+    kind, t = model.route("average revenue by specialization")
+    assert kind == "template" and t.family == "avg_measure_by_dimension"
+    assert (t.measure_table, t.measure) == ("visits", "total_charge")
+    out = {r["specialization"]: r["avg_total_charge"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {r["specialization"]: r["a"]
+            for r in replicas["visits"].join(replicas["doctors"], "doctor_id")
+            .groupBy("specialization")
+            .agg(F.avg("total_charge").alias("a")).collect()}
+    assert out == want
+
+    kind, t = model.route("top 3 specializations by revenue")
+    assert kind == "template" and t.family == "top_dimension_by_measure"
+    assert t.limit == 3
+    rows = model.run_template(t, spark, replicas).collect()
+    assert len(rows) == 3
+    totals = [float(r["total_total_charge"]) for r in rows]
+    assert totals == sorted(totals, reverse=True)
+    # auditable: explain_route records the limit
+    ex = model.explain_route("top 3 specializations by revenue")
+    assert ex["kind"] == "template" and ex["limit"] == 3
+
+    # refusal discipline intact: top-N with an unresolvable measure
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template("top 3 specializations by moon phase")

@@ -45,6 +45,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "h31_array_hof",  # changed/new this round
     "d29_modern_aggregates",  # changed/new this round
     "i15_state_islands",  # changed/new this round
+    "dd7_dedup_groups",  # changed/new this round
+    "px6_neardup_aware_curation",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "px4_contamination_check",  # latest green r3
     "px5_shard_packing",  # latest green r3
     "sim1_knn_cosine_bruteforce",  # latest green r3
-    "sim2_knn_lsh_bucketed",  # latest green r3
-    "tx1_token_count",  # latest green r3
 ]
 
 def _reorder_registry() -> None:

@@ -37,6 +37,8 @@ CHANGED_SINCE_GREEN = [
     "h31_array_hof",               # r6: NEW (array lambda filter/position)
     "d29_modern_aggregates",       # r6: NEW (count_if/bool/max_by family)
     "i15_state_islands",           # r6: NEW (gaps-and-islands runs)
+    "dd7_dedup_groups",            # r6: consumes memoized dd4 pairs
+    "px6_neardup_aware_curation",  # r6: inherits the pairs memo via dd7
 ]
 
 

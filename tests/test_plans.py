@@ -273,3 +273,23 @@ def test_with_global_rank_exact_and_partitioned(spark):
     # empty input: empty output, schema preserved
     empty = with_global_rank(df.filter(F.lit(False)), order)
     assert empty.count() == 0 and "global_rank" in empty.columns
+
+
+def test_e11_rank_distributions_no_single_partition_sort(spark, sf_dir):
+    """e11 derives PERCENT_RANK/CUME_DIST/NTILE arithmetically from the
+    distributed global rank: the plan must contain NO SinglePartition
+    exchange and no no-key Window over the full table (the windows it
+    does have operate within range partitions)."""
+    df = QUERIES["e11_rank_distributions"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_sim7_kmeans_assign_broadcasts_seeds_and_takes_ordered(spark, sf_dir):
+    """sim7's seed selection must plan as TakeOrderedAndProject (never a
+    global sort) and the corpus x centroids join as a broadcast — the
+    corpus itself is never shuffled for the assignment."""
+    df = QUERIES["sim7_kmeans_assign"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -292,9 +292,17 @@ def _dd4_pairs_cache(spark: SparkSession, sf_dir: str):
     fans out, so the composers consume one persisted frame instead of
     re-running signatures+banding+verification per query.
     dd4_minhash_lsh_pairs itself stays UNCACHED — its own timing keeps
-    measuring the operator, not a lookup. Self-heals like the shingle
-    memo when something clearCache'd behind our back; released by
-    ``clear_dedup_cache`` (at cluster scale: checkpoint to storage)."""
+    measuring the operator, not a lookup. That requires persisting the
+    (doc_a, doc_b) PROJECTION, not the full dd4 output: Spark's
+    CacheManager substitutes a persisted frame into ANY query whose
+    analyzed plan contains it as a subtree, and dd4's standalone
+    3-column plan would match a persisted full-output frame (measured:
+    dd4's bench min silently became a 0.5 s cache hit). The 2-column
+    project never occurs inside dd4's own plan, so only the composers
+    (which need exactly these columns) reuse it. Self-heals like the
+    shingle memo when something clearCache'd behind our back; released
+    by ``clear_dedup_cache`` (at cluster scale: checkpoint to
+    storage)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _DD4_PAIRS_CACHE.get(key)
     if hit is not None:
@@ -302,7 +310,11 @@ def _dd4_pairs_cache(spark: SparkSession, sf_dir: str):
         if lvl.useMemory or lvl.useDisk:
             return hit
         _DD4_PAIRS_CACHE.pop(key, None)
-    pairs = dd4_minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = (
+        dd4_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     _DD4_PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -670,7 +682,7 @@ def dd7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fine at test scale; the label-propagation plan is the one that
     scales).
     """
-    pairs = _dd4_pairs_cache(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _dd4_pairs_cache(spark, sf_dir)
     return _connected_components(pairs, "doc_a", "doc_b", out_id="doc_id")
 
 

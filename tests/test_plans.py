@@ -293,3 +293,29 @@ def test_sim7_kmeans_assign_broadcasts_seeds_and_takes_ordered(spark, sf_dir):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_dd4_standalone_plan_never_hits_pairs_memo(spark, sf_dir):
+    """The dd4 pairs memo must serve ONLY the composers: Spark's
+    CacheManager substitutes a persisted frame into any query whose
+    analyzed plan contains it, so if the FULL dd4 output were persisted,
+    dd4's own standalone run (and its bench timing) would silently
+    become a cache lookup. The memo persists the 2-column projection,
+    which dd4's 3-column plan does not contain."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import dedup
+
+    dedup.clear_dedup_cache()
+    try:
+        dedup._dd4_pairs_cache(spark, sf_dir).count()  # memo warm
+        plan = explain_str(QUERIES["dd4_minhash_lsh_pairs"](spark, sf_dir))
+        # dd4's plan legitimately scans the SHINGLE memo, so the check is
+        # not "no InMemoryTableScan" — it is that the banding/verify JOINS
+        # still execute (a substituted pairs frame would leave a bare
+        # cache scan with no joins above it)
+        assert "Join" in plan, plan
+        # (the composer side is not plan-assertable: dd7's returned frame
+        # begins at the CC loop's localCheckpoints, so the pairs-cache
+        # scan happens in intermediate jobs — its effect is covered by
+        # the dd7/px6 timing drop and the oracle equality tests)
+    finally:
+        dedup.clear_dedup_cache()

@@ -92,7 +92,11 @@ def main() -> None:
     import bench
 
     names = ["dd4_minhash_lsh_pairs", "dd7_dedup_groups",
-             "px6_neardup_aware_curation"]
+             "px6_neardup_aware_curation",
+             # r6: distributed global rank, keep-first manifest, and the
+             # real-decode audio path at 10x volume
+             "e11_rank_distributions", "dd12_keepfirst_manifest",
+             "mm7_audio_frame_energy"]
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass

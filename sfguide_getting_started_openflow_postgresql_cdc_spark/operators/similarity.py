@@ -728,3 +728,99 @@ def sim8_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sim"),
         )
     )
+
+
+N_NEGATIVES = 3
+
+
+@query(
+    "sim9_contrastive_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]) AS similarity
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    pos AS (
+      SELECT query_id, vec_id, similarity FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, vec_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT query_id, vec_id, similarity FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY md5(CAST(s.query_id AS VARCHAR) || ':' ||
+                              CAST(s.vec_id AS VARCHAR)), s.vec_id) AS rn
+        FROM s LEFT JOIN pos p
+          ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+        WHERE p.vec_id IS NULL
+      ) WHERE rn <= {N_NEGATIVES}
+    )
+    SELECT query_id, vec_id, 'pos' AS role, similarity FROM pos
+    UNION ALL
+    SELECT query_id, vec_id, 'neg' AS role, similarity FROM neg
+    """,
+)
+def sim9_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair MINING for embedding training: per anchor, the
+    hardest positive (most-similar corpus vector) plus N_NEGATIVES
+    hash-deterministic random negatives — the (anchor, pos, negs) tuples
+    a contrastive/metric-learning dataloader consumes. Negatives are
+    drawn by md5(query:candidate) order, so the sample is uniform-ish,
+    reproducible across engines/retries, and excludes the positive.
+
+    Scale shape: identical to sim1 — anchors broadcast, one linear
+    corpus pass computes all similarities, and BOTH selections (top-1
+    by similarity, N by hash) are ranking windows over the same
+    per-anchor candidate rows; the corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "en", arrow_norm(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("en").alias("qn"),
+    )
+    sim = arrow_dot(F.col("embedding"), F.col("qv")) / (
+        F.col("en") * F.col("qn")
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("similarity"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id")
+    )
+    ranked = s.withColumn("_pos_rn", F.row_number().over(wp))
+    pos = ranked.filter(F.col("_pos_rn") == 1).drop("_pos_rn")
+    wn = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("vec_id").cast("string"),
+            )
+        ),
+        F.col("vec_id"),
+    )
+    neg = (
+        ranked.filter(F.col("_pos_rn") > 1)  # everything but the positive
+        .withColumn("_neg_rn", F.row_number().over(wn))
+        .filter(F.col("_neg_rn") <= N_NEGATIVES)
+        .drop("_pos_rn", "_neg_rn")
+    )
+    return pos.select(
+        "query_id", "vec_id", F.lit("pos").alias("role"), "similarity"
+    ).unionByName(
+        neg.select(
+            "query_id", "vec_id", F.lit("neg").alias("role"), "similarity"
+        )
+    )

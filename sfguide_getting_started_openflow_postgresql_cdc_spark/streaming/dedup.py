@@ -75,3 +75,146 @@ def start_stream_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming NEAR-dup filter (the dd4 LSH path, incremental) -------------
+
+
+def _batch_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig) for one batch of (doc_id, text) — the SAME
+    shingle->minhash->band construction dd4 uses (operators/dedup.py),
+    applied to a static micro-batch frame, so streaming collisions mean
+    exactly what batch dd4 collisions mean."""
+    from pyspark.sql.window import Window
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        _band_exprs,
+        _minhash_sig_cols,
+    )
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"),
+            w2.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    bands = None
+    for name, expr in _band_exprs():
+        part = sig.select(
+            "doc_id", F.lit(name).alias("band_id"), expr.alias("sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def neardup_filter_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+) -> DataFrame:
+    """One incremental near-dup filtering step: drop every batch doc that
+    LSH-collides (any band) with an already-ACCEPTED doc in the
+    signature store, or with a lower-doc_id doc in the same batch; then
+    append the survivors' signatures to the store. Returns the accepted
+    (doc_id, text) rows.
+
+    The store holds (band_id, sig, doc_id) for accepted docs only —
+    state is one row per band per accepted doc, independent of total
+    corpus text volume, and the join is keyed on (band_id, sig): the
+    same bucket-collision cost model as batch dd4. Collision == LSH
+    candidate (banding threshold ~0.5 Jaccard); like dd4's banding,
+    precision comes from the band/row parameters, and a stricter
+    pipeline can re-verify survivors offline with exact Jaccard (dd3)
+    — streaming keeps ingest latency flat instead.
+    """
+    import os
+
+    sigs = _batch_band_signatures(batch).persist()
+    try:
+        if os.path.exists(store_dir):
+            store = spark.read.parquet(store_dir).select(
+                "band_id", F.col("sig").alias("s_sig")
+            )
+            hit_store = (
+                sigs.join(
+                    store,
+                    (sigs.band_id == store.band_id)
+                    & (sigs.sig == store.s_sig),
+                )
+                .select(sigs.doc_id)
+                .distinct()
+            )
+        else:
+            hit_store = sigs.select("doc_id").filter(F.lit(False))
+        a, b = sigs.alias("a"), sigs.alias("b")
+        hit_batch = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        dropped = hit_store.unionByName(hit_batch).distinct()
+        accepted = batch.join(dropped, "doc_id", "left_anti")
+        (
+            sigs.join(dropped, "doc_id", "left_anti")
+            .select("band_id", "sig", "doc_id")
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+        return accepted
+    finally:
+        sigs.unpersist()
+
+
+def start_streaming_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "neardup_filtered_docs",
+    available_now: bool = True,
+):
+    """Streaming near-dup ingest filter: parquet-dir source of
+    (doc_id, text, ...) -> foreachBatch(neardup_filter_batch) ->
+    accepted rows appended to ``out_dir``. Exactly-once per batch via
+    the checkpointed foreachBatch epoch; the signature store carries
+    dedup state ACROSS batches and restarts (bounded by accepted docs x
+    bands, not by text volume)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import (
+        DOCUMENTS,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        accepted = neardup_filter_batch(spark, batch, store_dir)
+        accepted.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,59 @@
+"""Streaming NEAR-dup ingest filter (streaming/dedup.py): incremental
+LSH banding with a persisted signature store — the streaming face of
+dd4 (exact-dup streaming lives in test_stateful_streaming.py)."""
+
+def test_streaming_neardup_filter_across_batches_and_restarts(spark, tmp_path):
+    """LSH near-dup ingest filter (streaming/dedup.py): a doc colliding
+    with an ALREADY-ACCEPTED doc (previous batch, via the signature
+    store — even across a query restart) or with a lower-id doc in the
+    SAME batch is dropped; unique docs pass. Mirrors dd4's banding, so
+    collision==candidate at the ~0.5 Jaccard banding threshold."""
+    import time
+
+    from pyspark.sql import Row
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.dedup import (
+        start_streaming_neardup,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    store = tmp_path / "store"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    uniq = "one two three four five six seven eight nine ten " * 4
+    other = "red orange yellow green blue indigo violet umber black white " * 4
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # batch 1: 1 and 2 are near-dups of each other; 3 unique
+    write_batch("b1", [doc(1, base), doc(2, base + " tailword"), doc(3, uniq)])
+    q = start_streaming_neardup(
+        spark, str(src / "b1"), str(out), str(store), str(ckpt / "c1")
+    )
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == {1, 3}  # 2 dropped: same-batch collision, higher id
+
+    # batch 2 (separate query+checkpoint, SAME store => restart survives):
+    # 4 near-dups accepted doc 1; 5 is new
+    write_batch("b2", [doc(4, base + " another"), doc(5, other)])
+    q2 = start_streaming_neardup(
+        spark, str(src / "b2"), str(out), str(store), str(ckpt / "c2")
+    )
+    q2.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 3, 5}  # 4 dropped via the persisted signature store
+
+    # the store holds signatures ONLY for accepted docs (state bound)
+    st = spark.read.parquet(str(store))
+    assert {r["doc_id"] for r in st.select("doc_id").distinct().collect()} == {1, 3, 5}

@@ -39,6 +39,7 @@ CHANGED_SINCE_GREEN = [
     "i15_state_islands",           # r6: NEW (gaps-and-islands runs)
     "dd7_dedup_groups",            # r6: consumes memoized dd4 pairs
     "px6_neardup_aware_curation",  # r6: inherits the pairs memo via dd7
+    "sim9_contrastive_pairs",      # r6: NEW (anchor/pos/neg mining)
 ]
 
 

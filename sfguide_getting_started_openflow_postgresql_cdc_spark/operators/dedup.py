@@ -1215,3 +1215,148 @@ def dd12_keepfirst_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+def _px11_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        SHARD_TOKEN_BUDGET,
+        _md5_mod_sql,
+    )
+
+    return rf"""
+    WITH {_SH_SQL},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 >= 2),
+    contam AS (
+      SELECT doc_id FROM (
+        SELECT t.doc_id, COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE t.shingle IN (SELECT shingle FROM bench))
+                   AS n_overlap
+        FROM train t GROUP BY t.doc_id
+      ) WHERE CAST(n_overlap AS DOUBLE) / n_grams >= {DECONTAM_OVERLAP}
+    ),
+    fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS canon FROM fp
+      ) WHERE doc_id = canon
+    ),
+    corpus AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS n_tokens,
+             {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 10)} AS h
+      FROM kept
+      WHERE doc_id % 100 >= 2
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    sharded AS (
+      SELECT split, lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY split, lang
+                                       ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+      FROM (
+        SELECT *, CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM corpus
+      )
+    )
+    SELECT split, lang, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM sharded GROUP BY split, lang, shard_id
+    """
+
+
+@query("px11_training_manifest", oracle=_px11_oracle())
+def px11_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation artifact: one oracle-checked query running
+    the whole preprocessing DAG a pretraining dump goes through —
+    (1) keep-first fingerprint dedup (dd12's rule; dup copies of
+    benchmark content die here too), (2) benchmark-slice exclusion +
+    n-gram eval decontamination (px8's >= {DECONTAM_OVERLAP:.0%} rule),
+    (3) deterministic md5 train/val/test split (px2), (4) per-
+    (split, lang) token-budget shard packing by exclusive running sums
+    (px5) — emitting the (split, lang, shard, docs, tokens) manifest a
+    dataloader consumes.
+
+    Scale shape, stage by stage: fingerprint window shuffles the 32-char
+    hash; the benchmark gram set broadcasts (eval suites are tiny) so
+    the train side never shuffles on gram; split/hash is map-side; shard
+    packing windows within (split, lang). No stage materializes the
+    corpus more than once — the composition is exactly the individual
+    operators', fused by Catalyst into one plan."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        SHARD_TOKEN_BUDGET,
+        _md5_mod,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.text import (
+        fingerprint,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.withColumn(
+            "_canon",
+            F.min("doc_id").over(Window.partitionBy(fingerprint(F.col("text")))),
+        )
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+
+    sh, _ = _dd4_shingle_cache(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % 100 < 2).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % 100 >= 2)
+    contam = (
+        train.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.count("_hit").cast("double") / F.count("*")).alias("_frac")
+        )
+        .filter(F.col("_frac") >= DECONTAM_OVERLAP)
+        .select("doc_id")
+    )
+
+    h = _md5_mod(F.col("doc_id").cast("string"), 10)
+    split = (
+        F.when(h < 8, F.lit("train"))
+        .when(h == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    corpus = (
+        kept.filter(F.col("doc_id") % 100 >= 2)
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            split.alias("split"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive prefix sum: running total minus own tokens
+    sharded = (
+        corpus.withColumn("_rsum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard_id",
+            F.expr(f"(_rsum - n_tokens) DIV {SHARD_TOKEN_BUDGET}"),
+        )
+        .drop("_rsum")
+    )
+    return sharded.groupBy("split", "lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )

@@ -40,6 +40,7 @@ CHANGED_SINCE_GREEN = [
     "dd7_dedup_groups",            # r6: consumes memoized dd4 pairs
     "px6_neardup_aware_curation",  # r6: inherits the pairs memo via dd7
     "sim9_contrastive_pairs",      # r6: NEW (anchor/pos/neg mining)
+    "px11_training_manifest",      # r6: NEW (end-to-end curation DAG)
 ]
 
 

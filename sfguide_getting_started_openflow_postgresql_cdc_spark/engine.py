@@ -200,6 +200,31 @@ class Engine:
         """Malformed events the merge refused (NULL-cast PK, unknown op)."""
         return self.cdc.quarantine(self.spark, table)
 
+    def ingest_documents(
+        self, path: str, fmt: str = "jsonl", view: str | None = "documents"
+    ) -> tuple[DataFrame, DataFrame]:
+        """Typed corpus ingestion front door (sources/ingest.py): read a
+        JSONL or CSV corpus under the DECLARED documents schema, return
+        ``(docs, quarantine)`` — malformed lines are kept, never dropped
+        — and (by default) register the good rows as the ``documents``
+        temp view so every dd/tx/px/sim operator and :meth:`sql` can
+        run on the ingested corpus directly."""
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.ingest import (
+            read_documents_csv,
+            read_documents_jsonl,
+        )
+
+        self._use_compute()
+        if fmt == "jsonl":
+            docs, bad = read_documents_jsonl(self.spark, path)
+        elif fmt == "csv":
+            docs, bad = read_documents_csv(self.spark, path)
+        else:
+            raise ValueError(f"unknown ingest format {fmt!r} (jsonl|csv)")
+        if view:
+            docs.createOrReplaceTempView(view)
+        return docs, bad
+
     def materialized_count(self, table: str, group_col: str, path: str):
         """Create (and initialize) an incrementally-maintained COUNT(*)
         per group over the table's live rows; returns the MV handle

@@ -56,3 +56,27 @@ def test_csv_ingest_same_contract(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[2]["lang"] == "und" and rows[2]["source"] == "unknown"
     assert quarantine.count() == 1
+
+
+def test_engine_ingest_documents_facade(spark, tmp_path):
+    """Engine.ingest_documents wires the typed readers into the facade:
+    good rows come back (and register as a queryable view), malformed
+    lines are preserved, unknown formats refuse."""
+    import pytest
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "w"}\n'
+        "garbage line\n"
+    )
+    eng = Engine(spark, str(tmp_path / "wh"), write_partitions=1)
+    docs, bad = eng.ingest_documents(str(p), view="ingested_docs")
+    assert docs.count() == 1 and bad.count() == 1
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM ingested_docs").collect()[0]["n"]
+        == 1
+    )
+    with pytest.raises(ValueError, match="unknown ingest format"):
+        eng.ingest_documents(str(p), fmt="xml")

@@ -63,11 +63,15 @@ def test_suspend_invalidates_dedup_memo(spark, restore_conf, sf_dir):
 
     sh, capped = dedup._dd4_shingle_cache(spark, sf_dir)
     sh.count()
-    assert sh.storageLevel.useMemory
+    pairs = dedup._dd4_pairs_cache(spark, sf_dir)
+    pairs.count()
+    assert sh.storageLevel.useMemory and pairs.storageLevel.useMemory
     wh = Warehouse("wh", size="MEDIUM").apply(spark)
     wh.suspend(spark)
     assert not sh.storageLevel.useMemory
-    assert not dedup._DD4_CACHE  # suspend released the memo itself
+    assert not pairs.storageLevel.useMemory
+    assert not dedup._DD4_CACHE  # suspend released the memos themselves
+    assert not dedup._DD4_PAIRS_CACHE
     wh.ensure_active(spark)
     sh2, capped2 = dedup._dd4_shingle_cache(spark, sf_dir)
     assert sh2.storageLevel.useMemory or sh2.storageLevel.useDisk

@@ -49,6 +49,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "px6_neardup_aware_curation",  # changed/new this round
     "sim9_contrastive_pairs",  # changed/new this round
     "px11_training_manifest",  # changed/new this round
+    "e12_value_windows",  # changed/new this round
+    "dd13_cluster_size_histogram",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -80,8 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "i9_sessionization",  # latest green r3
     "mm4_binary_metadata",  # latest green r3
     "px2_hash_split",  # latest green r3
-    "px3_stratified_sample",  # latest green r3
-    "px4_contamination_check",  # latest green r3
 ]
 
 def _reorder_registry() -> None:

@@ -1360,3 +1360,49 @@ def px11_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("shard_tokens"),
     )
+
+
+def _dd13_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    return f"""
+    WITH groups AS ({ORACLES["dd7_dedup_groups"]}),
+    comp AS (
+      SELECT canonical_doc_id, component_size
+      FROM groups GROUP BY canonical_doc_id, component_size
+    )
+    SELECT component_size AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(COUNT(*) * component_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (component_size - 1) AS BIGINT) AS n_droppable
+    FROM comp GROUP BY component_size
+    """
+
+
+@query("dd13_cluster_size_histogram", oracle=_dd13_oracle())
+def dd13_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE DISTRIBUTION — the dedup health report: how
+    many clusters of each size the corpus contains, how many documents
+    they hold, and how many a keep-one policy would drop. A long tail of
+    big clusters is the template-spam signature that decides banding
+    parameters; pipelines chart exactly this before committing a dedup
+    config. One aggregation over dd7's (already component-reduced)
+    output — cluster count rows, trivially small at any corpus scale."""
+    groups = dd7_dedup_groups(spark, sf_dir)
+    comp = groups.select("canonical_doc_id", "component_size").distinct()
+    return (
+        comp.groupBy(F.col("component_size").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("long")
+            .alias("n_droppable"),
+        )
+    )

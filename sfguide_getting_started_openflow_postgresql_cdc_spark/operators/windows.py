@@ -239,3 +239,49 @@ def e11_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pr").alias("first_pct_rank"),
         F.max("cd").alias("last_cume_dist"),
     )
+
+
+@query(
+    "e12_value_windows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def e12_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE — the navigation trio over a
+    full-partition frame (each customer's first, latest, and second
+    order value), reported once per customer via their first order row.
+    The frame is explicitly UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING:
+    LAST_VALUE over the default frame (..CURRENT ROW) is the classic
+    silent-wrong-answer trap — it returns the current row — and both
+    engines agree only when the frame is spelled out. One shuffle on
+    the customer key serves all four windows (same partitioning and
+    ordering)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.row_number().over(wr).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

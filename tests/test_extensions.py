@@ -655,3 +655,31 @@ def test_grouped_agg_udaf_gini(spark, sf_dir):
         want = float(((2 * i - len(v) - 1) * v).sum() / (len(v) * v.sum()))
         assert g == want
         assert 0.0 <= g < 1.0
+
+
+def test_python_udtf_chunk_text(spark):
+    """UDTF surface (functions/udtf.py): registered table function runs
+    laterally in SQL, chunks match the documented stride contract."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.functions import udtf
+
+    udtf.register(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, c.* FROM udtf_docs, "
+        "LATERAL chunk_text(text, 4, 1) AS c ORDER BY chunk_id"
+    ).collect()
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6; the chunk reaching
+    # the end terminates the walk (no pure-overlap tail fragments)
+    assert [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+    ]
+    assert all(r["doc_id"] == 1 for r in rows)
+    # None/empty input yields no rows
+    spark.createDataFrame([(2, None)], "doc_id int, text string").createOrReplaceTempView("udtf_null")
+    assert spark.sql(
+        "SELECT * FROM udtf_null, LATERAL chunk_text(text, 4, 1)"
+    ).count() == 0

@@ -2030,3 +2030,40 @@ def g7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b).groupBy("custkey").agg(
         F.count("*").alias("n_common")
     )
+
+
+@query(
+    "f8_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1996-01-01', 3200)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def f8_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (cursor) pagination — the page shape that actually scales:
+    ``WHERE (order cols) > (last seen)`` + top-N, so every page is a
+    filtered TakeOrderedAndProject regardless of page NUMBER, where
+    f7's OFFSET must select offset+limit rows and deep pages degrade
+    linearly. The tuple comparison compiles to a struct comparison in
+    Spark (lexicographic, same as the SQL row-value constructor), and
+    the cursor predicate pushes into the scan as a coarse
+    ``o_orderdate >= cursor_date`` range (PushedFilters) with the exact
+    struct compare as the residual."""
+    orders = load_table(spark, sf_dir, "orders")
+    cursor_date = F.lit("1996-01-01").cast("timestamp_ntz")
+    after_cursor = F.struct(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    ) > F.struct(cursor_date, F.lit(3200).cast("long"))
+    # coarse range clause FIRST: struct comparisons don't push down, the
+    # plain date bound does — the standard keyset-index trick spelled
+    # for a columnar scan
+    return (
+        orders.filter(F.col("o_orderdate") >= cursor_date)
+        .filter(after_cursor)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

@@ -43,6 +43,7 @@ CHANGED_SINCE_GREEN = [
     "px11_training_manifest",      # r6: NEW (end-to-end curation DAG)
     "e12_value_windows",           # r6: NEW (first/last/nth_value)
     "dd13_cluster_size_histogram",  # r6: NEW (dedup health report)
+    "f8_keyset_pagination",        # r6: NEW (cursor pagination)
 ]
 
 

@@ -1406,3 +1406,88 @@ def dd13_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_droppable"),
         )
     )
+
+
+SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits over the 60-bit signature
+HAMMING_MAX = 8  # near-dup verification threshold (of 60 bits)
+
+
+def _dd14_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {SIMHASH_BAND_BITS * b}) & {mask} AS bval FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sigs AS ({ORACLES["dd5_simhash"]}),
+    banded AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    """
+
+
+@query("dd14_simhash_hamming_pairs", oracle=_dd14_oracle())
+def dd14_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream join dd5's signature exists FOR: near-dup pairs by
+    simhash hamming distance. Banding the 60-bit signature into 4x15-bit
+    keys guarantees any pair within hamming distance 3 collides in some
+    band (pigeonhole) and catches most pairs out to the verification
+    threshold; candidates then verify exactly with
+    bit_count(xor) <= HAMMING_MAX. The whole pipeline is integer-exact
+    (bit identical in any engine), and cost tracks band collisions —
+    one signature row per doc shuffles, never text. Completes the
+    SimHash path: dd5 signs, dd14 pairs, the CC machinery (dd7) would
+    cluster."""
+    sigs = dd5_simhash(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = None
+    for b_idx in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(b_idx).alias("band"),
+            F.shiftright("simhash", SIMHASH_BAND_BITS * b_idx)
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

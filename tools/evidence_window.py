@@ -44,6 +44,7 @@ CHANGED_SINCE_GREEN = [
     "e12_value_windows",           # r6: NEW (first/last/nth_value)
     "dd13_cluster_size_histogram",  # r6: NEW (dedup health report)
     "f8_keyset_pagination",        # r6: NEW (cursor pagination)
+    "dd14_simhash_hamming_pairs",  # r6: NEW (simhash banding join)
 ]
 
 

@@ -749,3 +749,41 @@ def mm7_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak long, zero_crossings long"
         ),
     )
+
+
+def _mm8_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    return f"""
+    WITH hashed AS ({ORACLES["mm6_image_ahash"]})
+    SELECT width, height, ahash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM hashed
+    GROUP BY width, height, ahash
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("mm8_image_dup_groups", oracle=_mm8_oracle())
+def mm8_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup groups: images whose (dimensions, perceptual
+    aHash) coincide collapse into one group with a canonical (min
+    doc_id) representative — dd1's keep-first rule applied to mm6's
+    perceptual key instead of a byte hash, so re-encoded/identical
+    renders group together even when container bytes differ. The
+    synthetic corpus makes this exact: pixel grids repeat every 256
+    doc_ids per dimension class, so real dup groups exist and the
+    oracle checks them from the closed-form pixels. One groupBy over
+    mm6's already-reduced (one row per image) output."""
+    return (
+        mm6_image_ahash(spark, sf_dir)
+        .groupBy("width", "height", "ahash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -45,6 +45,7 @@ CHANGED_SINCE_GREEN = [
     "dd13_cluster_size_histogram",  # r6: NEW (dedup health report)
     "f8_keyset_pagination",        # r6: NEW (cursor pagination)
     "dd14_simhash_hamming_pairs",  # r6: NEW (simhash banding join)
+    "mm8_image_dup_groups",        # r6: NEW (perceptual dup groups)
 ]
 
 

@@ -194,7 +194,7 @@ def i5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT DISTINCT user_id,
-             date_trunc('hour', ts) + INTERVAL 1 HOUR AS as_of_ts
+             date_trunc('hour', ts) + INTERVAL 3 DAY AS as_of_ts
       FROM events
     )
     SELECT q.user_id, q.as_of_ts,
@@ -237,7 +237,7 @@ def i10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             (F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
-             + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+             + F.expr("INTERVAL 3 DAY")).alias("ts"),
         )
         .distinct()
         .select("user_id", "ts", F.lit(1).alias("side"), F.lit(None).cast(
@@ -271,7 +271,7 @@ def i10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts
-     AND b.ts <= a.ts + INTERVAL 1 HOUR
+     AND b.ts <= a.ts + INTERVAL 3 DAY
     GROUP BY a.event_id
     """,
 )
@@ -309,7 +309,7 @@ def i11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             (F.col("b_ts") > F.col("a_ts"))
-            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 3 DAY"))
         )
         .groupBy("a_id")
         .agg(F.count("*").alias("n"))
@@ -432,4 +432,89 @@ def i15_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("island_end"),
         )
         .filter(F.col("n_events") >= 2)
+    )
+
+
+@query(
+    "i16_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS BIGINT)
+               AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_after,
+           (SELECT COUNT(*) FROM s3) * 1000000
+               // (SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL)
+               AS conversion_ppm
+    """,
+)
+def i16_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL analysis — signup -> first click strictly after it
+    within three days -> first purchase within three days of that click —
+    the product-analytics
+    sequence query (and the event-ordering stress test for a CDC
+    stream: correctness depends on event-time order, not arrival
+    order). Stage timestamps are exact event-time minima; conversion is
+    integer ppm (floor division, positive — no double rounding).
+
+    Scale shape: three user-keyed aggregations, each a map-side-
+    combinable MIN over a filtered pass, chained by broadcast-size
+    per-user stage tables (stage cardinality <= users, shrinking every
+    stage). No window over the raw stream and no per-user sort — the
+    'first X after Y' recursion stays in aggregate space."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchased_after")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_clicked_after",
+        "n_purchased_after",
+        F.expr("n_purchased_after * 1000000 DIV n_signup").alias(
+            "conversion_ppm"
+        ),
     )

@@ -46,6 +46,7 @@ CHANGED_SINCE_GREEN = [
     "f8_keyset_pagination",        # r6: NEW (cursor pagination)
     "dd14_simhash_hamming_pairs",  # r6: NEW (simhash banding join)
     "mm8_image_dup_groups",        # r6: NEW (perceptual dup groups)
+    "i16_funnel_stages",           # r6: NEW (ordered funnel, 3-day windows)
 ]
 
 

@@ -518,3 +518,63 @@ def i16_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_ppm"
         ),
     )
+
+
+@query(
+    "i17_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def i17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION matrix: users bucketed by first-seen ISO week,
+    counted once per later week they were active — the
+    (cohort, week-offset, actives) triangle every retention dashboard
+    draws. Week offsets are exact integer day-differences of two
+    Monday-truncated timestamps floor-divided by 7 (both engines
+    truncate weeks to ISO Monday; no fractional-week doubles).
+
+    Scale shape: one user-keyed MIN for cohorts, one DISTINCT projected
+    to (user, week) — already tiny next to the raw stream — then a
+    user-keyed join and a cohort-keyed count; activity is deduped
+    BEFORE the join so the join input is bounded by users x weeks, not
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    # date_trunc returns a TZ-aware timestamp even for NTZ input — cast
+    # back so collect is process-TZ independent (the verify-skill trap;
+    # session TZ is UTC so the round-trip is the wall-clock identity)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts"))
+        .cast("timestamp_ntz")
+        .alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("active_week"),
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) DIV 7").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )

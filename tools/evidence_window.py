@@ -47,6 +47,7 @@ CHANGED_SINCE_GREEN = [
     "dd14_simhash_hamming_pairs",  # r6: NEW (simhash banding join)
     "mm8_image_dup_groups",        # r6: NEW (perceptual dup groups)
     "i16_funnel_stages",           # r6: NEW (ordered funnel, 3-day windows)
+    "i17_retention_cohorts",       # r6: NEW (cohort retention matrix)
 ]
 
 

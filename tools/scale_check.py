@@ -71,6 +71,31 @@ def build(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    # embeddings: 10 replicas, replica i rotates the dimension order by i
+    # (a permutation — norms and within-replica cosine structure are
+    # EXACTLY preserved, so each replica carries the same neighbor/dup
+    # distribution while cross-replica sims decorrelate)
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    parts = []
+    for i in range(N_REPLICAS):
+        r = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 10_000_000).cast("long")
+        )
+        if i > 0:
+            rolled = F.concat(
+                F.slice("embedding", i + 1, dim - i),
+                F.slice("embedding", 1, i),
+            )
+            r = r.withColumn("embedding", rolled)
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
+    )
     open(os.path.join(DST, "_DONE"), "w").write("ok")
 
 
@@ -96,7 +121,9 @@ def main() -> None:
              # r6: distributed global rank, keep-first manifest, and the
              # real-decode audio path at 10x volume
              "e11_rank_distributions", "dd12_keepfirst_manifest",
-             "mm7_audio_frame_energy"]
+             "mm7_audio_frame_energy",
+             # similarity side at 10x vectors (dim-rotated replicas)
+             "sim6_knn_graph", "sim7_kmeans_assign", "dd6_embedding_cosine_dups"]
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass

@@ -56,6 +56,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "mm8_image_dup_groups",  # changed/new this round
     "i16_funnel_stages",  # changed/new this round
     "i17_retention_cohorts",  # changed/new this round
+    "sim10_knn_graph_scaled",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "c11_dense_grid_report",  # latest green r3
@@ -81,7 +82,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "h27_month_arithmetic",  # latest green r3
     "i13_event_transitions",  # latest green r3
     "i3_latest_state_per_key",  # latest green r3
-    "i5_tumbling_window_agg",  # latest green r3
 ]
 
 def _reorder_registry() -> None:

@@ -2067,3 +2067,115 @@ def f8_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+def _sim10_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        scaled_banded_sql_cte,
+    )
+
+    return f"""
+    WITH {scaled_banded_sql_cte()},
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id
+    ),
+    s AS (
+      SELECT cand.vec_id, cand.neighbor_id,
+             list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]) AS similarity
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.vec_id
+      JOIN embeddings y ON y.vec_id = cand.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, similarity, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY similarity DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {KNN_GRAPH_K}
+    """
+
+
+@query("sim10_knn_graph_scaled", oracle=_sim10_oracle())
+def sim10_knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim6's kNN graph under the CORPUS-SCALED band geometry: 4 bands x
+    6 bits = 64 buckets per band, holding bucket occupancy (and the
+    quadratic candidate join) at a 10x corpus to what sim6's 2-bit
+    bands see at sf0.1 — the raise-BAND_BITS knob realized as a
+    first-class oracle-checked operator rather than a docstring remark
+    (BASELINE.md §similarity records the 2-bit config's 36x ratio this
+    exists to fix; tools/scale_check.py measures this variant at both
+    scales). Recall trades down per band (p^6 vs p^2), which is why the
+    bit count is a function of corpus size, not a universal constant.
+    Same plan shape as sim6: one pair joined/dotted per undirected
+    candidate, both edges mirrored."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        SCALED_BAND_BITS,
+        SCALED_N_BANDS,
+        arrow_band_buckets_param,
+        arrow_dot,
+        arrow_norm,
+        scaled_planes,
+    )
+
+    planes = scaled_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            arrow_band_buckets_param(
+                F.col("embedding"), planes, SCALED_N_BANDS, SCALED_BAND_BITS
+            )
+        ).alias("band_id", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    x = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("ex"),
+        arrow_norm(F.col("embedding")).alias("nx"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ey"),
+        arrow_norm(F.col("embedding")).alias("ny"),
+    )
+    sim = arrow_dot(F.col("ex"), F.col("ey")) / (F.col("nx") * F.col("ny"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select("vec_id", "neighbor_id", sim.alias("similarity"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("vec_id", "neighbor_id", "similarity"),
+                    F.struct(
+                        F.col("neighbor_id").alias("vec_id"),
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("similarity"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )

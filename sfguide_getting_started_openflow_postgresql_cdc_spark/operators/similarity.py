@@ -824,3 +824,84 @@ def sim9_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", F.lit("neg").alias("role"), "similarity"
         )
     )
+
+
+# --- corpus-size-scaled banding (the raise-BAND_BITS knob, realized) -------
+#
+# The fixed sim2/sim6/dd6 parameters (4 bands x 2 bits) are pinned by
+# their oracles; the sf1 checkpoint records their collision cost growing
+# quadratically in bucket occupancy (BASELINE.md §similarity). These
+# parametrized twins realize the documented fix — more bits per band ->
+# exponentially more buckets -> occupancy (and the candidate join) held
+# constant as the corpus grows — with the same plane-literal oracle
+# construction, so the scaled variant is oracle-checked too.
+
+SCALED_N_BANDS = 4
+SCALED_BAND_BITS = 6  # 64 buckets/band: ~10x corpus at sf0.1 occupancy
+
+
+def scaled_planes(dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes for the scaled config (seed differs
+    from _band_planes so the two configs are independent draws)."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    return rs.standard_normal((SCALED_N_BANDS * SCALED_BAND_BITS, dim)).tolist()
+
+
+def arrow_band_buckets_param(
+    embedding: Column, planes: list[list[float]], n_bands: int, band_bits: int
+) -> Column:
+    """Parametrized twin of :func:`arrow_band_buckets` (same per-dim
+    accumulation order, any band geometry)."""
+    plane_rows = [list(map(float, p)) for p in planes]
+
+    @F.pandas_udf("array<long>")
+    def _buckets(xs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        m = _np.stack(xs.to_numpy()).astype(_np.float64)
+        p = _np.array(plane_rows, dtype=_np.float64)
+        acc = _np.zeros((len(m), len(p)), dtype=_np.float64)
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i : i + 1] * p[:, i]
+        bits = acc >= 0.0
+        out = _np.zeros((len(m), n_bands), dtype=_np.int64)
+        for band in range(n_bands):
+            for j in range(band_bits):
+                out[:, band] += bits[:, band * band_bits + j].astype(
+                    _np.int64
+                ) << j
+        return pd.Series(list(out))
+
+    return _buckets(embedding)
+
+
+def band_bucket_sql_param(
+    planes: list[list[float]], band: int, band_bits: int,
+    emb_expr: str = "embedding",
+) -> str:
+    """Parametrized twin of :func:`band_bucket_sql`."""
+    terms = []
+    for j in range(band_bits):
+        plane = planes[band * band_bits + j]
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb_expr}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def scaled_banded_sql_cte() -> str:
+    """Oracle CTE for the scaled band geometry."""
+    planes = scaled_planes()
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"{band_bucket_sql_param(planes, b, SCALED_BAND_BITS)} AS bucket "
+        "FROM embeddings"
+        for b in range(SCALED_N_BANDS)
+    )
+    return f"banded AS ({arms})"

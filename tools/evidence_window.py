@@ -48,6 +48,7 @@ CHANGED_SINCE_GREEN = [
     "mm8_image_dup_groups",        # r6: NEW (perceptual dup groups)
     "i16_funnel_stages",           # r6: NEW (ordered funnel, 3-day windows)
     "i17_retention_cohorts",       # r6: NEW (cohort retention matrix)
+    "sim10_knn_graph_scaled",      # r6: NEW (occupancy-constant banding)
 ]
 
 

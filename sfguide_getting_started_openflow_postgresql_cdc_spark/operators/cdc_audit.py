@@ -194,7 +194,7 @@ def i5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT DISTINCT user_id,
-             date_trunc('hour', ts) + INTERVAL 3 DAY AS as_of_ts
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS as_of_ts
       FROM events
     )
     SELECT q.user_id, q.as_of_ts,
@@ -237,7 +237,7 @@ def i10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             (F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
-             + F.expr("INTERVAL 3 DAY")).alias("ts"),
+             + F.expr("INTERVAL 1 HOUR")).alias("ts"),
         )
         .distinct()
         .select("user_id", "ts", F.lit(1).alias("side"), F.lit(None).cast(
@@ -271,7 +271,7 @@ def i10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts
-     AND b.ts <= a.ts + INTERVAL 3 DAY
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
     GROUP BY a.event_id
     """,
 )
@@ -309,7 +309,7 @@ def i11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             (F.col("b_ts") > F.col("a_ts"))
-            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 3 DAY"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
         )
         .groupBy("a_id")
         .agg(F.count("*").alias("n"))

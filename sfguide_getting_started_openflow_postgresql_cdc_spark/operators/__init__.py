@@ -31,57 +31,68 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 # plan/oracle since last green row => unchecked first, then oldest
 # evidence; window = 50). Do not hand-curate — edit the script's
 # CHANGED_SINCE_GREEN and regenerate.
+# Evidence files consumed at generation time — the drift test
+# re-runs the generator pinned to exactly this list, so later
+# driver artifact drops cannot redden a shipped tree.
+_EVIDENCE_FILES = [
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r02.json",
+    "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
+]
 _NEEDS_EVIDENCE_FIRST = [
-    "e11_rank_distributions",  # changed/new this round
-    "px10_source_mixture_weights",  # changed/new this round
-    "i14_replication_freshness",  # changed/new this round
-    "dd12_keepfirst_manifest",  # changed/new this round
-    "sim7_kmeans_assign",  # changed/new this round
-    "mm7_audio_frame_energy",  # changed/new this round
-    "sim8_kmeans_fit",  # changed/new this round
-    "sim6_knn_graph",  # changed/new this round
-    "g6_except_all",  # changed/new this round
-    "g7_intersect_all",  # changed/new this round
-    "h31_array_hof",  # changed/new this round
     "d29_modern_aggregates",  # changed/new this round
     "i15_state_islands",  # changed/new this round
-    "dd7_dedup_groups",  # changed/new this round
-    "px6_neardup_aware_curation",  # changed/new this round
-    "sim9_contrastive_pairs",  # changed/new this round
-    "px11_training_manifest",  # changed/new this round
-    "e12_value_windows",  # changed/new this round
-    "dd13_cluster_size_histogram",  # changed/new this round
-    "f8_keyset_pagination",  # changed/new this round
-    "dd14_simhash_hamming_pairs",  # changed/new this round
-    "mm8_image_dup_groups",  # changed/new this round
-    "i16_funnel_stages",  # changed/new this round
-    "i17_retention_cohorts",  # changed/new this round
-    "sim10_knn_graph_scaled",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
-    "c11_dense_grid_report",  # latest green r3
-    "c3_left_join_count",  # latest green r3
-    "c4_left_join_residual_on",  # latest green r3
-    "c7_anti_join",  # latest green r3
-    "d14_exact_percentiles",  # latest green r3
-    "d16_pivot",  # latest green r3
-    "d22_multi_distinct",  # latest green r3
-    "d23_unpivot",  # latest green r3
-    "d24_value_histogram",  # latest green r3
-    "dd2_fingerprint_stats",  # latest green r3
-    "dd3_ngram_jaccard_pairs",  # latest green r3
-    "dd5_simhash",  # latest green r3
-    "e9_distribution_windows",  # latest green r3
-    "g5_union_distinct",  # latest green r3
-    "h10_datediff_year",  # latest green r3
-    "h19_json_extract",  # latest green r3
-    "h23_conditional_funcs",  # latest green r3
-    "h24_string_functions",  # latest green r3
-    "h25_date_parts",  # latest green r3
-    "h26_bit_operations",  # latest green r3
-    "h27_month_arithmetic",  # latest green r3
-    "i13_event_transitions",  # latest green r3
-    "i3_latest_state_per_key",  # latest green r3
+    "sim8_kmeans_fit",  # latest green r0
+    "i5_tumbling_window_agg",  # latest green r3
+    "i8_change_volume",  # latest green r3
+    "i8_recent_changes",  # latest green r3
+    "i9_sessionization",  # latest green r3
+    "mm4_binary_metadata",  # latest green r3
+    "px2_hash_split",  # latest green r3
+    "px3_stratified_sample",  # latest green r3
+    "px4_contamination_check",  # latest green r3
+    "px5_shard_packing",  # latest green r3
+    "sim1_knn_cosine_bruteforce",  # latest green r3
+    "sim2_knn_lsh_bucketed",  # latest green r3
+    "tx1_token_count",  # latest green r3
+    "tx2_quality_score",  # latest green r3
+    "tx3_language_guess",  # latest green r3
+    "tx4_fingerprint",  # latest green r3
+    "tx5_chunk_documents",  # latest green r3
+    "tx8_word_bigrams",  # latest green r3
+    "tx9_stopword_profile",  # latest green r3
+    "b10_compound_predicate",  # latest green r4
+    "b2_select_star",  # latest green r4
+    "b3_alias_expr",  # latest green r4
+    "b5_in_list",  # latest green r4
+    "b6_date_range",  # latest green r4
+    "b7_null_predicate",  # latest green r4
+    "b8_column_inequality",  # latest green r4
+    "c12_full_outer_join",  # latest green r4
+    "c1_join_2way_agg",  # latest green r4
+    "c5_join_derived_table",  # latest green r4
+    "c6_semi_join",  # latest green r4
+    "c8_scalar_subquery",  # latest green r4
+    "c9_not_exists",  # latest green r4
+    "d10_rate_avg_case",  # latest green r4
+    "d11_having",  # latest green r4
+    "d17_rollup",  # latest green r4
+    "d18_cube",  # latest green r4
+    "d19_exact_corr_moments",  # latest green r4
+    "d1_global_agg",  # latest green r4
+    "d20_order_statistics",  # latest green r4
+    "d21_bool_aggregates",  # latest green r4
+    "d26_grouping_sets",  # latest green r4
+    "d2_groupby_single",  # latest green r4
+    "d3_tpch_q1_pricing_summary",  # latest green r4
+    "d4_groupby_expression",  # latest green r4
+    "d6_count_distinct",  # latest green r4
+    "d8_conditional_sum",  # latest green r4
 ]
 
 def _reorder_registry() -> None:

@@ -454,7 +454,7 @@ def h14_date_trunc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d29_modern_aggregates",
     oracle="""
     SELECT o_orderpriority,
-           COUNT_IF(o_totalprice > 100000) AS n_big,
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderstatus = 'F') AS any_finished,
            MAX_BY(o_orderdate, o_orderkey) AS latest_keyed_date,

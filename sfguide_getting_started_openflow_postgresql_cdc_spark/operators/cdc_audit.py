@@ -387,8 +387,8 @@ def i14_replication_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
       SELECT user_id, event_type, ts, event_id,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS island_id
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
       FROM flagged
     )
     SELECT user_id, island_id, event_type,

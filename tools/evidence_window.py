@@ -7,7 +7,16 @@ git decides, this script just orders). Window = unchecked first, then
 oldest-evidence queries, capped at WINDOW (the driver checks a 50-query
 prefix per round).
 
-Run:  python tools/evidence_window.py   # prints the list to paste
+Evidence pinning (VERDICT r6 task 0): the window is a function of the
+CORRECTNESS files PRESENT AT GENERATION TIME. The generated output
+includes that file list (`_EVIDENCE_FILES`); the drift test re-runs this
+script with `--files` set to the committed list, so a driver artifact
+dropped into the tree AFTER the commit can never redden a shipped tree.
+A fresh artifact only changes the window when a human regenerates.
+
+Run:  python tools/evidence_window.py            # regenerate from all files
+      python tools/evidence_window.py --files CORRECTNESS_r01.json,...  # pinned
+Paste BOTH generated blocks into operators/__init__.py.
 """
 
 import collections
@@ -22,41 +31,30 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r6: all 17 r5 entries cleared — CORRECTNESS_r05 green (sim4/d15
-    # are rows-only by design and auto-rank first as never-green).
-    "e11_rank_distributions",      # r6: NEW (percent_rank/cume_dist report)
-    "px10_source_mixture_weights",  # r6: NEW (training-mix source weights)
-    "i14_replication_freshness",   # r6: NEW (CDC staleness audit)
-    "dd12_keepfirst_manifest",     # r6: NEW (per-source dedup manifest)
-    "sim7_kmeans_assign",          # r6: NEW (spherical k-means assignment)
-    "mm7_audio_frame_energy",      # r6: NEW (PCM frame features, real decode)
-    "sim8_kmeans_fit",             # r6: NEW (iterative k-means; rows-only)
-    "sim6_knn_graph",              # r6: half-pair candidates + mirrored edges
-    "g6_except_all",               # r6: NEW (multiset EXCEPT)
-    "g7_intersect_all",            # r6: NEW (multiset INTERSECT)
-    "h31_array_hof",               # r6: NEW (array lambda filter/position)
-    "d29_modern_aggregates",       # r6: NEW (count_if/bool/max_by family)
-    "i15_state_islands",           # r6: NEW (gaps-and-islands runs)
-    "dd7_dedup_groups",            # r6: consumes memoized dd4 pairs
-    "px6_neardup_aware_curation",  # r6: inherits the pairs memo via dd7
-    "sim9_contrastive_pairs",      # r6: NEW (anchor/pos/neg mining)
-    "px11_training_manifest",      # r6: NEW (end-to-end curation DAG)
-    "e12_value_windows",           # r6: NEW (first/last/nth_value)
-    "dd13_cluster_size_histogram",  # r6: NEW (dedup health report)
-    "f8_keyset_pagination",        # r6: NEW (cursor pagination)
-    "dd14_simhash_hamming_pairs",  # r6: NEW (simhash banding join)
-    "mm8_image_dup_groups",        # r6: NEW (perceptual dup groups)
-    "i16_funnel_stages",           # r6: NEW (ordered funnel, 3-day windows)
-    "i17_retention_cohorts",       # r6: NEW (cohort retention matrix)
-    "sim10_knn_graph_scaled",      # r6: NEW (occupancy-constant banding)
+    # r7: all green r6 entries cleared (CORRECTNESS_r06: 45 green).
+    "d29_modern_aggregates",  # r7: oracle CAST(COUNT_IF AS BIGINT) — red r6
+    "i15_state_islands",      # r7: oracle CAST(windowed SUM AS BIGINT) — red r6
 ]
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    pinned = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--files":
+        pinned = [f.strip() for f in sys.argv[2].split(",") if f.strip()]
+    if pinned is None:
+        files = sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        )
+    else:
+        files = sorted(pinned)
+
     latest_green: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+    for base in files:
+        f = os.path.join(repo, base)
+        rnd = int(re.search(r"_r(\d+)\.json$", base).group(1))
         for name, row in json.load(open(f)).items():
             green = (
                 row.get("rows_match")
@@ -91,6 +89,13 @@ def main() -> None:
         for n in window
     )
     print(f"# window of {len(window)} / {len(registered)} registered — {dict(by_age)}")
+    print("# Evidence files consumed at generation time — the drift test")
+    print("# re-runs the generator pinned to exactly this list, so later")
+    print("# driver artifact drops cannot redden a shipped tree.")
+    print("_EVIDENCE_FILES = [")
+    for base in files:
+        print(f'    "{base}",')
+    print("]")
     print("_NEEDS_EVIDENCE_FIRST = [")
     for n in window:
         tag = (

@@ -529,6 +529,95 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd6_scaled_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        dd6_scaled_banded_sql_cte,
+    )
+
+    return f"""
+    WITH {dd6_scaled_banded_sql_cte()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           list_cosine_similarity(x.embedding::DOUBLE[],
+                                  y.embedding::DOUBLE[]) AS similarity
+    FROM cand
+    JOIN embeddings x ON x.vec_id = cand.vec_a
+    JOIN embeddings y ON y.vec_id = cand.vec_b
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+          >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dd6_embedding_cosine_dups_scaled", oracle=_dd6_scaled_oracle())
+def dd6_embedding_cosine_dups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd6 under a CORPUS-SCALED band geometry (12 bands x 5 bits = 32
+    buckets/band): identical candidate->verify semantics, but bucket
+    occupancy — and therefore the quadratic within-bucket candidate
+    join — stays constant as the corpus grows 10x, where dd6's pinned
+    2-bit bands measured 25x at 10x vectors (BASELINE.md §similarity;
+    tools/scale_check.py measures both). Unlike sim10's 4x6 config,
+    the band COUNT is raised 4 -> 12 so OR-amplification restores the
+    recall the extra bits cost (1-(1-p^5)^12 vs 1-(1-p^2)^4): rows-per-
+    band r is set by the threshold to hold occupancy O(1), band count b
+    is then set by target recall, and candidate cost grows linearly in
+    b, never quadratically in corpus. Plane literals are embedded in
+    the oracle CTE, so the driver gate checks candidate generation AND
+    exact-cosine verification end-to-end."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        DD6_SCALED_BAND_BITS,
+        DD6_SCALED_N_BANDS,
+        arrow_band_buckets_param,
+        arrow_dot,
+        arrow_norm,
+        dd6_scaled_planes,
+    )
+
+    planes = dd6_scaled_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            arrow_band_buckets_param(
+                F.col("embedding"), planes, DD6_SCALED_N_BANDS, DD6_SCALED_BAND_BITS
+            )
+        ).alias("band_id", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        arrow_norm(F.col("embedding")).alias("na"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        arrow_norm(F.col("embedding")).alias("nb"),
+    )
+    sim = arrow_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "similarity")
+    )
+
+
 def embedding_cosine_allpairs(
     spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:

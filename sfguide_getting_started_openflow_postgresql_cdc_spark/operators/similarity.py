@@ -905,3 +905,38 @@ def scaled_banded_sql_cte() -> str:
         for b in range(SCALED_N_BANDS)
     )
     return f"banded AS ({arms})"
+
+
+# dd6's scaled geometry: occupancy-constant bits (5 -> 32 buckets/band)
+# like sim10, but with the band COUNT raised 4 -> 12 to OR-amplify
+# recall back to the 2-bit config's level. This is the textbook LSH
+# scale rule: rows-per-band r is set by the similarity threshold (keeps
+# per-band collision probability p^r, and with it bucket occupancy,
+# O(1) in corpus size); band count b is then chosen for target recall
+# 1-(1-p^r)^b. Candidate cost grows linearly in b, never quadratically
+# in corpus — the trade dd6's pinned 2-bit config cannot make.
+DD6_SCALED_N_BANDS = 12
+DD6_SCALED_BAND_BITS = 5
+
+
+def dd6_scaled_planes(dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes for dd6's scaled config (independent
+    seed from both _band_planes and scaled_planes)."""
+    import numpy as np
+
+    rs = np.random.RandomState(23)
+    return rs.standard_normal(
+        (DD6_SCALED_N_BANDS * DD6_SCALED_BAND_BITS, dim)
+    ).tolist()
+
+
+def dd6_scaled_banded_sql_cte() -> str:
+    """Oracle CTE for dd6's scaled band geometry."""
+    planes = dd6_scaled_planes()
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"{band_bucket_sql_param(planes, b, DD6_SCALED_BAND_BITS)} AS bucket "
+        "FROM embeddings"
+        for b in range(DD6_SCALED_N_BANDS)
+    )
+    return f"banded AS ({arms})"

@@ -156,6 +156,35 @@ def test_embedding_dedup_bucketed_recall_and_plan(spark):
     assert recall >= 0.7, f"banding recall {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_embedding_dedup_scaled_recall_matches_pinned(spark):
+    """dd6_scaled (12 bands x 5 bits, occupancy-constant) must hold the
+    recall of the pinned 2-bit config at sf0.1 — the whole point of
+    raising the band count alongside the bits is that scale costs
+    bucket occupancy, not recall. Precision stays exact (verify step),
+    and the plan stays cross-product-free."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        embedding_cosine_allpairs,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.plans.inspect import (
+        explain_str,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["similarity"]
+        for r in embedding_cosine_allpairs(spark, sf).collect()
+    }
+    df = QUERIES["dd6_embedding_cosine_dups_scaled"](spark, sf)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["vec_a"], r["vec_b"]): r["similarity"] for r in df.collect()}
+    assert set(got).issubset(set(exact))
+    for k in got:
+        assert got[k] == exact[k]  # exact cosine, bit-identical
+    recall = len(got) / len(exact)
+    assert recall >= 0.7, f"scaled banding recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
 def test_knn_ivf_recall_vs_bruteforce(spark):
     """IVF with 6-of-16 probes must recover a solid share of true
     top-10 neighbors, and every similarity it reports must be exact."""

@@ -124,7 +124,7 @@ def main() -> None:
              "mm7_audio_frame_energy",
              # similarity side at 10x vectors (dim-rotated replicas)
              "sim6_knn_graph", "sim7_kmeans_assign", "dd6_embedding_cosine_dups",
-             "sim10_knn_graph_scaled"]
+             "sim10_knn_graph_scaled", "dd6_embedding_cosine_dups_scaled"]
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass

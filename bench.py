@@ -122,6 +122,36 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
     return min(elapsed)
 
 
+def _bench_incremental_dedup(spark, sf_dir: str) -> float:
+    """Per-dump ingest cost of the maintained MinHash-LSH index: build
+    the index over 90% of the corpus (setup, untimed), then time
+    ingesting the remaining 10% — the number that must track the DELTA,
+    not the corpus (compare dd4_minhash_lsh_pairs' full-corpus time in
+    the same run)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        MinHashLshIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    elapsed = []
+    for i in range(2):  # min-of-2 (fresh index each pass — ingest mutates)
+        idx = MinHashLshIndex(spark, tempfile.mkdtemp(prefix=f"dd15_bench_{i}_"))
+        idx.ingest(base, collect_metrics=False)
+        t0 = time.perf_counter()
+        idx.ingest(delta, collect_metrics=False)
+        elapsed.append(time.perf_counter() - t0)
+    return min(elapsed)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -132,14 +162,29 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # warm-up: JIT the parquet reader, codegen, and broadcast machinery
-    # outside the timings (different queries than the timed set's first)
+    # outside the timings (different queries than the timed set's first,
+    # plus the flagship itself so BOTH sentinel singles below measure
+    # steady state rather than first-run JIT)
     QUERIES["b2_select_star"](spark, sf_dir).collect()
     QUERIES["c5_join_derived_table"](spark, sf_dir).collect()
+    QUERIES["flagship_revenue_by_nation"](spark, sf_dir).collect()
 
     # three passes, keep the per-query minimum: insulates the recorded
     # number from transient machine contention (observed 2x swings; the
     # r3 recording was contention-inflated 1.8x with only two passes, so
     # a third was added per the round-3 review)
+    # contention sentinel: the flagship runs once BEFORE and once AFTER
+    # the timed set; a large disagreement between the two singles means
+    # the machine was contended mid-run and the recording is suspect —
+    # the mechanical signal BASELINE.md prose used to carry (r6's
+    # recorded cdc_merge was 1.7x on byte-identical code).
+    def _flagship_once() -> float:
+        t0 = time.perf_counter()
+        QUERIES["flagship_revenue_by_nation"](spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    sentinel_start = _flagship_once()
+
     timings: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
@@ -149,6 +194,13 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     timings["cdc_merge_10pct_churn"] = round(_bench_cdc_merge(spark, sf_dir), 3)
+    timings["dd15_ingest_10pct_delta"] = round(
+        _bench_incremental_dedup(spark, sf_dir), 3
+    )
+
+    sentinel_end = _flagship_once()
+    hi, lo = max(sentinel_start, sentinel_end), min(sentinel_start, sentinel_end)
+    contended = bool(lo > 0 and hi / lo > 1.5)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -163,6 +215,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "sentinel": {
+                    "flagship_start_s": sentinel_start,
+                    "flagship_end_s": sentinel_end,
+                    "contended": contended,
+                },
             }
         )
     )

@@ -13,6 +13,7 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  #
     similarity,
     multimodal,
     dedup,
+    dedup_index,
     joins,
     projections,
     aggregations,

@@ -1,0 +1,126 @@
+"""Incremental MinHash-LSH index (operators/dedup_index.py): the
+maintained pairs view must equal a fresh build after ANY append
+sequence — including when an append pushes a shingle over the
+doc-frequency cap and retroactively changes earlier pairs' capped
+jaccard (the hard invariant; see the module docstring)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+    MinHashLshIndex,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+    load_table,
+)
+
+
+def _pairs_dict(idx):
+    return {(r.doc_a, r.doc_b): r.jaccard for r in idx.pairs().collect()}
+
+
+def _fresh(spark, docs, tmpdir, **kw):
+    """Single-ingest build — the dd4-equivalent reference (the 3-batch
+    replay in dd15_incremental_minhash_pairs is driver-checked against
+    dd4's own DuckDB oracle, pinning single- and multi-ingest to dd4)."""
+    idx = MinHashLshIndex(spark, tempfile.mkdtemp(dir=tmpdir), **kw)
+    idx.ingest(docs)
+    return _pairs_dict(idx)
+
+
+def test_incremental_equals_fresh_after_every_append(spark, tmp_path):
+    """Replay sf0.001 documents as 4 unequal batches; after EVERY
+    append, the maintained view equals a from-scratch build on the
+    docs ingested so far."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    ingested = None
+    # unequal batches (hash mod 4 grouped as [0], [1, 2], [3], rest)
+    parts = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)).isin(1, 2)),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 3),
+    ]
+    for i, batch in enumerate(parts):
+        idx.ingest(batch)
+        ingested = batch if ingested is None else ingested.unionByName(batch)
+        fresh = _fresh(spark, ingested, str(tmp_path))
+        assert _pairs_dict(idx) == fresh, f"diverged after append {i}"
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_crossing_reverifies_and_matches_fresh(spark, tmp_path):
+    """Force a shingle over the cap BETWEEN appends: every doc shares
+    the run c1..c4 (shingles 'c1 c2 c3', 'c2 c3 c4'), so with cap=2
+    the third ingest pushes those shingles hot, which must re-verify
+    the pairs emitted by earlier ingests (their capped sizes and
+    intersections shrank) — and the final view must still equal a
+    fresh build, where those shingles were hot from the start."""
+    base = "c1 c2 c3 c4"
+    mk = lambda i: f"{base} u{i} t1 t2 t3"  # noqa: E731
+    batches = [
+        [(1, mk(1)), (2, mk(2))],
+        [(3, mk(3)), (4, mk(4))],
+        [(5, mk(5)), (6, mk(6))],
+    ]
+    kw = dict(cap=2, threshold=0.2)
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    seen: list = []
+    saw_reverify = False
+    for batch in batches:
+        m = idx.ingest(_mk_docs(spark, batch))
+        saw_reverify = saw_reverify or m["reverified_candidates"] > 0
+        seen += batch
+        fresh = _fresh(spark, _mk_docs(spark, seen), str(tmp_path), **kw)
+        assert _pairs_dict(idx) == fresh
+    assert saw_reverify, "cap crossing never triggered re-verification"
+
+
+def test_cap_crossing_can_retract_pairs(spark, tmp_path):
+    """A pair above threshold before capping whose jaccard FALLS below
+    it once the shared shingles go hot must disappear from the view —
+    retraction, the case a naive insert-only index gets wrong."""
+    base = "c1 c2 c3 c4 c5 c6 c7 c8"  # 6 shared shingles
+    mk = lambda i: f"{base} u{i} v{i} w{i}"  # noqa: E731
+    kw = dict(cap=2, threshold=0.5)
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+    before = _pairs_dict(idx)
+    assert before, "expected at least one high-jaccard pair pre-crossing"
+    idx.ingest(_mk_docs(spark, [(3, mk(3)), (4, mk(4))]))
+    after = _pairs_dict(idx)
+    fresh = _fresh(
+        spark, _mk_docs(spark, [(i, mk(i)) for i in (1, 2, 3, 4)]),
+        str(tmp_path), **kw
+    )
+    assert after == fresh
+    # the shared run went hot (df=4 > 2): doc 1/2's capped sets are now
+    # nearly disjoint, so their pre-crossing pair must have been retracted
+    assert (1, 2) in before and (1, 2) not in after
+
+
+def test_crash_between_view_write_and_manifest_keeps_old_version(spark, tmp_path):
+    """The manifest flips last: a reader against an index whose latest
+    ingest died before the manifest commit sees the previous consistent
+    version, not a half-written one."""
+    docs = [(1, "a b c d e"), (2, "a b c d f")]
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), threshold=0.2)
+    idx.ingest(_mk_docs(spark, docs))
+    v1 = _pairs_dict(idx)
+    # simulate a crashed ingest: a v2 pairs dir exists, manifest still v1
+    (tmp_path / "idx" / "pairs" / "v2").mkdir(parents=True)
+    assert _pairs_dict(idx) == v1
+
+
+@pytest.fixture(autouse=True)
+def _cleanup(tmp_path):
+    yield
+    shutil.rmtree(tmp_path, ignore_errors=True)

@@ -61,32 +61,60 @@ class IvfIndex:
         return self._centroids
 
     # -- build --------------------------------------------------------------
-    def build(self, spark: SparkSession, emb: DataFrame, sample_size: int = 512) -> None:
+    def build(
+        self,
+        spark: SparkSession,
+        emb: DataFrame,
+        sample_size: int = 512,
+        quantizer=None,
+    ) -> None:
         """Train the quantizer (spherical k-means over a deterministic
         sample — ``similarity.train_ivf_centroids``, driver-side math on
         a k x dim matrix) and write the corpus partitioned by nearest
-        cell. Deterministic end-to-end: same data -> same index."""
+        cell. Deterministic end-to-end: same data -> same index. Pass
+        ``quantizer`` (k x dim matrix) to skip training and build under
+        a known quantizer — the reference arm of the add()==rebuild
+        equivalence test."""
         from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
             train_ivf_centroids,
         )
 
-        # hash-ordered deterministic sample — a vec_id prefix is biased
-        # when ingestion order tracks content (see sim4_knn_ivf)
-        head = (
-            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(max(self.n_cells, sample_size))
-            .collect()
-        )
-        centroids_n = train_ivf_centroids(
-            [r["embedding"] for r in head], self.n_cells
-        )
+        if quantizer is not None:
+            import numpy as np
+
+            centroids_n = np.asarray(quantizer, dtype=np.float64)
+        else:
+            # hash-ordered deterministic sample — a vec_id prefix is biased
+            # when ingestion order tracks content (see sim4_knn_ivf)
+            head = (
+                emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                .limit(max(self.n_cells, sample_size))
+                .collect()
+            )
+            centroids_n = train_ivf_centroids(
+                [r["embedding"] for r in head], self.n_cells
+            )
 
         os.makedirs(self.path, exist_ok=True)
         with open(self._centroids_path(), "w") as f:
             json.dump(centroids_n.tolist(), f)
         self._centroids = centroids_n
 
-        cn = centroids_n.tolist()
+        (
+            self._with_cell(emb)
+            .repartition(F.col("cell"))  # one writer per cell, not tasks*cells files
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(self._index_path())
+        )
+
+    def _with_cell(self, emb: DataFrame) -> DataFrame:
+        """Tag each row with its nearest cell under the CURRENT
+        quantizer. Plain function of the row + the k x dim matrix
+        (closed over as literals — no package refs ship to workers), so
+        an appended row lands in exactly the partition a full rewrite
+        with the same quantizer would put it in."""
+        cn = self._load_centroids().tolist()
 
         @F.pandas_udf("int")
         def nearest_cell(col):
@@ -98,13 +126,105 @@ class IvfIndex:
             m = m / _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             return _pd.Series((m @ c.T).argmax(axis=1).astype("int32"))
 
+        return emb.withColumn("cell", nearest_cell(F.col("embedding")))
+
+    # -- incremental maintenance -------------------------------------------
+    def add(self, spark: SparkSession, new_emb: DataFrame) -> None:
+        """Assign new vectors to EXISTING cells and append to their
+        partition directories — per-dump maintenance without retraining
+        (cell assignment is a pure function of the quantizer, so the
+        index after ``add`` is byte-equivalent in content to a full
+        rewrite of base+new under the same quantizer; the search path
+        cannot tell them apart). The quantizer itself drifts as the
+        corpus distribution moves — that is what :meth:`recall_probe`
+        + :meth:`add_with_drift_guard` watch."""
+        if not os.path.exists(self._centroids_path()):
+            raise ValueError("add() requires a built index; call build() first")
         (
-            emb.withColumn("cell", nearest_cell(F.col("embedding")))
-            .repartition(F.col("cell"))  # one writer per cell, not tasks*cells files
-            .write.mode("overwrite")
+            self._with_cell(new_emb)
+            .repartition(F.col("cell"))
+            .write.mode("append")
             .partitionBy("cell")
             .parquet(self._index_path())
         )
+
+    def recall_probe(
+        self, spark: SparkSession, queries: DataFrame, top_k: int = 10
+    ) -> float:
+        """Recall@k of probed search vs exact brute force over the SAME
+        indexed corpus, on a held-out query sample (bounded — this is a
+        monitoring probe, not a corpus scan per query: brute force runs
+        only for the sample). The number a drift monitor alerts on."""
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self.search(spark, queries, top_k=top_k).collect()
+        }
+        index = spark.read.parquet(self._index_path())
+        q = queries.select(
+            "query_id",
+            F.col("embedding").alias("qv"),
+            arrow_norm(F.col("embedding")).alias("qn"),
+        )
+        sim = arrow_dot(F.col("embedding"), F.col("qv")) / (
+            arrow_norm(F.col("embedding")) * F.col("qn")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("similarity").desc(), F.col("neighbor_id")
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in (
+                index.crossJoin(F.broadcast(q))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    sim.alias("similarity"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= top_k)
+                .collect()
+            )
+        }
+        return len(got & exact) / len(exact) if exact else 1.0
+
+    def add_with_drift_guard(
+        self,
+        spark: SparkSession,
+        new_emb: DataFrame,
+        probe_queries: DataFrame,
+        recall_gate: float = 0.6,
+        top_k: int = 10,
+        sample_size: int = 512,
+    ) -> dict:
+        """``add`` + recall probe + retrain-below-gate: append the new
+        vectors, measure recall on the held-out probe; if assignment-only
+        maintenance has degraded below ``recall_gate``, rebuild the whole
+        index (retraining the quantizer over the accumulated corpus).
+        Returns {recall, retrained, recall_after_retrain?}."""
+        self.add(spark, new_emb)
+        recall = self.recall_probe(spark, probe_queries, top_k=top_k)
+        out = {"recall": recall, "retrained": False}
+        if recall < recall_gate:
+            # stage the corpus OUT of the index path first: build()
+            # overwrites the directory its input would otherwise still
+            # be lazily reading from (Spark deletes the target before
+            # the job runs — self-overwrite reads nothing)
+            import shutil
+
+            staging = os.path.join(self.path, "rebuild_staging")
+            spark.read.parquet(self._index_path()).drop("cell").write.mode(
+                "overwrite"
+            ).parquet(staging)
+            corpus = spark.read.parquet(staging)
+            self._centroids = None  # retrain from scratch
+            self.build(spark, corpus, sample_size=sample_size)
+            shutil.rmtree(staging, ignore_errors=True)
+            out["retrained"] = True
+            out["recall_after_retrain"] = self.recall_probe(
+                spark, probe_queries, top_k=top_k
+            )
+        return out
 
     # -- search -------------------------------------------------------------
     def probe_cells(self, query_vecs) -> list[list[int]]:

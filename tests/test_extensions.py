@@ -424,6 +424,63 @@ def test_ivf_persisted_index_build_load_search(spark, tmp_path):
     assert len(overlap) / len(bf) >= 0.5
 
 
+def test_ivf_add_equals_rebuild_and_drift_guard(spark, tmp_path):
+    """Incremental maintenance contract: (1) add() lands new vectors so
+    search over base+delta equals a from-scratch build of base+delta
+    under the SAME quantizer — bit-identical results; (2) the recall
+    probe measures against exact brute force and the drift guard
+    retrains when pushed below its gate."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    inc = IvfIndex(str(tmp_path / "inc"), n_cells=16, n_probe=4)
+    inc.build(spark, base)
+    inc.add(spark, delta)
+
+    full = IvfIndex(str(tmp_path / "full"), n_cells=16, n_probe=4)
+    full.build(spark, emb, quantizer=inc._load_centroids())
+
+    res_inc = {
+        (r["query_id"], r["neighbor_id"]): (r["similarity"], r["rank"])
+        for r in inc.search(spark, queries, top_k=10).collect()
+    }
+    res_full = {
+        (r["query_id"], r["neighbor_id"]): (r["similarity"], r["rank"])
+        for r in full.search(spark, queries, top_k=10).collect()
+    }
+    assert res_inc == res_full  # bit-identical, rank included
+
+    # recall probe: healthy index passes the gate without retraining
+    guard = IvfIndex(str(tmp_path / "guard"), n_cells=16, n_probe=4)
+    guard.build(spark, base)
+    out = guard.add_with_drift_guard(spark, delta, queries, recall_gate=0.5)
+    assert out["recall"] >= 0.5 and out["retrained"] is False
+
+    # unreachable gate forces the retrain path; the rebuilt index must
+    # still search (and its recall is re-measured post-retrain)
+    out2 = guard.add_with_drift_guard(
+        spark,
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)),
+        queries,
+        recall_gate=1.01,
+    )
+    assert out2["retrained"] is True
+    assert 0.0 <= out2["recall_after_retrain"] <= 1.0
+
+
 def test_neardup_curation_drops_exactly_non_canonicals(spark):
     """px6 invariants: partition counts add up, and the dropped-doc count
     equals the number of non-canonical members across dd7 clusters."""

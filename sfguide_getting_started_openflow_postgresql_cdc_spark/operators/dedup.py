@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
-from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+    load_table,
+    spread_small,
+)
 
 N_MINHASH = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
@@ -58,11 +61,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # the documents table is a single small file -> one scan task; spread
     # the (cheap) rows across the cluster BEFORE the expensive explode so
-    # tokenization parallelizes (at 100 TB the source is already split,
-    # and this repartition is a no-op cost next to the explode).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # tokenization parallelizes. GUARDED: at 100 TB the source arrives
+    # already split, and spread_small skips the exchange entirely.
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
@@ -673,10 +674,10 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes majority-voted per bit). One groupBy per corpus; near-dup =
     small hamming distance, joined downstream by banding the signature.
     Portable bits: top 15 hex digits of md5 -> integer."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length(F.trim(F.col("text"))) > 0)
-        .repartition(spark.sparkContext.defaultParallelism)  # parallel explode
+    docs = spread_small(  # parallel explode; no-op when already split
+        load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
@@ -1023,9 +1024,7 @@ def dd9_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) keeps only grams seen in >= 2 docs, a semi-join marks
     shared instances, one per-doc aggregate. Two shuffles — gram, then
     doc_id; cost tracks corpus size and true overlap, never pairs."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
-from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+    load_table,
+    spread_small,
+)
 
 N_HIST_BINS = 8
 
@@ -260,9 +263,7 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # single-file source -> repartition so the Arrow-batched python
     # workers run in parallel instead of one worker eating every batch
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     media = with_media_columns(docs)
     return media.select("doc_id", "payload", "kind").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
@@ -367,9 +368,7 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     media = with_media_columns(docs)
     return media.select("doc_id", "payload").mapInPandas(
         _frames, schema="doc_id long, frame_idx long, n_frame_bytes long, byte_sum long"
@@ -545,9 +544,7 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     payloads = synthesize_media_payloads(docs)
     return payloads.select("doc_id", "payload").mapInPandas(
         _decode,
@@ -635,9 +632,7 @@ def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     imgs = synthesize_media_payloads(docs).filter(F.col("kind") == "bmp")
     hashed = imgs.select("doc_id", "payload").mapInPandas(
         _ahash,
@@ -738,9 +733,7 @@ def mm7_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield _pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     clips = synthesize_media_payloads(docs).filter(F.col("kind") == "wav")
     return clips.select("doc_id", "payload").mapInPandas(
         _frames,

@@ -675,12 +675,19 @@ def kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = 8,
         )
         new = centroids.copy()
         sums = np.zeros((k, dim)); counts = np.zeros(k, dtype=np.int64)
-        simsum = 0.0
+        # simsum rows arrive in partition-dependent order; the decimals
+        # are exact, so accumulate in Decimal (associative) and convert
+        # ONCE — a float += here would make the "bit-identical history"
+        # invariant depend on collect order
+        from decimal import Decimal
+
+        simsum_d = Decimal(0)
         for r in stats:
             sums[r["cluster"], r["dim"]] = float(r["s"])
             counts[r["cluster"]] = r["n"]
             if r["simsum"] is not None:
-                simsum += float(r["simsum"])
+                simsum_d += r["simsum"]
+        simsum = float(simsum_d)
         n_rows = int(counts.sum())
         for j in range(k):
             if counts[j]:

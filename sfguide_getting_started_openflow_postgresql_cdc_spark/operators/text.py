@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
-from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+    load_table,
+    spread_small,
+)
 
 
 def token_count(text: Column) -> Column:
@@ -444,7 +447,7 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.count()  # one scalar; distributed count
     tok = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        spread_small(docs)
         .select(
             "doc_id",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),

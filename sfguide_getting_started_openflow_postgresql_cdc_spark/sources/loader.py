@@ -19,6 +19,20 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import TESTDA
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread_small(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's default parallelism ONLY when the
+    frame has fewer partitions — the guard that lets single-file toy
+    inputs fan out before an expensive explode/decode WITHOUT paying a
+    full shuffle of raw text at 100 TB, where the source arrives
+    already split into >= cluster-width partitions (an unconditional
+    ``repartition(defaultParallelism)`` there is a pure-cost whole-
+    corpus exchange). ``getNumPartitions`` is plan metadata — no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet read — schema comes from the
     file footer; filters/projections applied later push down into this scan.

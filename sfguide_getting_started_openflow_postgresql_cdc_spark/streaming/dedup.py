@@ -118,16 +118,44 @@ def _batch_band_signatures(docs: DataFrame) -> DataFrame:
     return bands
 
 
+def _store_epoch_dirs(store_dir: str) -> list[str]:
+    """Committed signature-epoch directories (store_dir/run=*/epoch=*)."""
+    import os
+
+    out = []
+    if os.path.exists(store_dir):
+        for run in os.listdir(store_dir):
+            rp = os.path.join(store_dir, run)
+            if run.startswith("run=") and os.path.isdir(rp):
+                out += [
+                    os.path.join(rp, ep)
+                    for ep in os.listdir(rp)
+                    if ep.startswith("epoch=")
+                ]
+    return sorted(out)
+
+
 def neardup_filter_batch(
     spark: SparkSession,
     batch: DataFrame,
     store_dir: str,
+    commit_key: tuple[str, int] | None = None,
 ) -> DataFrame:
     """One incremental near-dup filtering step: drop every batch doc that
     LSH-collides (any band) with an already-ACCEPTED doc in the
     signature store, or with a lower-doc_id doc in the same batch; then
-    append the survivors' signatures to the store. Returns the accepted
+    commit the survivors' signatures to the store. Returns the accepted
     (doc_id, text) rows.
+
+    IDEMPOTENT per ``commit_key`` (run_key, epoch_id): foreachBatch is
+    at-least-once, so a retried epoch re-enters with the same key — its
+    signatures land in the store under ``run=<key>/epoch=<id>`` with
+    OVERWRITE (a partial first attempt is replaced, never duplicated),
+    and the store READ excludes that directory, so the batch can never
+    collide with its own first attempt (the silent-drop data-loss bug
+    this replaced: append-before-output meant a retry saw its own
+    signatures and discarded every doc). Without a key a unique one is
+    generated — same behavior, minus replay idempotency.
 
     The store holds (band_id, sig, doc_id) for accepted docs only —
     state is one row per band per accepted doc, independent of total
@@ -139,11 +167,18 @@ def neardup_filter_batch(
     — streaming keeps ingest latency flat instead.
     """
     import os
+    import uuid
+
+    if commit_key is None:
+        commit_key = (uuid.uuid4().hex[:12], 0)
+    run_key, epoch_id = commit_key
+    own_dir = os.path.join(store_dir, f"run={run_key}", f"epoch={epoch_id}")
 
     sigs = _batch_band_signatures(batch).persist()
     try:
-        if os.path.exists(store_dir):
-            store = spark.read.parquet(store_dir).select(
+        prior = [d for d in _store_epoch_dirs(store_dir) if d != own_dir]
+        if prior:
+            store = spark.read.parquet(*prior).select(
                 "band_id", F.col("sig").alias("s_sig")
             )
             hit_store = (
@@ -173,8 +208,8 @@ def neardup_filter_batch(
         (
             sigs.join(dropped, "doc_id", "left_anti")
             .select("band_id", "sig", "doc_id")
-            .write.mode("append")
-            .parquet(store_dir)
+            .write.mode("overwrite")
+            .parquet(own_dir)
         )
         return accepted
     finally:
@@ -192,10 +227,20 @@ def start_streaming_neardup(
 ):
     """Streaming near-dup ingest filter: parquet-dir source of
     (doc_id, text, ...) -> foreachBatch(neardup_filter_batch) ->
-    accepted rows appended to ``out_dir``. Exactly-once per batch via
-    the checkpointed foreachBatch epoch; the signature store carries
-    dedup state ACROSS batches and restarts (bounded by accepted docs x
+    accepted rows committed under ``out_dir/run=.../epoch=...``.
+    foreachBatch is AT-LEAST-once, so both the signature store and the
+    output are committed per (checkpoint, epoch) with overwrite — a
+    retried epoch replaces its own partial first attempt instead of
+    appending duplicates, and the store read excludes the in-flight
+    epoch so the retry cannot collide with itself (idempotent replay).
+    The run key derives from the CHECKPOINT path, not the query runId:
+    a post-restart retry re-delivers the same epoch under the same
+    checkpoint but a fresh runId. The signature store carries dedup
+    state ACROSS batches and restarts (bounded by accepted docs x
     bands, not by text volume)."""
+    import hashlib
+    import os
+
     from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import (
         DOCUMENTS,
     )
@@ -205,10 +250,17 @@ def start_streaming_neardup(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
     )
+    run_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        accepted = neardup_filter_batch(spark, batch, store_dir)
-        accepted.write.mode("append").parquet(out_dir)
+        accepted = neardup_filter_batch(
+            spark, batch, store_dir, commit_key=(run_key, int(epoch_id))
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"run={run_key}", f"epoch={int(epoch_id)}")
+        )
 
     writer = (
         stream.writeStream.queryName(query_name)

@@ -183,6 +183,26 @@ def test_tfidf_broadcasts_dfreq_and_limits_window(spark, sf_dir):
     assert "WindowGroupLimit" in explain_str(df)
 
 
+def test_spread_small_is_identity_when_already_spread(spark, sf_dir):
+    """spread_small must add NO Exchange when the frame already has >=
+    defaultParallelism partitions (the 100 TB case — r5/r6 advice: an
+    unconditional repartition there is a whole-corpus shuffle), and
+    must fan out a single-file toy read."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+        spread_small,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = load_table(spark, sf_dir, "documents").repartition(par + 3)
+    assert spread_small(wide) is wide  # identity: not even a new plan node
+
+    narrow = load_table(spark, sf_dir, "documents")
+    if narrow.rdd.getNumPartitions() < par:
+        spread = spread_small(narrow)
+        assert spread.rdd.getNumPartitions() == par
+
+
 def test_evidence_window_tool_is_valid():
     """tools/evidence_window.py must keep producing a valid 50-name
     window of registered queries (the registry list is generated output;

@@ -57,3 +57,52 @@ def test_streaming_neardup_filter_across_batches_and_restarts(spark, tmp_path):
     # the store holds signatures ONLY for accepted docs (state bound)
     st = spark.read.parquet(str(store))
     assert {r["doc_id"] for r in st.select("doc_id").distinct().collect()} == {1, 3, 5}
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME epoch (same
+    commit_key) must accept the same docs — the batch must NOT collide
+    with its own first attempt's signatures — and must not duplicate
+    store rows (the pre-fix behavior silently dropped every doc on
+    replay and doubled the store)."""
+    from pyspark.sql import Row
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.dedup import (
+        neardup_filter_batch,
+    )
+
+    store = str(tmp_path / "store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    batch = spark.createDataFrame(
+        [doc(1, base), doc(2, base + " tailword"), doc(3, "one two three four five")],
+        DOCUMENTS,
+    )
+    key = ("ckpt0hash", 7)
+    first = {
+        r["doc_id"]
+        for r in neardup_filter_batch(spark, batch, store, commit_key=key).collect()
+    }
+    assert first == {1, 3}
+    replay = {
+        r["doc_id"]
+        for r in neardup_filter_batch(spark, batch, store, commit_key=key).collect()
+    }
+    assert replay == first  # no self-collision on replay
+    st = spark.read.parquet(store)
+    assert st.count() == st.dropDuplicates(["band_id", "sig", "doc_id"]).count()
+    # a LATER epoch still sees epoch 7's accepted signatures
+    nxt = {
+        r["doc_id"]
+        for r in neardup_filter_batch(
+            spark,
+            spark.createDataFrame([doc(4, base + " another")], DOCUMENTS),
+            store,
+            commit_key=("ckpt0hash", 8),
+        ).collect()
+    }
+    assert nxt == set()  # 4 collides with accepted doc 1 via the store

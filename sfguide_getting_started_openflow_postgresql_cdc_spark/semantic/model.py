@@ -34,6 +34,11 @@ class ColumnSpec:
     kind: str  # 'dimension' | 'time_dimension' | 'fact'
     synonyms: list[str] = field(default_factory=list)
     description: str = ""
+    # CHECK-constraint enum values (reference:
+    # sql/0.init_healthcare.sql:77,79) — the router's WHERE-filter slot
+    # resolves question words like 'completed' against these, never
+    # against free text
+    values: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -72,6 +77,9 @@ _STOP = {
 }
 _COUNT_WORDS = {"count", "number", "many", "much", "total"}
 _AVG_WORDS = {"average", "avg", "mean"}
+# grains F.trunc/date_trunc accept; 'by month' etc. resolve to a
+# date_trunc over the subject's first-declared time_dimension
+_BUCKET_WORDS = {"year", "quarter", "month", "week", "day"}
 
 
 def _toks(s: str) -> frozenset[str]:
@@ -94,6 +102,8 @@ class TemplateRoute:
 
     # 'count_table' | 'count_by_dimension' | 'measure_by_dimension'
     # | 'avg_measure_by_dimension' | 'top_dimension_by_measure'
+    # | 'count_by_time_bucket' | 'measure_by_time_bucket'
+    # | 'avg_measure_by_time_bucket'
     family: str
     tables: tuple[str, ...]
     measure: str | None = None
@@ -101,6 +111,11 @@ class TemplateRoute:
     dimension: str | None = None
     dimension_table: str | None = None
     limit: int | None = None
+    # WHERE-filter slot: ((table, column, enum_value), ...) — resolved
+    # from declared CHECK-enum values only
+    filters: tuple = ()
+    # time-bucket grain for the *_by_time_bucket families
+    bucket: str | None = None
 
 
 class SemanticModel:
@@ -325,15 +340,62 @@ class SemanticModel:
           (leftover tokens mean the question asks something MORE
           specific, and guessing would silently drop the qualifier)
 
+        Two further families (r6 advice — the refusals real users hit
+        first):
+
+        - WHERE-filter slot: a question word matching a declared
+          CHECK-enum value ('completed appointments by doctor') becomes
+          an equality filter on that column; the value must live on a
+          table the route already reads, or the question refuses —
+          silently dropping a qualifier would change the answer.
+        - time-bucket dimension: ``by month|week|day|quarter|year``
+          groups the subject on date_trunc of its FIRST-declared
+          time_dimension (the model's declaration order is the
+          convention for "the" event time of a table).
+        - ``by <table>`` grouping: a by-clause naming a TABLE
+          ('appointments by doctor') groups the subject on its declared
+          foreign key to that table (the relationship's subject-side
+          column) — no join needed, the key IS the dimension.
+
         Measures/dimensions resolve through the model's declared column
         names and synonyms only; unresolvable questions raise KeyError —
         refuse, never guess."""
         import re
 
         q = question.lower()
+        filters = tuple(self._match_enum_filters(q))
+        ftoks: frozenset = (
+            frozenset().union(
+                *(_toks(v.replace("_", " ")) for _, _, v in filters)
+            )
+            if filters
+            else frozenset()
+        )
+
+        def _check_filters(route: TemplateRoute) -> TemplateRoute:
+            for ft, _, _ in route.filters:
+                if ft not in route.tables:
+                    raise KeyError(
+                        f"filter value on {ft} does not apply to any table "
+                        f"this question reads ({route.tables}) — refusing "
+                        f"rather than dropping the qualifier: {question!r}"
+                    )
+            return route
+
+        def _table_toks(name: str) -> set:
+            return set().union(
+                *(_toks(n) for n in (name, *self.tables[name].synonyms))
+            )
+
+        def _first_time_dim(table: str) -> str:
+            for c in self.tables[table].columns:
+                if c.kind == "time_dimension" and not c.name.startswith("_"):
+                    return c.name
+            raise KeyError(f"{table} declares no time_dimension to bucket by")
+
         m = re.search(r"\b(?:by|per|for each|grouped by)\s+(.+)$", q)
         if m:
-            lt, rt = _toks(q[: m.start()]), _toks(m.group(1))
+            lt, rt = _toks(q[: m.start()]) - ftoks, _toks(m.group(1))
             dim = self._resolve_column(rt, kinds={"dimension", "time_dimension"})
             if dim is not None:
                 dt, dcol = dim
@@ -348,10 +410,46 @@ class SemanticModel:
                         if lt & _AVG_WORDS
                         else "measure_by_dimension"
                     )
-                    return TemplateRoute(fam, tabs, mcol, mt, dcol, dt)
-                if lt & _COUNT_WORDS or not lt:
-                    return TemplateRoute(
-                        "count_by_dimension", (dt,), None, None, dcol, dt
+                    return _check_filters(
+                        TemplateRoute(fam, tabs, mcol, mt, dcol, dt,
+                                      filters=filters)
+                    )
+                # count when the left side is fully explained by
+                # count-words + the dimension's own table name
+                if not (lt - _COUNT_WORDS - _table_toks(dt)):
+                    return _check_filters(
+                        TemplateRoute(
+                            "count_by_dimension", (dt,), None, None, dcol, dt,
+                            filters=filters,
+                        )
+                    )
+            elif rt & _BUCKET_WORDS and len(rt) == 1:
+                bucket = next(iter(rt))
+                meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
+                if meas is not None:
+                    mt, mcol = meas
+                    fam = (
+                        "avg_measure_by_time_bucket"
+                        if lt & _AVG_WORDS
+                        else "measure_by_time_bucket"
+                    )
+                    return _check_filters(
+                        TemplateRoute(
+                            fam, (mt,), mcol, mt, _first_time_dim(mt), mt,
+                            filters=filters, bucket=bucket,
+                        )
+                    )
+                subj = self._resolve_tables(lt)
+                if len(subj) == 1 and not (
+                    lt - _COUNT_WORDS - _table_toks(subj[0])
+                ):
+                    t = subj[0]
+                    return _check_filters(
+                        TemplateRoute(
+                            "count_by_time_bucket", (t,), None, None,
+                            _first_time_dim(t), t,
+                            filters=filters, bucket=bucket,
+                        )
                     )
             else:
                 # inverse grammar: 'top N <dimension> by <measure>'
@@ -367,24 +465,78 @@ class SemanticModel:
                         if mt != dt:
                             self._rel_between(mt, dt)
                         tabs = (mt,) if mt == dt else (mt, dt)
-                        return TemplateRoute(
-                            "top_dimension_by_measure", tabs, mcol, mt,
-                            dcol, dt, limit=int(top.group(1)),
+                        return _check_filters(
+                            TemplateRoute(
+                                "top_dimension_by_measure", tabs, mcol, mt,
+                                dcol, dt, limit=int(top.group(1)),
+                                filters=filters,
+                            )
                         )
-        qt = _toks(q)
+                # 'by <table>': group the subject on its declared FK to
+                # that table ('completed appointments by doctor').
+                # Gated on a FILTER being present: an enum qualifier is
+                # semantics the blessed catalog cannot express, so the
+                # template must win — while an UNqualified entity
+                # question ('billed amount per physician') is exactly
+                # what the catalog covers, and falls through to the
+                # verified router (the catalog-first contract the r5
+                # routing tests pin).
+                group_tabs = self._resolve_tables(rt)
+                if filters and len(group_tabs) == 1 and not (
+                    rt - _table_toks(group_tabs[0])
+                ):
+                    gt = group_tabs[0]
+                    meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
+                    if meas is not None:
+                        mt, mcol = meas
+                        ak, _bk = self._rel_between(mt, gt)
+                        fam = (
+                            "avg_measure_by_dimension"
+                            if lt & _AVG_WORDS
+                            else "measure_by_dimension"
+                        )
+                        return _check_filters(
+                            TemplateRoute(fam, (mt,), mcol, mt, ak, mt,
+                                          filters=filters)
+                        )
+                    subj = self._resolve_tables(lt)
+                    if len(subj) == 1 and subj[0] != gt and not (
+                        lt - _COUNT_WORDS - _table_toks(subj[0])
+                    ):
+                        st = subj[0]
+                        ak, _bk = self._rel_between(st, gt)
+                        return _check_filters(
+                            TemplateRoute(
+                                "count_by_dimension", (st,), None, None,
+                                ak, st, filters=filters,
+                            )
+                        )
+        qt = _toks(q) - ftoks
         if qt & _COUNT_WORDS:
             tabs = self._resolve_tables(qt)
             if len(tabs) == 1:
-                table_toks = set().union(
-                    *(
-                        _toks(n)
-                        for n in (tabs[0], *self.tables[tabs[0]].synonyms)
-                    )
-                )
-                leftover = qt - _COUNT_WORDS - table_toks
+                leftover = qt - _COUNT_WORDS - _table_toks(tabs[0])
                 if not leftover:
-                    return TemplateRoute("count_table", (tabs[0],))
+                    return _check_filters(
+                        TemplateRoute("count_table", (tabs[0],), filters=filters)
+                    )
         raise KeyError(f"no query template matches {question!r}")
+
+    def _match_enum_filters(self, question_lc: str) -> list[tuple]:
+        """(table, column, value) for every declared CHECK-enum value
+        whose phrase ('follow_up' -> 'follow up') appears word-bounded
+        in the question. Declared values ONLY — free text never becomes
+        a filter. Deterministic order (table, column, value)."""
+        import re
+
+        out = []
+        for tname in sorted(self.tables):
+            for c in self.tables[tname].columns:
+                for v in sorted(c.values):
+                    phrase = re.escape(v.replace("_", " "))
+                    if re.search(rf"\b{phrase}\b", question_lc):
+                        out.append((tname, c.name, v))
+        return out
 
     def run_template(
         self, route: TemplateRoute, spark: SparkSession, dfs: dict[str, DataFrame]
@@ -397,7 +549,43 @@ class SemanticModel:
             df = dfs[t]
             if schemas.META_DELETED in df.columns:
                 df = df.filter(~F.col(schemas.META_DELETED))
+            for ft, fc, fv in route.filters:
+                if ft == t:
+                    df = df.filter(F.col(fc) == F.lit(fv))
             return df
+
+        if route.family in (
+            "count_by_time_bucket",
+            "measure_by_time_bucket",
+            "avg_measure_by_time_bucket",
+        ):
+            # F.trunc returns DATE for every supported grain except
+            # 'day' (identity there) — DATE output stays process-TZ-
+            # independent, unlike a raw date_trunc timestamp
+            t = route.dimension_table
+            src = F.col(route.dimension)
+            bucket_col = (
+                F.to_date(src)
+                if route.bucket == "day"
+                else F.trunc(src, route.bucket)
+            )
+            grouped = live(t).groupBy(bucket_col.alias(route.bucket))
+            if route.family == "count_by_time_bucket":
+                out = grouped.agg(F.count("*").alias("n"))
+            else:
+                fn = (
+                    F.avg
+                    if route.family == "avg_measure_by_time_bucket"
+                    else F.sum
+                )
+                prefix = (
+                    "avg" if route.family == "avg_measure_by_time_bucket"
+                    else "total"
+                )
+                out = grouped.agg(
+                    fn(route.measure).alias(f"{prefix}_{route.measure}")
+                )
+            return out.orderBy(route.bucket)
 
         if route.family == "count_table":
             t = route.tables[0]
@@ -507,6 +695,8 @@ class SemanticModel:
                 else None
             ),
             "limit": target.limit,
+            "filters": [f"{t}.{c} = '{v}'" for t, c, v in target.filters],
+            "bucket": target.bucket,
             "tables": list(target.tables),
         }
 
@@ -527,6 +717,7 @@ class SemanticModel:
                             "kind": c.kind,
                             "synonyms": c.synonyms,
                             "description": c.description,
+                            "values": c.values,
                         }
                         for c in t.columns
                     ],
@@ -699,9 +890,21 @@ def healthcare_model() -> SemanticModel:
                     _dim("appointment_id"), _dim("patient_id"), _dim("doctor_id"),
                     _tdim("appointment_date", "visit date"),
                     _tdim("appointment_time", "time slot"),
-                    _dim("status", "appointment status"),
+                    ColumnSpec(
+                        "status", "dimension", ["appointment status"],
+                        # CHECK enum, reference sql/0.init_healthcare.sql:77
+                        values=[
+                            "scheduled", "confirmed", "checked_in",
+                            "in_progress", "completed", "cancelled",
+                            "no_show",
+                        ],
+                    ),
                     _dim("reason_for_visit", "reason"),
-                    _dim("appointment_type", "type"),
+                    ColumnSpec(
+                        "appointment_type", "dimension", ["type"],
+                        # CHECK enum, reference sql/0.init_healthcare.sql:79
+                        values=["routine", "urgent", "follow_up", "annual"],
+                    ),
                     _tdim("created_at"), _tdim("updated_at"),
                     *meta,
                 ],

@@ -322,3 +322,107 @@ def test_template_routing_avg_and_topn_families(spark, model, replicas):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         model.route_template("top 3 specializations by moon phase")
+
+
+def test_template_where_filter_family(spark, model, replicas):
+    """r7 family (r6 advice): a question word matching a declared
+    CHECK-enum value becomes an equality filter; entity grouping via
+    the subject's FK fires only under a qualifier, so the catalog-first
+    contract for unqualified questions is preserved; a filter that
+    applies to no table the route reads refuses."""
+    kind, t = model.route("completed appointments by doctor")
+    assert kind == "template" and t.family == "count_by_dimension"
+    assert (t.dimension_table, t.dimension) == ("appointments", "doctor_id")
+    assert t.filters == (("appointments", "status", "completed"),)
+    got = {r["doctor_id"]: r["n"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {r["doctor_id"]: r["n"]
+            for r in replicas["appointments"]
+            .filter(F.col("status") == "completed")
+            .groupBy("doctor_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    # filter composes with a plain dimension clause too
+    kind, t = model.route("how many urgent appointments per status")
+    assert kind == "template" and t.family == "count_by_dimension"
+    assert t.filters == (("appointments", "appointment_type", "urgent"),)
+    rows = model.run_template(t, spark, replicas).collect()
+    assert sum(r["n"] for r in rows) == replicas["appointments"].filter(
+        (F.col("appointment_type") == "urgent") & (~F.col(schemas.META_DELETED))
+    ).count()
+
+    # multi-word enum value ('no show' -> no_show)
+    kind, t = model.route("no show appointments by doctor")
+    assert t.filters == (("appointments", "status", "no_show"),)
+
+    # count_table with filter: 'how many completed appointments'
+    kind, t = model.route("how many completed appointments")
+    assert kind == "template" and t.family == "count_table"
+    assert t.filters == (("appointments", "status", "completed"),)
+    n = model.run_template(t, spark, replicas).collect()[0]["total_appointments"]
+    assert n == replicas["appointments"].filter(
+        (F.col("status") == "completed") & (~F.col(schemas.META_DELETED))
+    ).count()
+
+    # explain_route audits the filter
+    ex = model.explain_route("how many completed appointments")
+    assert ex["filters"] == ["appointments.status = 'completed'"]
+
+    # refusal: the qualifier's table is not read by the route — the
+    # filter must never be silently dropped
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template("completed patients by city")
+
+    # catalog-first preserved: the UNqualified entity question still
+    # routes verified (gate on filters)
+    assert model.route("billed amount per physician") == (
+        "verified", "revenue_by_doctor",
+    )
+
+
+def test_template_time_bucket_family(spark, model, replicas):
+    """r7 family (r6 advice): 'by month|week|...' groups the subject on
+    date_trunc of its first-declared time_dimension; works for counts
+    and measures, composes with enum filters, stays refusal-disciplined
+    for unsupported grains."""
+    kind, t = model.route("appointments by month")
+    assert kind == "template" and t.family == "count_by_time_bucket"
+    assert (t.dimension_table, t.dimension) == ("appointments", "appointment_date")
+    assert t.bucket == "month"
+    got = {str(r["month"]): r["n"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {str(r["m"]): r["n"]
+            for r in replicas["appointments"]
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy(F.trunc("appointment_date", "month").alias("m"))
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    kind, t = model.route("total revenue by month")
+    assert kind == "template" and t.family == "measure_by_time_bucket"
+    assert (t.measure_table, t.measure) == ("visits", "total_charge")
+    assert (t.dimension_table, t.dimension) == ("visits", "visit_date")
+    rows = model.run_template(t, spark, replicas).collect()
+    assert rows and "total_total_charge" in rows[0].asDict()
+
+    kind, t = model.route("average revenue by week")
+    assert t.family == "avg_measure_by_time_bucket" and t.bucket == "week"
+
+    # filter + bucket compose
+    kind, t = model.route("completed appointments by month")
+    assert t.family == "count_by_time_bucket"
+    assert t.filters == (("appointments", "status", "completed"),)
+    total = sum(r["n"] for r in model.run_template(t, spark, replicas).collect())
+    assert total == replicas["appointments"].filter(
+        (F.col("status") == "completed") & (~F.col(schemas.META_DELETED))
+    ).count()
+
+    # explain_route audits the bucket
+    ex = model.explain_route("appointments by month")
+    assert ex["bucket"] == "month"
+
+    # refusals: unknown grain / no time_dimension path
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template("appointments by fortnight")

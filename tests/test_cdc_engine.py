@@ -530,3 +530,78 @@ def test_streaming_sessionization_matches_batch_and_i9(spark, tmp_path):
         for r in QUERIES["i9_sessionization"](spark, sf).collect()
     }
     assert {k: v[0] for k, v in batch.items()} == i9
+
+
+def test_rebuild_after_compaction_contract(spark, tmp_path, snapshot_rows):
+    """r6 advice #9: the post-compaction rebuild contract, explicit.
+    After compact_journal, rebuild_replica must still reconstruct the
+    incrementally-maintained replica EXACTLY for every live key (and
+    for every key whose latest event survives with its post-image);
+    the ONLY degradation is the documented one — a key whose last
+    pre-horizon events collapsed away retains no intermediate history
+    — and SCD2 degrades exactly to the horizon: the post-horizon
+    version slice is untouched, pre-horizon keys keep exactly one
+    collapsed version."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.cdc import (
+        CDC_SEQ,
+    )
+
+    engine = CdcEngine(ReplicaStore(str(tmp_path / "wh_rc")), write_partitions=1)
+    engine.bootstrap(spark, healthcare.snapshot_dataframes(spark), LOAD_TS)
+    _run_scenario_batches(spark, engine, healthcare.generate_scenario(snapshot_rows))
+
+    table, pk = "appointments", "appointment_id"
+    src_cols = [f.name for f in engine.tables[table].fields]
+    incremental = {
+        r[pk]: r
+        for r in engine.store.read(spark, table).collect()
+    }
+
+    j = engine.store.read_journal(spark, table, dedup=True, pk=pk)
+    seqs = sorted(r["seq_no"] for r in j.select("seq_no").distinct().collect())
+    horizon = seqs[len(seqs) // 2]
+    scd2_before = engine.scd2_history(spark, table)
+    post_before = sorted(
+        (r[pk], r["seq_no"], r["status"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in scd2_before.filter(F.col("seq_no") > horizon).collect()
+    )
+
+    engine.compact_journal(spark, table, retain_after_seq=horizon)
+
+    # rebuild from the COMPACTED journal into a fresh store
+    target = ReplicaStore(str(tmp_path / "wh_rebuilt"))
+    engine.rebuild_replica(spark, table, into=target)
+    rebuilt = {r[pk]: r for r in target.read(spark, table).collect()}
+
+    assert set(rebuilt) == set(incremental)
+    degraded = []
+    for k, inc in incremental.items():
+        reb = rebuilt[k]
+        # per-key guard + deletion flag reconstruct exactly, always
+        assert reb[CDC_SEQ] == inc[CDC_SEQ], k
+        assert reb[schemas.META_DELETED] == inc[schemas.META_DELETED], k
+        vals_equal = all(reb[c] == inc[c] for c in src_cols)
+        if inc[schemas.META_DELETED] and not vals_equal:
+            # documented degradation: the delete's pre-horizon non-delete
+            # predecessors collapsed away, so the tombstone loses its
+            # retained live values (PK must still be intact)
+            assert reb[pk] == inc[pk]
+            degraded.append(k)
+        else:
+            assert vals_equal, k
+    # every live key reconstructed exactly — degradation confined to
+    # soft-deleted keys whose history predates the horizon
+    live_count = sum(1 for r in incremental.values() if not r[schemas.META_DELETED])
+    assert live_count > 0
+
+    # SCD2 degrades exactly to the horizon
+    scd2_after = engine.scd2_history(spark, table)
+    post_after = sorted(
+        (r[pk], r["seq_no"], r["status"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in scd2_after.filter(F.col("seq_no") > horizon).collect()
+    )
+    assert post_after == post_before
+    pre = scd2_after.filter(F.col("seq_no") <= horizon)
+    assert (
+        pre.groupBy(pk).count().filter(F.col("count") > 1).count() == 0
+    )

@@ -80,6 +80,33 @@ class PermissionDenied(PermissionError):
     pass
 
 
+@dataclass(frozen=True)
+class ExternalAccessIntegration:
+    """``CREATE EXTERNAL ACCESS INTEGRATION`` twin (reference:
+    sql/1.snowflake_setup.sql:83-91): a named, ENABLED/disabled bundle
+    of ALLOWED network rules; egress through the integration requires
+    USAGE on it (a grantable privilege like any object's)."""
+
+    name: str
+    allowed_network_rules: tuple[str, ...]
+    enabled: bool = True
+    comment: str = ""
+
+
+@dataclass(frozen=True)
+class Secret:
+    """Credential object twin. The VALUE never appears in repr/str/
+    errors — a single-process engine cannot provide an HSM, but it can
+    enforce the access decision (USAGE grant) and keep the secret out
+    of logs, which is the part queries can observe."""
+
+    name: str
+    value: str = field(repr=False)
+
+    def reveal(self) -> str:
+        return self.value
+
+
 @dataclass
 class AccessControl:
     """Role -> privilege store with Snowflake-style composition.
@@ -93,6 +120,10 @@ class AccessControl:
     _user_roles: dict[str, set[str]] = field(default_factory=dict)
     _user_default_role: dict[str, str] = field(default_factory=dict)
     network_rules: list[NetworkRule] = field(default_factory=list)
+    _integrations: dict[str, ExternalAccessIntegration] = field(
+        default_factory=dict
+    )
+    _secrets: dict[str, Secret] = field(default_factory=dict)
 
     # -- DDL twins ---------------------------------------------------------
     def create_role(self, role: str) -> "AccessControl":
@@ -191,3 +222,101 @@ class AccessControl:
                 f"any network rule "
                 f"({[r.name for r in self.network_rules] or 'none defined'})"
             )
+
+    # -- external access integrations / secrets (A18 remainder) ----------
+    def create_integration(
+        self, integration: ExternalAccessIntegration
+    ) -> "AccessControl":
+        """Register an EXTERNAL ACCESS INTEGRATION; every allowed
+        network rule must already exist (fail at DDL time, not at
+        egress time)."""
+        known = {r.name for r in self.network_rules}
+        missing = [
+            n for n in integration.allowed_network_rules if n not in known
+        ]
+        if missing:
+            raise KeyError(
+                f"integration references unknown network rules {missing}"
+            )
+        self._integrations[integration.name] = integration
+        return self
+
+    def create_secret(self, name: str, value: str) -> "AccessControl":
+        self._secrets[name] = Secret(name, value)
+        return self
+
+    def use_secret(self, name: str, role: str) -> str:
+        """Read a secret's value AS a role — requires USAGE on
+        ``secret:<name>`` (``grant('USAGE', 'secret:pg', role)``)."""
+        if name not in self._secrets:
+            raise KeyError(f"unknown secret {name!r}")
+        self.check(role, "USAGE", f"secret:{name}")
+        return self._secrets[name].reveal()
+
+    def check_egress_via_integration(
+        self, url: str, integration: str, role: str
+    ) -> None:
+        """The connector's full egress decision: the ROLE must hold
+        USAGE on the integration (sql/1.snowflake_setup.sql:91), the
+        integration must be ENABLED, and every failover endpoint of
+        ``url`` must be covered by the integration's ALLOWED rules (not
+        merely by any rule that exists) — all fail-closed."""
+        if integration not in self._integrations:
+            raise KeyError(f"unknown integration {integration!r}")
+        self.check(role, "USAGE", f"integration:{integration}")
+        integ = self._integrations[integration]
+        if not integ.enabled:
+            raise PermissionDenied(f"integration {integration!r} is disabled")
+        rules = [
+            r
+            for r in self.network_rules
+            if r.name in integ.allowed_network_rules
+        ]
+        if not egress_allowed(url, rules):
+            raise PermissionDenied(
+                f"egress to {jdbc_host_port(url) or url!r} not covered by "
+                f"integration {integration!r} rules "
+                f"({[r.name for r in rules] or 'none'})"
+            )
+
+    # -- introspection (SHOW twins, sql/1.snowflake_setup.sql:111-121) ----
+    def show_roles(self) -> list[str]:
+        """``SHOW ROLES`` twin — sorted, deterministic."""
+        return sorted(self._privs)
+
+    def show_grants_to_role(self, role: str) -> list[str]:
+        """``SHOW GRANTS TO ROLE r`` twin: direct object privileges plus
+        granted roles, as sorted display strings (the reference runs
+        this as its setup verification)."""
+        self._require_role(role)
+        out = [f"{a} ON {o}" for a, o in self._privs[role]]
+        out += [f"ROLE {r}" for r in self._role_grants.get(role, ())]
+        return sorted(out)
+
+    def show_grants_on(self, obj: str) -> list[str]:
+        """``SHOW GRANTS ON <object>`` twin: every (action, role)
+        holding a DIRECT privilege on the object."""
+        out = []
+        for role, privs in self._privs.items():
+            out += [f"{a} TO ROLE {role}" for a, o in privs if o == obj]
+        return sorted(out)
+
+    def show_integrations(self) -> list[str]:
+        """``SHOW INTEGRATIONS`` twin — name + enabled flag."""
+        return [
+            f"{n} ({'ENABLED' if i.enabled else 'DISABLED'})"
+            for n, i in sorted(self._integrations.items())
+        ]
+
+    def describe_integration(self, name: str) -> dict:
+        """``DESC INTEGRATION`` twin — never includes secret values."""
+        if name not in self._integrations:
+            raise KeyError(f"unknown integration {name!r}")
+        i = self._integrations[name]
+        return {
+            "name": i.name,
+            "enabled": i.enabled,
+            "allowed_network_rules": list(i.allowed_network_rules),
+            "comment": i.comment,
+        }
+

@@ -46,6 +46,20 @@ _EVIDENCE_FILES = [
 _NEEDS_EVIDENCE_FIRST = [
     "d29_modern_aggregates",  # changed/new this round
     "i15_state_islands",  # changed/new this round
+    "dd15_incremental_minhash_pairs",  # changed/new this round
+    "dd6_embedding_cosine_dups_scaled",  # changed/new this round
+    "dd4_minhash_lsh_pairs",  # changed/new this round
+    "dd3_ngram_jaccard_pairs",  # changed/new this round
+    "dd5_simhash",  # changed/new this round
+    "dd9_crossdoc_ngram_stats",  # changed/new this round
+    "tx10_tfidf_top_terms",  # changed/new this round
+    "mm1_media_features",  # changed/new this round
+    "mm2_media_metadata_stats",  # changed/new this round
+    "mm3_frame_sample",  # changed/new this round
+    "mm8_image_dup_groups",  # changed/new this round
+    "mm5_decoded_media_metadata",  # changed/new this round
+    "mm6_image_ahash",  # changed/new this round
+    "mm7_audio_frame_energy",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -80,20 +94,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "c6_semi_join",  # latest green r4
     "c8_scalar_subquery",  # latest green r4
     "c9_not_exists",  # latest green r4
-    "d10_rate_avg_case",  # latest green r4
-    "d11_having",  # latest green r4
-    "d17_rollup",  # latest green r4
-    "d18_cube",  # latest green r4
-    "d19_exact_corr_moments",  # latest green r4
-    "d1_global_agg",  # latest green r4
-    "d20_order_statistics",  # latest green r4
-    "d21_bool_aggregates",  # latest green r4
-    "d26_grouping_sets",  # latest green r4
-    "d2_groupby_single",  # latest green r4
-    "d3_tpch_q1_pricing_summary",  # latest green r4
-    "d4_groupby_expression",  # latest green r4
-    "d6_count_distinct",  # latest green r4
-    "d8_conditional_sum",  # latest green r4
 ]
 
 def _reorder_registry() -> None:

@@ -222,3 +222,81 @@ def test_template_ask_honors_grant_surface(spark, tmp_path):
     # count_table template resolves patients -> denied (no grant)
     with pytest.raises(PermissionDenied, match="patients"):
         r.ask("how many patients")
+
+
+def test_external_access_integration_and_secrets():
+    """A18 remainder (r6 'what's missing' #3): EXTERNAL ACCESS
+    INTEGRATION gates egress on (USAGE grant) x (enabled) x (ALLOWED
+    rules only); secrets are USAGE-gated and never leak through repr;
+    SHOW twins report grants deterministically."""
+    import pytest
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.access import (
+        AccessControl,
+        ExternalAccessIntegration,
+        NetworkRule,
+        PermissionDenied,
+    )
+
+    ac = AccessControl()
+    ac.create_role("quickstart_role").create_role("other_role")
+    ac.add_network_rule(
+        NetworkRule("postgres_network_rule", ("pg.example.com:5432",))
+    )
+    with pytest.raises(KeyError):  # unknown rule fails at DDL time
+        ac.create_integration(
+            ExternalAccessIntegration("bad", ("no_such_rule",))
+        )
+    ac.create_integration(
+        ExternalAccessIntegration(
+            "quickstart_pgcdc_access", ("postgres_network_rule",)
+        )
+    )
+    ac.grant("USAGE", "integration:quickstart_pgcdc_access", to="quickstart_role")
+
+    url = "jdbc:postgresql://pg.example.com:5432/db"
+    # granted role + enabled + covered endpoint -> allowed
+    ac.check_egress_via_integration(url, "quickstart_pgcdc_access", "quickstart_role")
+    # ungranted role -> denied (USAGE gate)
+    with pytest.raises(PermissionDenied):
+        ac.check_egress_via_integration(url, "quickstart_pgcdc_access", "other_role")
+    # endpoint outside the integration's ALLOWED rules -> denied even
+    # though a rule covering it EXISTS globally
+    ac.add_network_rule(NetworkRule("other_rule", ("evil.example.com:5432",)))
+    with pytest.raises(PermissionDenied):
+        ac.check_egress_via_integration(
+            "jdbc:postgresql://evil.example.com:5432/db",
+            "quickstart_pgcdc_access",
+            "quickstart_role",
+        )
+    # disabled integration -> denied
+    ac.create_integration(
+        ExternalAccessIntegration(
+            "disabled_access", ("postgres_network_rule",), enabled=False
+        )
+    )
+    ac.grant("USAGE", "integration:disabled_access", to="quickstart_role")
+    with pytest.raises(PermissionDenied):
+        ac.check_egress_via_integration(url, "disabled_access", "quickstart_role")
+
+    # secrets: USAGE-gated, repr-safe
+    ac.create_secret("pg_creds", "hunter2")
+    with pytest.raises(PermissionDenied):
+        ac.use_secret("pg_creds", "quickstart_role")
+    ac.grant("USAGE", "secret:pg_creds", to="quickstart_role")
+    assert ac.use_secret("pg_creds", "quickstart_role") == "hunter2"
+    assert "hunter2" not in repr(ac._secrets["pg_creds"])
+    assert "hunter2" not in str(ac.describe_integration("quickstart_pgcdc_access"))
+
+    # SHOW twins (the reference's setup-verification block)
+    assert "quickstart_role" in ac.show_roles()
+    grants = ac.show_grants_to_role("quickstart_role")
+    assert "USAGE ON integration:quickstart_pgcdc_access" in grants
+    assert "USAGE ON secret:pg_creds" in grants
+    assert ac.show_grants_on("secret:pg_creds") == ["USAGE TO ROLE quickstart_role"]
+    assert ac.show_integrations() == [
+        "disabled_access (DISABLED)",
+        "quickstart_pgcdc_access (ENABLED)",
+    ]
+    d = ac.describe_integration("quickstart_pgcdc_access")
+    assert d["allowed_network_rules"] == ["postgres_network_rule"]

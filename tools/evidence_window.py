@@ -34,6 +34,20 @@ CHANGED_SINCE_GREEN = [
     # r7: all green r6 entries cleared (CORRECTNESS_r06: 45 green).
     "d29_modern_aggregates",  # r7: oracle CAST(COUNT_IF AS BIGINT) — red r6
     "i15_state_islands",      # r7: oracle CAST(windowed SUM AS BIGINT) — red r6
+    "dd15_incremental_minhash_pairs",  # r7: NEW (maintained dedup index replay)
+    "dd6_embedding_cosine_dups_scaled",  # r7: NEW (12x5 occupancy-constant twin)
+    "dd4_minhash_lsh_pairs",   # r7: spread_small guard in _doc_shingles
+    "dd3_ngram_jaccard_pairs",  # r7: spread_small guard in _doc_shingles
+    "dd5_simhash",             # r7: spread_small guard
+    "dd9_crossdoc_ngram_stats",  # r7: spread_small guard
+    "tx10_tfidf_top_terms",    # r7: spread_small guard
+    "mm1_media_features",      # r7: spread_small guard
+    "mm2_media_metadata_stats",  # r7: spread_small guard (multimodal sites)
+    "mm3_frame_sample",        # r7: spread_small guard
+    "mm8_image_dup_groups",    # r7: spread_small guard
+    "mm5_decoded_media_metadata",  # r7: spread_small guard
+    "mm6_image_ahash",         # r7: spread_small guard
+    "mm7_audio_frame_energy",  # r7: spread_small guard
 ]
 
 
@@ -71,6 +85,8 @@ def main() -> None:
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
 
     registered = list(QUERIES)
+    unknown = [n for n in CHANGED_SINCE_GREEN if n not in QUERIES]
+    assert not unknown, f"CHANGED_SINCE_GREEN names unknown queries: {unknown}"
     for name in registered:
         latest_green.setdefault(name, 0)  # brand-new -> never checked
 

@@ -1,0 +1,270 @@
+"""Corpus-adaptive LSH band geometry — the user-facing entry points for
+the kNN-graph and embedding-near-dup operators.
+
+The oracle-checked registry rows pin their band geometry as literals so
+the DuckDB twin can bucket with the identical hyperplanes (sim6/sim10 in
+analytics_ext.py, dd6/dd6_scaled in dedup.py).  Those pins are
+correctness artifacts: a 2-bit band that is fine at 500 vectors is a
+quadratic blow-up at 5 billion (BASELINE.md §similarity records 25-36x
+wall time for 10x vectors under the pinned configs, ~1x under the
+scaled ones).  A user reaching for "give me the kNN graph of this
+corpus" should not have to know that — these helpers derive the
+geometry from the corpus itself and delegate to the exact same
+candidate->verify plan shape as the registered twins:
+
+- rows-per-band (``band_bits``) is set from CORPUS SIZE so expected
+  bucket occupancy — and with it the quadratic within-bucket candidate
+  join — stays constant as the corpus grows (the sim10 knob);
+- band COUNT is then set from the TARGET RECALL at the caller's cosine
+  threshold by the standard OR-amplification bound
+  ``1-(1-p^bits)^bands >= recall`` with ``p = 1 - arccos(t)/pi``
+  (the dd6_scaled knob).
+
+Candidate cost therefore grows linearly in band count and corpus size,
+never quadratically in corpus — at any scale, without re-tuning.
+
+Determinism: geometry is a pure function of (n_vectors, threshold,
+target knobs) and the hyperplanes a pure function of (seed, geometry,
+dim), so two runs over the same corpus build identical graphs.  The
+equivalence tests force the auto geometry to a registered twin's pins
+and assert bit-identical output (tests/test_ann_auto.py).
+
+Reference basis: semantic near-dup detection over the CDC-replicated
+corpus (reference quickstart's analytics layer operates on synced
+tables; near-dup/ANN are the north-star extensions per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "auto_band_geometry",
+    "auto_planes",
+    "knn_graph",
+    "embedding_dup_pairs",
+]
+
+# Expected rows per (band, bucket).  The candidate join does
+# occupancy^2 work per bucket, so this bounds per-bucket cost; buckets
+# double per extra bit, so the bit count only grows log2(corpus).
+TARGET_BUCKET_ROWS = 125
+
+_MIN_BITS = 2   # below 2 bits a band is a coin flip — never useful
+_MAX_BITS = 24  # 16M buckets/band; beyond this occupancy < 1 at any n
+_MAX_BANDS = 32  # linear-cost cap; recall loss is reported, not silent
+
+
+def auto_band_geometry(
+    n_vectors: int,
+    threshold: float = 0.9,
+    target_recall: float = 0.99,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+) -> tuple[int, int]:
+    """(n_bands, band_bits) for a corpus of ``n_vectors`` embeddings.
+
+    ``band_bits = clamp(ceil(log2(n / target_bucket_rows)))`` holds
+    expected bucket occupancy at ``target_bucket_rows`` regardless of
+    corpus size.  ``n_bands`` is the smallest b with
+    ``1-(1-p^bits)^b >= target_recall`` where p is the random-
+    hyperplane collision probability ``1 - arccos(threshold)/pi`` —
+    the SimHash-LSH bound (Charikar 2002), the same rule the
+    dd6_scaled docstring derives by hand for its 12x5 pin.
+    """
+    if n_vectors <= 0:
+        return 1, _MIN_BITS
+    bits = math.ceil(math.log2(max(n_vectors / target_bucket_rows, 1.0)))
+    bits = min(max(bits, _MIN_BITS), _MAX_BITS)
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0:  # threshold 1.0: every band collides
+        bands = 1
+    else:
+        bands = math.ceil(math.log1p(-target_recall) / math.log1p(-p_band))
+    if bands > _MAX_BANDS:
+        import warnings
+
+        achievable = 1.0 - (1.0 - p_band) ** _MAX_BANDS
+        warnings.warn(
+            f"band count clamped {bands} -> {_MAX_BANDS}: recall bound at "
+            f"threshold {threshold} drops to ~{achievable:.3f} "
+            f"(requested {target_recall}); raise target_bucket_rows or "
+            "accept the lower bound",
+            stacklevel=2,
+        )
+    return min(max(bands, 1), _MAX_BANDS), bits
+
+
+def auto_planes(
+    n_bands: int, band_bits: int, dim: int, seed: int = 97
+) -> list[list[float]]:
+    """Deterministic hyperplanes for an auto geometry.  Seeded per
+    geometry so a re-run (or a second cluster) draws the same planes;
+    independent of the registered twins' seeds (5/11/23)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_bands * band_bits, dim)).tolist()
+
+
+def _dim_of(emb: DataFrame, col: str) -> int:
+    """Embedding dimensionality, read from one row (metadata-scale)."""
+    row = emb.select(F.size(F.col(col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError("cannot infer embedding dim from an empty corpus")
+    return int(row["d"])
+
+
+def _banded(
+    emb: DataFrame,
+    id_col: str,
+    emb_col: str,
+    planes: list[list[float]],
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        arrow_band_buckets_param,
+    )
+
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(
+            arrow_band_buckets_param(F.col(emb_col), planes, n_bands, band_bits)
+        ).alias("band_id", "bucket"),
+    )
+
+
+def _candidates(banded: DataFrame, id_col: str) -> DataFrame:
+    """Each undirected pair once (id_a < id_b), deduped across bands."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _verified_sims(
+    emb: DataFrame, cand: DataFrame, id_col: str, emb_col: str
+) -> DataFrame:
+    """Exact cosine for each candidate pair — norms hoisted per vector
+    (one fold per pair), identical arithmetic to the registered twins."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        arrow_dot,
+        arrow_norm,
+    )
+
+    x = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("ea"),
+        arrow_norm(F.col(emb_col)).alias("na"),
+    )
+    y = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("eb"),
+        arrow_norm(F.col(emb_col)).alias("nb"),
+    )
+    sim = arrow_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select("id_a", "id_b", sim.alias("similarity"))
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold_hint: float = 0.8,
+    target_recall: float = 0.99,
+    seed: int = 97,
+    geometry: tuple[int, int] | None = None,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate kNN graph (every vector's top-k cosine neighbors
+    among LSH candidates) under corpus-adaptive band geometry — sim6's
+    semantics with sim10's scaling, no tuning knob exposed.
+
+    ``threshold_hint`` is the similarity level neighbors are expected
+    to sit at (drives the recall->band-count bound); ``geometry`` (and
+    optionally ``planes``) override the derived config for tests /
+    reproducing a pinned twin bit-for-bit.  Output: (id_col,
+    neighbor_id, similarity, rank), both directions of each edge,
+    rank 1..k per vector.
+    """
+    n_bands, band_bits = geometry or auto_band_geometry(
+        emb.count(), threshold_hint, target_recall
+    )
+    if planes is None:
+        planes = auto_planes(n_bands, band_bits, _dim_of(emb, emb_col), seed)
+    cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)
+    sims = _verified_sims(emb, cand, id_col, emb_col)
+    # mirror each undirected pair into both directed edges, then top-k
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias(id_col),
+                        F.col("id_b").alias("neighbor_id"),
+                        F.col("similarity"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias(id_col),
+                        F.col("id_a").alias("neighbor_id"),
+                        F.col("similarity"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    target_recall: float = 0.99,
+    seed: int = 97,
+    geometry: tuple[int, int] | None = None,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dd6's semantics) under
+    corpus-adaptive band geometry.  Output: (id_a, id_b, similarity)
+    with id_a < id_b and similarity >= threshold — feed to
+    ``operators.dedup._connected_components`` for keep/drop clusters.
+    """
+    n_bands, band_bits = geometry or auto_band_geometry(
+        emb.count(), threshold, target_recall
+    )
+    if planes is None:
+        planes = auto_planes(n_bands, band_bits, _dim_of(emb, emb_col), seed)
+    cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)
+    return (
+        _verified_sims(emb, cand, id_col, emb_col)
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )

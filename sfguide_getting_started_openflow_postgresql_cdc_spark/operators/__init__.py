@@ -8,6 +8,7 @@ this round), and operators with long green history run last."""
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  # noqa: F401
     analytics_ext,
+    classic,
     windows,
     reports,
     similarity,
@@ -43,10 +44,17 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
 ]
+
 _NEEDS_EVIDENCE_FIRST = [
     "d29_modern_aggregates",  # changed/new this round
     "i15_state_islands",  # changed/new this round
     "dd15_incremental_minhash_pairs",  # changed/new this round
+    "c12_small_qty_revenue",  # changed/new this round
+    "c13_large_volume_customers",  # changed/new this round
+    "c14_nation_trade_flows",  # changed/new this round
+    "c15_market_share",  # changed/new this round
+    "c16_dormant_high_balance",  # changed/new this round
+    "c17_promo_revenue_share",  # changed/new this round
     "dd6_embedding_cosine_dups_scaled",  # changed/new this round
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "dd3_ngram_jaccard_pairs",  # changed/new this round
@@ -88,13 +96,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "b6_date_range",  # latest green r4
     "b7_null_predicate",  # latest green r4
     "b8_column_inequality",  # latest green r4
-    "c12_full_outer_join",  # latest green r4
-    "c1_join_2way_agg",  # latest green r4
-    "c5_join_derived_table",  # latest green r4
-    "c6_semi_join",  # latest green r4
-    "c8_scalar_subquery",  # latest green r4
-    "c9_not_exists",  # latest green r4
 ]
+
 
 def _reorder_registry() -> None:
     missing = [k for k in _NEEDS_EVIDENCE_FIRST if k not in QUERIES]

@@ -1,0 +1,381 @@
+"""Classic decision-support join+agg shapes (TPC-H Q7/Q8/Q14/Q17/Q18/Q22
+analogs over the testdata star schema) — SURVEY.md §2.C/D extensions.
+
+The reference's analytics layer is join+group+measure SQL over the
+CDC-replicated tables (sql/4.analytics_queries.sql — revenue rollups,
+top-N, %-of-total); these rows exercise the same engine surface at the
+query complexity a reference user's BI tool actually emits: correlated
+aggregates decorrelated into self-joins (Q17), HAVING over a fact
+pre-aggregation joined back to dims (Q18), multi-hop dim chains with
+two role-playing nation joins (Q7), conditional market-share ratios
+(Q8), a driver-collected global scalar feeding an anti-join (Q22), and
+a dim-attribute conditional share (Q14).
+
+Scale notes (100 TB): every fact-side aggregation is keyed on the fact
+table's own join column, so the shuffle is one hash exchange of the
+pre-aggregated (not raw) rows; dim joins broadcast below AQE's
+threshold and degrade to shuffle joins above it without a plan rewrite.
+No query here collects data-proportional rows to the driver — c16's
+scalar is ONE value (the bounded-reduction pattern the plan gate
+allows).
+
+Determinism (oracle-parity playbook): every double measure is summed as
+DECIMAL and cast to DOUBLE once at the end; money products are computed
+decimal x decimal (exact) before summation; ratios divide two exact
+decimal sums as one double division; DuckDB integer SUM/COUNT_IF
+columns are CAST to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.shims import (
+    decimal_avg,
+    decimal_sum,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import query
+from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
+
+
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount) as an EXACT decimal product —
+    the d3 convention: money columns are 2-decimal by contract, so the
+    casts are value-preserving and the product never rounds."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+
+
+def _dp_sql(alias: str = "l") -> str:
+    """The oracle-side twin of :func:`_disc_price`."""
+    return (
+        f"CAST({alias}.l_extendedprice AS DECIMAL(18,2))"
+        f" * CAST(1 - {alias}.l_discount AS DECIMAL(4,2))"
+    )
+
+
+@query(
+    "c12_small_qty_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS small_qty_revenue
+    FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < CAST(0.5 AS DOUBLE) * pa.avg_qty
+    """,
+)
+def c12_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked in small-quantity line items:
+    the correlated per-part average decorrelated into a lineitem
+    self-aggregation joined back on l_partkey. At 100 TB the per-part
+    aggregate is the ONLY extra shuffle (pre-aggregated rows, one per
+    part); the fact side shuffles once on l_partkey and AQE handles the
+    join strategy — never a broadcast of a fact-derived table. The
+    average is an exact decimal sum / count double (c8 convention) so
+    both engines filter against the identical double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        decimal_avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            decimal_sum("l_extendedprice").cast("double").alias("small_qty_revenue"),
+        )
+    )
+
+
+@query(
+    "c13_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    """,
+)
+def c13_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: HAVING over the fact
+    pre-aggregation, then joined back to orders/customer for the
+    report attributes. The HAVING filter runs on the aggregated rows
+    (one per order) BEFORE any join, so the join input collapses from
+    the full fact table to the handful of qualifying orders — the
+    aggregate-below-join rule (c3/c4) applied to a semi-join-like
+    report. Quantity sums are exact decimals; the filter compares
+    decimal > 300 exactly, then casts to double once for output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum("l_quantity").alias("q_dec"))
+        .filter(F.col("q_dec") > 300)
+        .select("l_orderkey", F.col("q_dec").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "c14_nation_trade_flows",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS n_items,
+           CAST(SUM({_dp_sql()}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def c14_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    ship year: the nation dim joined TWICE in different roles (supplier
+    side and customer side). Both nation filters are applied to the
+    25-row dim BEFORE broadcasting, so the supplier and customer sides
+    are each pre-pruned to the two qualifying nations and the fact
+    table's rows drop at the earliest join. The only all-fact shuffle
+    is lineitem⋈orders on the order key; revenue is the exact decimal
+    disc-price sum (d3 convention)."""
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "c15_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN {_dp_sql()}
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_dp_sql()}) AS DOUBLE)
+             AS mkt_share,
+           CAST(SUM({_dp_sql()}) AS DOUBLE)
+             AS regional_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def c15_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one supplier nation's share of a region's
+    revenue per order year: conditional decimal sum over the full
+    decimal sum, divided ONCE as doubles (both operands exact, so the
+    ratio is the identical IEEE division in both engines — never a sum
+    of doubles). The customer->nation->region chain prunes to the ASIA
+    region before the fact join; the supplier nation arrives as a
+    broadcast dim attribute used only inside the conditional."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select(F.col("n_nationkey").alias("ck"))
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dp = _disc_price()
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(
+            F.lit(0).cast("decimal(23,4)")
+        )
+    ).cast("double")
+    den = F.sum(dp).cast("double")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (num / den).alias("mkt_share"),
+            F.sum(dp).cast("double").alias("regional_revenue"),
+        )
+    )
+
+
+@query(
+    "c16_dormant_high_balance",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def c16_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — high-balance customers with no recent orders:
+    a GLOBAL scalar (average positive balance) gates the scan, and the
+    recency predicate is a pre-filtered anti join (c9 convention). The
+    scalar is collected to the driver as ONE value — the bounded-
+    reduction pattern (plan-gate-reviewed) — because Spark's scalar-
+    subquery alternative is a single-row broadcast nested loop the plan
+    gate forbids. The average is an exact decimal sum / count double,
+    so the collected double is bit-identical to the oracle's."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_row = pos.agg(
+        (decimal_sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count("*")).alias("a")
+    ).first()
+    threshold = avg_row["a"]
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(threshold))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            decimal_sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "c17_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(month(l.l_shipdate) AS INT) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_dp_sql()}
+                         ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_dp_sql()}) AS DOUBLE)
+             AS total_revenue,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_dp_sql()}
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_dp_sql()}) AS DOUBLE)
+             * 100.0 AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def c17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo parts' share of monthly revenue: a dim
+    attribute (p_type) drives a conditional share. The part dim is
+    broadcast (pruned to the two needed columns by Catalyst); the share
+    divides two exact decimal sums as doubles then scales by 100 — the
+    pct_of idiom with a deterministic numerator/denominator."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = _disc_price()
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", dp).otherwise(
+            F.lit(0).cast("decimal(23,4)")
+        )
+    ).cast("double")
+    total = F.sum(dp).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (promo / total * F.lit(100.0)).alias("promo_share_pct"),
+        )
+    )

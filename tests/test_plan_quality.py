@@ -24,6 +24,8 @@ SINGLE_PARTITION_POST_AGG = {
     "g1_union_all_rowcounts",       # scalar counts unioned
     "g2_data_quality_nulls",        # scalar quality aggregate
     "d1_global_agg",                # the global aggregate itself
+    "c12_small_qty_revenue",        # Q17: global revenue scalar after the
+                                    # per-part join (map-side partials first)
     "i16_funnel_stages",            # crossJoin of three 1-row stage counts
 }
 

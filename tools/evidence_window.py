@@ -35,6 +35,12 @@ CHANGED_SINCE_GREEN = [
     "d29_modern_aggregates",  # r7: oracle CAST(COUNT_IF AS BIGINT) — red r6
     "i15_state_islands",      # r7: oracle CAST(windowed SUM AS BIGINT) — red r6
     "dd15_incremental_minhash_pairs",  # r7: NEW (maintained dedup index replay)
+    "c12_small_qty_revenue",   # r7: NEW (Q17 shape)
+    "c13_large_volume_customers",  # r7: NEW (Q18 shape)
+    "c14_nation_trade_flows",  # r7: NEW (Q7 shape)
+    "c15_market_share",        # r7: NEW (Q8 shape)
+    "c16_dormant_high_balance",  # r7: NEW (Q22 shape)
+    "c17_promo_revenue_share",  # r7: NEW (Q14 shape)
     "dd6_embedding_cosine_dups_scaled",  # r7: NEW (12x5 occupancy-constant twin)
     "dd4_minhash_lsh_pairs",   # r7: spread_small guard in _doc_shingles
     "dd3_ngram_jaccard_pairs",  # r7: spread_small guard in _doc_shingles

@@ -55,6 +55,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "c15_market_share",  # changed/new this round
     "c16_dormant_high_balance",  # changed/new this round
     "c17_promo_revenue_share",  # changed/new this round
+    "px12_neardup_decontamination",  # changed/new this round
     "dd6_embedding_cosine_dups_scaled",  # changed/new this round
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "dd3_ngram_jaccard_pairs",  # changed/new this round
@@ -95,7 +96,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "b5_in_list",  # latest green r4
     "b6_date_range",  # latest green r4
     "b7_null_predicate",  # latest green r4
-    "b8_column_inequality",  # latest green r4
 ]
 
 

@@ -1186,6 +1186,145 @@ def px8_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _px12_bands_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"mh{b * BAND_ROWS} || mh{b * BAND_ROWS + 1} AS sig FROM sig"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+
+
+@query(
+    "px12_neardup_decontamination",
+    oracle=f"""
+    WITH {_SH_SQL},
+    sig AS (
+      SELECT doc_id,
+             {_minhash_sql_sig()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_px12_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS bench_doc
+      FROM bands t JOIN bands e
+        ON t.band_id = e.band_id AND t.sig = e.sig
+      WHERE t.doc_id % 100 >= 2 AND e.doc_id % 100 < 2
+    ),
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {SHINGLE_DOC_FREQ_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    verified AS (
+      SELECT i.train_doc, i.bench_doc,
+             CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared)
+                 AS jaccard
+      FROM (
+        SELECT c.train_doc, c.bench_doc, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN capped a ON a.doc_id = c.train_doc
+        JOIN capped b ON b.doc_id = c.bench_doc AND b.shingle = a.shingle
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.train_doc
+      JOIN sizes sb ON sb.doc_id = i.bench_doc
+    )
+    SELECT d.doc_id AS bench_doc,
+           CAST(COUNT(v.train_doc) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN v.jaccard >= {JACCARD_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           MAX(v.jaccard) AS max_jaccard
+    FROM documents d
+    LEFT JOIN verified v ON v.bench_doc = d.doc_id
+    WHERE d.doc_id % 100 < 2
+    GROUP BY 1
+    """,
+)
+def px12_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP eval decontamination — the leakage px4 (byte-identical)
+    and px8 (n-gram overlap fraction) both miss: a training document
+    that is a PARAPHRASED/near-copy of a benchmark document, found by
+    the dd4 MinHash machinery run BIPARTITE (train bands vs benchmark
+    bands) instead of as a self-join. Output is the per-benchmark-doc
+    leakage audit a release checklist wants: every benchmark doc (the
+    deterministic doc_id%100<2 slice, as px4/px8) with its candidate
+    count, the number of verified near-dup train docs (exact Jaccard >=
+    {JACCARD_THRESHOLD} over the dd4-capped shingle sets), and the
+    worst match score (NULL when banding surfaced nothing).
+
+    Scale shape: the benchmark side is tiny by construction (eval
+    suites), so its band signatures AND its capped shingle sets are
+    broadcast — the 100 TB train side is never shuffled on band
+    signature or shingle; its only wide exchange is the per-doc
+    signature groupBy it already shares with dd4 via the memoized
+    shingle set. SUM(CASE) is cast to BIGINT in the oracle (DuckDB
+    HUGEINT vs int64 typed-hash trap, SURVEY §8)."""
+    sh, capped = _dd4_shingle_cache(spark, sf_dir)
+    is_bench = F.col("doc_id") % 100 < 2
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    bands = None
+    for name, expr in _band_exprs():
+        part = sig.select(
+            "doc_id", F.lit(name).alias("band_id"), expr.alias("sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    train_bands = bands.filter(~is_bench).select(
+        F.col("doc_id").alias("train_doc"), "band_id", "sig"
+    )
+    bench_bands = bands.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "band_id", "sig"
+    )
+    cand = (
+        train_bands.join(F.broadcast(bench_bands), ["band_id", "sig"])
+        .select("train_doc", "bench_doc")
+        .distinct()
+    )
+    # verify with exact Jaccard over the capped sets (dd4 parity); the
+    # bench shingle side is broadcast for the same tiny-side reason
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = capped.select(F.col("doc_id").alias("train_doc"), "shingle")
+    shb = capped.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    inter = (
+        cand.join(sha, "train_doc")
+        .join(F.broadcast(shb), ["bench_doc", "shingle"])
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("bench_doc"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    verified = (
+        inter.join(F.broadcast(sa), "train_doc")
+        .join(F.broadcast(sb), "bench_doc")
+        .select("train_doc", "bench_doc", jac.alias("jaccard"))
+    )
+    bench_docs = (
+        load_table(spark, sf_dir, "documents").filter(is_bench).select("doc_id")
+    )
+    return (
+        bench_docs.join(
+            verified, bench_docs.doc_id == verified.bench_doc, "left"
+        )
+        .groupBy(F.col("doc_id").alias("bench_doc"))
+        .agg(
+            F.count("train_doc").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("n_contaminated"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def _dd11_oracle() -> str:
     # dd7's transitive closure -> per-doc cluster size -> 1/size weight,
     # singletons (never paired) get weight 1.0

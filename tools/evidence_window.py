@@ -41,6 +41,7 @@ CHANGED_SINCE_GREEN = [
     "c15_market_share",        # r7: NEW (Q8 shape)
     "c16_dormant_high_balance",  # r7: NEW (Q22 shape)
     "c17_promo_revenue_share",  # r7: NEW (Q14 shape)
+    "px12_neardup_decontamination",  # r7: NEW (bipartite MinHash leakage audit)
     "dd6_embedding_cosine_dups_scaled",  # r7: NEW (12x5 occupancy-constant twin)
     "dd4_minhash_lsh_pairs",   # r7: spread_small guard in _doc_shingles
     "dd3_ngram_jaccard_pairs",  # r7: spread_small guard in _doc_shingles

@@ -61,6 +61,11 @@ HEADLINE = [
     "sim7_kmeans_assign",
     "mm7_audio_frame_energy",
     "dd12_keepfirst_manifest",
+    # r8 additions: the corpus-adaptive ANN entry points — the graded
+    # path IS the user path (geometry derived from corpus size at this
+    # sf, not the pinned-parity twins' knobs)
+    "sim11_knn_graph_auto",
+    "dd16_embedding_dups_auto",
 ]
 
 

@@ -7,6 +7,7 @@ evidence run first (window/report/ANN families plus anything changed
 this round), and operators with long green history run last."""
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  # noqa: F401
+    ann_auto,
     analytics_ext,
     classic,
     windows,
@@ -43,59 +44,60 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 ]
 
 _NEEDS_EVIDENCE_FIRST = [
-    "d29_modern_aggregates",  # changed/new this round
-    "i15_state_islands",  # changed/new this round
-    "dd15_incremental_minhash_pairs",  # changed/new this round
-    "c12_small_qty_revenue",  # changed/new this round
-    "c13_large_volume_customers",  # changed/new this round
-    "c14_nation_trade_flows",  # changed/new this round
-    "c15_market_share",  # changed/new this round
-    "c16_dormant_high_balance",  # changed/new this round
-    "c17_promo_revenue_share",  # changed/new this round
+    "sim11_knn_graph_auto",  # changed/new this round
+    "dd16_embedding_dups_auto",  # changed/new this round
     "px12_neardup_decontamination",  # changed/new this round
-    "dd6_embedding_cosine_dups_scaled",  # changed/new this round
-    "dd4_minhash_lsh_pairs",  # changed/new this round
-    "dd3_ngram_jaccard_pairs",  # changed/new this round
-    "dd5_simhash",  # changed/new this round
-    "dd9_crossdoc_ngram_stats",  # changed/new this round
-    "tx10_tfidf_top_terms",  # changed/new this round
-    "mm1_media_features",  # changed/new this round
-    "mm2_media_metadata_stats",  # changed/new this round
-    "mm3_frame_sample",  # changed/new this round
-    "mm8_image_dup_groups",  # changed/new this round
-    "mm5_decoded_media_metadata",  # changed/new this round
-    "mm6_image_ahash",  # changed/new this round
-    "mm7_audio_frame_energy",  # changed/new this round
+    "dd15_incremental_minhash_pairs",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
-    "i5_tumbling_window_agg",  # latest green r3
-    "i8_change_volume",  # latest green r3
-    "i8_recent_changes",  # latest green r3
-    "i9_sessionization",  # latest green r3
-    "mm4_binary_metadata",  # latest green r3
-    "px2_hash_split",  # latest green r3
-    "px3_stratified_sample",  # latest green r3
-    "px4_contamination_check",  # latest green r3
-    "px5_shard_packing",  # latest green r3
-    "sim1_knn_cosine_bruteforce",  # latest green r3
-    "sim2_knn_lsh_bucketed",  # latest green r3
-    "tx1_token_count",  # latest green r3
-    "tx2_quality_score",  # latest green r3
-    "tx3_language_guess",  # latest green r3
-    "tx4_fingerprint",  # latest green r3
-    "tx5_chunk_documents",  # latest green r3
-    "tx8_word_bigrams",  # latest green r3
-    "tx9_stopword_profile",  # latest green r3
-    "b10_compound_predicate",  # latest green r4
-    "b2_select_star",  # latest green r4
-    "b3_alias_expr",  # latest green r4
-    "b5_in_list",  # latest green r4
-    "b6_date_range",  # latest green r4
-    "b7_null_predicate",  # latest green r4
+    "b8_column_inequality",  # latest green r4
+    "c12_full_outer_join",  # latest green r4
+    "c1_join_2way_agg",  # latest green r4
+    "c5_join_derived_table",  # latest green r4
+    "c6_semi_join",  # latest green r4
+    "c8_scalar_subquery",  # latest green r4
+    "c9_not_exists",  # latest green r4
+    "d10_rate_avg_case",  # latest green r4
+    "d11_having",  # latest green r4
+    "d17_rollup",  # latest green r4
+    "d18_cube",  # latest green r4
+    "d19_exact_corr_moments",  # latest green r4
+    "d1_global_agg",  # latest green r4
+    "d20_order_statistics",  # latest green r4
+    "d21_bool_aggregates",  # latest green r4
+    "d26_grouping_sets",  # latest green r4
+    "d2_groupby_single",  # latest green r4
+    "d3_tpch_q1_pricing_summary",  # latest green r4
+    "d4_groupby_expression",  # latest green r4
+    "d6_count_distinct",  # latest green r4
+    "d8_conditional_sum",  # latest green r4
+    "d9_count_case_no_else",  # latest green r4
+    "dd1_exact_dedup",  # latest green r4
+    "dd6_embedding_cosine_dups",  # latest green r4
+    "e10_range_interval_frame",  # latest green r4
+    "e1_pct_of_total",  # latest green r4
+    "e2_nested_agg_window",  # latest green r4
+    "e3_partitioned_window",  # latest green r4
+    "e4_listagg_distinct",  # latest green r4
+    "e5_lag_lead",  # latest green r4
+    "flagship_revenue_by_nation",  # latest green r4
+    "h11_timestampdiff_minute",  # latest green r4
+    "h14_date_trunc_hour",  # latest green r4
+    "h21_regexp_extract",  # latest green r4
+    "h28_array_functions",  # latest green r4
+    "h2_h3_round_nullif",  # latest green r4
+    "a5_generate_series",  # latest green r5
+    "b1_project_filter",  # latest green r5
+    "c10_salted_skew_join",  # latest green r5
+    "d25_top_percent",  # latest green r5
+    "dd10_containment_pairs",  # latest green r5
+    "dd11_softdedup_weights",  # latest green r5
+    "dd8_semantic_dedup_groups",  # latest green r5
 ]
 
 

@@ -1363,7 +1363,14 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cross join is replaced by the band self-join: cost tracks
     bucket collisions, not n^2. Shares planes with sim2/dd6, so the
     oracle buckets identically. Vectors with no collisions simply have
-    no edges — acceptable for graph workloads (singletons)."""
+    no edges — acceptable for graph workloads (singletons).
+
+    NOTE: the 2-bit band geometry here is PINNED for oracle parity and
+    goes quadratic as the corpus grows (BASELINE.md records 36x at 10x
+    vectors). The production entry point is
+    ``operators.ann_auto.knn_graph`` (corpus-adaptive geometry,
+    driver-checked as ``sim11_knn_graph_auto``); sim10 is the
+    occupancy-constant pinned twin."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
         _band_planes,
         arrow_band_buckets,

@@ -480,7 +480,15 @@ def dd6_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shares planes/bands with sim2 (operators/similarity.py), and the
     oracle buckets with the identical plane literals, so the driver gate
-    checks candidate generation AND verification exactly."""
+    checks candidate generation AND verification exactly.
+
+    NOTE: the 2-bit band geometry here is PINNED for oracle parity and
+    goes quadratic as the corpus grows (BASELINE.md records 25x at 10x
+    vectors). The production entry point is
+    ``operators.ann_auto.embedding_dup_pairs`` (corpus-adaptive
+    geometry, driver-checked as ``dd16_embedding_dups_auto``);
+    ``dd6_embedding_cosine_dups_scaled`` is the occupancy-constant
+    pinned twin."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
         _band_planes,
         arrow_band_buckets,
@@ -1262,8 +1270,16 @@ def px12_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the 100 TB train side is never shuffled on band
     signature or shingle; its only wide exchange is the per-doc
     signature groupBy it already shares with dd4 via the memoized
-    shingle set. SUM(CASE) is cast to BIGINT in the oracle (DuckDB
-    HUGEINT vs int64 typed-hash trap, SURVEY §8)."""
+    shingle set. Broadcast sides are all candidate- or bench-bounded:
+    the train-side per-doc sizes are left-semi-restricted to candidate
+    train docs BEFORE the broadcast hint (a whole-corpus sizes
+    broadcast would be data-proportional). SUM(CASE) is cast to BIGINT
+    in the oracle (DuckDB HUGEINT vs int64 typed-hash trap, SURVEY §8).
+
+    ``n_candidates`` counts VERIFIED-OVERLAP candidates — LSH banding
+    candidates that share at least one capped shingle (the verify join
+    is inner on shingle); a banding collision with zero capped overlap
+    is a guaranteed-clean false positive and is not counted."""
     sh, capped = _dd4_shingle_cache(spark, sf_dir)
     is_bench = F.col("doc_id") % 100 < 2
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
@@ -1297,7 +1313,14 @@ def px12_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "bench_doc")
         .agg(F.count("*").alias("n_shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
+    # restrict the train-side sizes to candidate train docs before the
+    # broadcast: candidate-bounded, never corpus-bounded (every inter
+    # row's train_doc has >=1 capped shingle, so the semi-join drops no
+    # matches — it only shrinks the broadcast)
+    sa = (
+        sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
+        .join(cand.select("train_doc"), "train_doc", "left_semi")
+    )
     sb = sizes.select(F.col("doc_id").alias("bench_doc"), F.col("n").alias("nb"))
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")

@@ -139,3 +139,34 @@ def test_auto_dup_pairs_recall_precision_plan_at_sf01(spark):
     assert exact
     recall = len(got) / len(exact)
     assert recall >= 0.7, f"auto-geometry recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_auto_oracle_corpus_contract():
+    """The sim11/dd16 DuckDB oracles embed the geometry derived at
+    AUTO_ORACLE_N because oracle SQL is static while the Spark side
+    derives from the live corpus. This pins the assumption: BOTH parity
+    scales must have exactly AUTO_ORACLE_N embeddings of dim AUTO_DIM —
+    if the testdata contract changes, fail here (loudly, locally), not
+    in the driver's hash compare."""
+    import duckdb
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_auto import (
+        AUTO_DIM,
+        AUTO_ORACLE_N,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        n, dim = duckdb.sql(
+            "SELECT COUNT(*), MIN(len(embedding)) "
+            f"FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()
+        assert (n, dim) == (AUTO_ORACLE_N, AUTO_DIM), (sf, n, dim)
+
+
+def test_auto_registry_rows_registered():
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    assert "sim11_knn_graph_auto" in QUERIES and "sim11_knn_graph_auto" in ORACLES
+    assert "dd16_embedding_dups_auto" in QUERIES and "dd16_embedding_dups_auto" in ORACLES

@@ -31,30 +31,12 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r7: all green r6 entries cleared (CORRECTNESS_r06: 45 green).
-    "d29_modern_aggregates",  # r7: oracle CAST(COUNT_IF AS BIGINT) — red r6
-    "i15_state_islands",      # r7: oracle CAST(windowed SUM AS BIGINT) — red r6
-    "dd15_incremental_minhash_pairs",  # r7: NEW (maintained dedup index replay)
-    "c12_small_qty_revenue",   # r7: NEW (Q17 shape)
-    "c13_large_volume_customers",  # r7: NEW (Q18 shape)
-    "c14_nation_trade_flows",  # r7: NEW (Q7 shape)
-    "c15_market_share",        # r7: NEW (Q8 shape)
-    "c16_dormant_high_balance",  # r7: NEW (Q22 shape)
-    "c17_promo_revenue_share",  # r7: NEW (Q14 shape)
-    "px12_neardup_decontamination",  # r7: NEW (bipartite MinHash leakage audit)
-    "dd6_embedding_cosine_dups_scaled",  # r7: NEW (12x5 occupancy-constant twin)
-    "dd4_minhash_lsh_pairs",   # r7: spread_small guard in _doc_shingles
-    "dd3_ngram_jaccard_pairs",  # r7: spread_small guard in _doc_shingles
-    "dd5_simhash",             # r7: spread_small guard
-    "dd9_crossdoc_ngram_stats",  # r7: spread_small guard
-    "tx10_tfidf_top_terms",    # r7: spread_small guard
-    "mm1_media_features",      # r7: spread_small guard
-    "mm2_media_metadata_stats",  # r7: spread_small guard (multimodal sites)
-    "mm3_frame_sample",        # r7: spread_small guard
-    "mm8_image_dup_groups",    # r7: spread_small guard
-    "mm5_decoded_media_metadata",  # r7: spread_small guard
-    "mm6_image_ahash",         # r7: spread_small guard
-    "mm7_audio_frame_energy",  # r7: spread_small guard
+    # r8: all r7 entries cleared (CORRECTNESS_r07: 47 green + 3
+    # rows-only by design, 0 failures).
+    "sim11_knn_graph_auto",  # r8: NEW (corpus-adaptive kNN graph entry)
+    "dd16_embedding_dups_auto",  # r8: NEW (corpus-adaptive dup pairs entry)
+    "px12_neardup_decontamination",  # r8: train-side sizes semi-join before broadcast
+    "dd15_incremental_minhash_pairs",  # r8: bucketed copy-on-write index state
 ]
 
 

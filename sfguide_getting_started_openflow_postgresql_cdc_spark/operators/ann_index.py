@@ -148,6 +148,89 @@ class IvfIndex:
             .parquet(self._index_path())
         )
 
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        """Removed vec_ids, or None when nothing was ever removed (the
+        common case — no extra join in the search plan)."""
+        p = self._tombstones_path()
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return spark.read.schema("vec_id long").parquet(p)
+
+    def _live(self, spark: SparkSession, index: DataFrame) -> DataFrame:
+        t = self._tombstones(spark)
+        if t is None:
+            return index
+        return index.join(F.broadcast(t), "vec_id", "left_anti")
+
+    def remove(self, spark: SparkSession, vec_ids) -> None:
+        """Retract vectors from the index — the delete path a takedown /
+        CDC soft-delete reaches (the MinHashLshIndex.retract twin).
+        O(delta) metadata: appends the ids to a tombstone log that every
+        read path (search, recall probe, drift-guard rebuild) anti-joins
+        — the removed vector's CELL need not be known, so no scan
+        happens at remove time. Physical reclamation is
+        :meth:`compact`'s job (amortized, touched cells only).
+        ``vec_ids``: list[int] or a (vec_id) DataFrame."""
+        if isinstance(vec_ids, DataFrame):
+            df = vec_ids.select("vec_id").distinct()
+        else:
+            df = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+        df.coalesce(1).write.mode("append").parquet(self._tombstones_path())
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Physically drop tombstoned rows and clear the tombstone log.
+        Locates the affected cells (one scan of the cell/vec_id columns
+        — column-pruned, run amortized, not per remove), rewrites ONLY
+        those cell partitions via dynamic partition overwrite, and
+        removes cell dirs left with zero survivors."""
+        import shutil
+
+        t = self._tombstones(spark)
+        if t is None:
+            return {"compacted_cells": 0, "removed_rows": 0}
+        index = spark.read.parquet(self._index_path())
+        hits = index.join(F.broadcast(t), "vec_id", "left_semi")
+        affected = sorted(
+            r["cell"] for r in hits.select("cell").distinct().collect()
+        )
+        n_removed = hits.count()
+        if affected:
+            survivors = (
+                index.filter(F.col("cell").isin(affected))
+                .join(F.broadcast(t), "vec_id", "left_anti")
+                .persist()
+            )
+            live_cells = {
+                r["cell"] for r in survivors.select("cell").distinct().collect()
+            }
+            conf = spark.conf
+            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    survivors.repartition(F.col("cell"))
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(self._index_path())
+                )
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            survivors.unpersist()
+            # dynamic overwrite only touches cells it writes: an affected
+            # cell whose every row was tombstoned must be dropped by hand
+            for cell in set(affected) - live_cells:
+                shutil.rmtree(
+                    os.path.join(self._index_path(), f"cell={cell}"),
+                    ignore_errors=True,
+                )
+        shutil.rmtree(self._tombstones_path(), ignore_errors=True)
+        return {"compacted_cells": len(affected), "removed_rows": n_removed}
+
     def recall_probe(
         self, spark: SparkSession, queries: DataFrame, top_k: int = 10
     ) -> float:
@@ -159,7 +242,7 @@ class IvfIndex:
             (r["query_id"], r["neighbor_id"])
             for r in self.search(spark, queries, top_k=top_k).collect()
         }
-        index = spark.read.parquet(self._index_path())
+        index = self._live(spark, spark.read.parquet(self._index_path()))
         q = queries.select(
             "query_id",
             F.col("embedding").alias("qv"),
@@ -213,13 +296,16 @@ class IvfIndex:
             import shutil
 
             staging = os.path.join(self.path, "rebuild_staging")
-            spark.read.parquet(self._index_path()).drop("cell").write.mode(
-                "overwrite"
-            ).parquet(staging)
+            # live rows only: a rebuild must not resurrect removed vectors
+            self._live(spark, spark.read.parquet(self._index_path())).drop(
+                "cell"
+            ).write.mode("overwrite").parquet(staging)
             corpus = spark.read.parquet(staging)
             self._centroids = None  # retrain from scratch
             self.build(spark, corpus, sample_size=sample_size)
             shutil.rmtree(staging, ignore_errors=True)
+            # the rebuild excluded tombstoned rows physically
+            shutil.rmtree(self._tombstones_path(), ignore_errors=True)
             out["retrained"] = True
             out["recall_after_retrain"] = self.recall_probe(
                 spark, probe_queries, top_k=top_k
@@ -252,8 +338,11 @@ class IvfIndex:
         probes = spark.createDataFrame(pairs, "query_id long, cell int")
         all_cells = sorted({c for _, c in pairs})
 
-        index = spark.read.parquet(self._index_path()).filter(
-            F.col("cell").isin(all_cells)  # prunes partition dirs at listing
+        index = self._live(
+            spark,
+            spark.read.parquet(self._index_path()).filter(
+                F.col("cell").isin(all_cells)  # prunes partition dirs at listing
+            ),
         )
         q = queries.select(
             "query_id",

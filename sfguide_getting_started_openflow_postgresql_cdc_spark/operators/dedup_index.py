@@ -1,16 +1,28 @@
 """Incrementally-maintained MinHash-LSH dedup index (the dd4 state,
-persisted and mergeable).
+persisted, mergeable, and retractable).
 
 A training-data pipeline does not re-shingle a 100 TB corpus every time
 a new crawl dump lands. This module maintains dd4's artifacts as an
-on-disk index so per-dump ingest cost tracks the DELTA:
+on-disk index so per-dump ingest cost tracks the DELTA — in CANDIDATE
+WORK and in I/O:
 
 - shingling / minhash signatures run over the NEW batch only (per-doc
   functions — immutable once computed);
 - candidate generation joins the batch's band rows against the stored
-  band table on (band_id, sig) — keyed lookup, never a corpus rescan;
+  band table on (band_id, sig), and the stored-band READ is
+  bucket-pruned to the batch's band-signature hash buckets — keyed
+  lookup over a pruned scan, never a corpus rescan;
 - exact-Jaccard verification touches only the docs involved in new or
-  invalidated candidates.
+  invalidated candidates, and the stored shingle-log read backing it is
+  bucket-pruned to those docs' hash buckets;
+- the rewritten views (doc-frequency table, verified pairs) are stored
+  HASH-BUCKETED with copy-on-write versioning: an ingest rewrites only
+  the buckets its keys touch and hard-links every untouched bucket's
+  files from the previous version (same inode, zero bytes copied) —
+  the same layout the CDC replica uses (streaming/cdc.py
+  ``ReplicaStore.write_merged``; on a distributed filesystem without
+  hard links the contract is 'reference the previous version's files
+  in the new manifest', Iceberg/Delta-style).
 
 The subtle part is dd4's doc-frequency cap (operators/dedup.py
 SHINGLE_DOC_FREQ_CAP): verification runs over shingle sets with
@@ -24,9 +36,11 @@ Incremental maintenance therefore:
 
 1. maintains a mergeable (shingle, df) table and detects CAP-CROSSING
    shingles per ingest (old df <= cap < new df);
-2. stores ALL banding candidates ever generated (append-only — band
+2. maintains the HOT set (df > cap) as its own tiny copy-on-write table
+   so verification never needs a corpus-wide df scan;
+3. stores ALL banding candidates ever generated (append-only — band
    signatures are per-doc and immutable), not just passing pairs;
-3. re-verifies exactly the stored candidates touching a doc that
+4. re-verifies exactly the stored candidates touching a doc that
    contains a crossing shingle, alongside the batch's new candidates.
 
 Cap-crossing shingles are few by construction (each needs CAP+1 docs),
@@ -36,14 +50,54 @@ is then EXACTLY fresh dd4 on the accumulated corpus after every ingest
 ``dd15_incremental_minhash_pairs`` registry entry replays a 3-batch
 ingest and is driver-checked against dd4's own DuckDB oracle.
 
-Storage: append-only tables (shingles/bands/cands) are parquet
-directories appended per ingest; rewritten views (df/pairs) are
-versioned subdirectories committed by a last-write manifest, so a
-crashed ingest leaves the previous version readable. At cluster scale
-the same layout maps onto a transactional table format (the journal
-machinery in streaming/cdc.py shows the engine's copy-on-write
-pattern); doc_ids must be unique across ingests (upstream exact-dedup
-dd1 / CDC keys guarantee this in the pipeline).
+RETRACTION (``retract``) is the reverse edge a real pipeline hits first
+after ingest — takedowns, poisoned docs, eval leaks, CDC soft deletes
+(the reference's ``_SNOWFLAKE_DELETED`` semantics,
+/root/reference/sql/3.live_appointments.sql:18,413, flowing into the
+maintained indexes instead of stopping at the replicas). Retracting
+doc_ids: tombstones them (append-only log filtered on every stored
+read), decrements their shingles' df, detects DOWN-crossing shingles
+(old df > cap >= new df — previously-hot shingles rejoin capped sets,
+which retroactively changes surviving pairs in BOTH directions), drops
+their pairs, and re-verifies exactly the stored candidates touching
+docs that contain a down-crossed shingle. The property test asserts
+ingest/retract interleavings equal a fresh build on the surviving docs.
+
+Per-operation cost envelope (the delta contract, honest about I/O):
+- ingest: reads/writes are delta- or bucket-bounded. The ONE
+  corpus-bounded step is the affected-doc lookup when a cap-crossing
+  occurs (a by-shingle lookup over the doc-bucketed shingle log);
+  crossings are rare by construction (each shingle crosses once, at
+  its CAP+1-th arrival), so the cost amortizes to ~zero per ingest.
+- retract: same shape; additionally reads the pairs VIEW (output-sized,
+  orders of magnitude below corpus) to locate pairs naming the
+  retracted docs, and the candidate log (candidate-sized) when a
+  down-crossing re-verify is needed.
+
+Storage layout (all under ``index_dir``)::
+
+    manifest.json                  {"version", "n_docs", "n_buckets",
+                                    "tables": {"df": v, "hot": v, "pairs": v}}
+    shingles/_IDX_BUCKET=<b>/...   append-only, b = hash(doc_id)
+    bands/_IDX_BUCKET=<b>/...      append-only, b = hash(band_id, sig)
+    cands/...                      append-only, flat (read only on
+                                   crossing re-verify / retract)
+    tombstones/...                 append-only, flat (retracted doc_ids)
+    df/v<N>/_IDX_BUCKET=<b>/...    copy-on-write, b = hash(shingle)
+    hot/v<N>/_IDX_BUCKET=<b>/...   copy-on-write, b = hash(shingle)
+    pairs/v<N>/_IDX_BUCKET=<b>/... copy-on-write, b = hash(doc_a)
+
+The manifest flips LAST (atomic rename), so a crashed operation leaves
+the previous version fully readable; version dirs are immutable once
+the manifest points at them, and append reads snapshot-pin the file
+list present at plan time (a bare directory read is lazy — a recompute
+after this ingest's appends would double-count the batch). Write
+parallelism is bounded by the bucket count (16 here for test-scale
+file counts); a cluster deployment raises ``n_buckets`` to thousands,
+exactly like the replica's ``_CDC_BUCKET`` layout. doc_ids must be
+unique across ingests and never re-ingested after retraction (upstream
+exact-dedup dd1 / CDC keys guarantee this in the pipeline; ingest
+raises on a tombstoned doc_id).
 """
 
 from __future__ import annotations
@@ -68,6 +122,8 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
     load_table,
 )
+
+IDX_BUCKET = "_IDX_BUCKET"
 
 
 def _shingle_batch(docs: DataFrame) -> DataFrame:
@@ -95,8 +151,9 @@ def _shingle_batch(docs: DataFrame) -> DataFrame:
 
 
 class MinHashLshIndex:
-    """Maintained dd4 state: ``ingest`` appends a batch of documents and
-    updates the verified near-dup ``pairs`` view incrementally."""
+    """Maintained dd4 state: ``ingest`` appends a batch of documents,
+    ``retract`` removes documents; both update the verified near-dup
+    ``pairs`` view incrementally with bucket-COW delta I/O."""
 
     def __init__(
         self,
@@ -104,12 +161,17 @@ class MinHashLshIndex:
         index_dir: str,
         cap: int = SHINGLE_DOC_FREQ_CAP,
         threshold: float = JACCARD_THRESHOLD,
+        n_buckets: int = 16,
     ) -> None:
         self.spark = spark
         self.dir = index_dir
         self.cap = cap
         self.threshold = threshold
         os.makedirs(index_dir, exist_ok=True)
+        man = self._manifest()
+        # bucket count is pinned at creation — the hash layout on disk
+        # must match the exprs used to prune reads forever after
+        self.n_buckets = int(man.get("n_buckets", n_buckets))
 
     # -- manifest / storage plumbing ------------------------------------
 
@@ -117,65 +179,277 @@ class MinHashLshIndex:
         p = os.path.join(self.dir, "manifest.json")
         if os.path.exists(p):
             return json.load(open(p))
-        return {"version": 0, "n_docs": 0}
+        return {"version": 0, "n_docs": 0, "tables": {}}
 
     def _commit(self, manifest: dict) -> None:
+        manifest["n_buckets"] = self.n_buckets
         tmp = os.path.join(self.dir, "manifest.json.tmp")
         json.dump(manifest, open(tmp, "w"))
         os.replace(tmp, os.path.join(self.dir, "manifest.json"))
 
-    def _append_dir(self, name: str) -> str:
-        return os.path.join(self.dir, name)
+    # bucket exprs — the single source of truth for the disk layout
+    def _doc_bucket(self, col: str = "doc_id"):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets))
 
-    def _versioned(self, name: str, version: int) -> str:
+    def _shingle_bucket(self, col: str = "shingle"):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets))
+
+    def _band_bucket(self):
+        return F.pmod(
+            F.xxhash64(F.col("band_id"), F.col("sig")), F.lit(self.n_buckets)
+        )
+
+    def _bucket_set(self, df: DataFrame, expr) -> list[int]:
+        """Distinct hash buckets of a key frame — bounded by n_buckets,
+        never data-proportional (the ONE collect shape this class
+        allows itself)."""
+        return sorted(
+            r["b"] for r in df.select(expr.alias("b")).distinct().collect()
+        )
+
+    @staticmethod
+    def _files_under(path: str, buckets: list[int] | None) -> list[str]:
+        """Snapshot-pinned parquet file list, optionally restricted to
+        the named bucket partition dirs. Pinning the list at plan time
+        is the isolation a transactional format's snapshot gives: a
+        recompute after this op's appends cannot see appended rows."""
+        if not os.path.isdir(path):
+            return []
+        out: list[str] = []
+        entries = sorted(os.listdir(path))
+        for name in entries:
+            sub = os.path.join(path, name)
+            if os.path.isdir(sub) and name.startswith(f"{IDX_BUCKET}="):
+                if buckets is not None and int(name.split("=", 1)[1]) not in buckets:
+                    continue
+                out += sorted(
+                    os.path.join(sub, f)
+                    for f in os.listdir(sub)
+                    if f.endswith(".parquet")
+                )
+            elif name.endswith(".parquet"):
+                if buckets is None:
+                    out.append(sub)
+        return out
+
+    def _read_files(self, files: list[str], schema: str) -> DataFrame:
+        if files:
+            return self.spark.read.schema(schema).parquet(*files)
+        return self.spark.createDataFrame([], schema)
+
+    def _read_append(
+        self, name: str, schema: str, buckets: list[int] | None = None
+    ) -> DataFrame:
+        return self._read_files(
+            self._files_under(os.path.join(self.dir, name), buckets), schema
+        )
+
+    def _append(self, name: str, df: DataFrame, bucket_expr=None) -> None:
+        """Append a batch to a log table; ``bucket_expr`` partitions it
+        into hash-bucket dirs for pruned reads. One writer task per
+        bucket (repartition on the bucket column), so file counts track
+        buckets, not input partitioning."""
+        path = os.path.join(self.dir, name)
+        if bucket_expr is None:
+            df.write.mode("append").parquet(path)
+        else:
+            (
+                df.withColumn(IDX_BUCKET, bucket_expr)
+                .repartition(F.col(IDX_BUCKET))
+                .write.mode("append")
+                .partitionBy(IDX_BUCKET)
+                .parquet(path)
+            )
+
+    # -- copy-on-write versioned tables ---------------------------------
+
+    def _cow_version(self, name: str) -> int:
+        return int(self._manifest().get("tables", {}).get(name, 0))
+
+    def _cow_path(self, name: str, version: int) -> str:
         return os.path.join(self.dir, name, f"v{version}")
 
-    def _read_append(self, name: str, schema: str) -> DataFrame:
-        # SNAPSHOT-pinned read: enumerate the part files present NOW and
-        # read exactly those. A bare directory read is lazy — if any
-        # downstream action re-executes after this ingest's append (cache
-        # eviction, AQE re-plan), the just-appended batch rows leak into
-        # "stored" state and double-count intersections (observed: every
-        # intra-batch pair's n_shared exactly 2x). Pinning the file list
-        # is the same isolation a transactional table format's snapshot
-        # gives at cluster scale.
-        path = self._append_dir(name)
-        if os.path.exists(path):
-            files = sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-            if files:
-                return self.spark.read.parquet(*files)
-        return self.spark.createDataFrame([], schema)
+    def _cow_read(
+        self, name: str, schema: str, buckets: list[int] | None = None
+    ) -> DataFrame:
+        v = self._cow_version(name)
+        if v <= 0:
+            return self.spark.createDataFrame([], schema)
+        return self._read_files(
+            self._files_under(self._cow_path(name, v), buckets), schema
+        )
 
-    def _read_versioned(self, name: str, schema: str) -> DataFrame:
-        v = self._manifest()["version"]
-        path = self._versioned(name, v)
-        if v > 0 and os.path.exists(path):
-            return self.spark.read.parquet(path)
-        return self.spark.createDataFrame([], schema)
+    def _cow_write(
+        self,
+        name: str,
+        rows: DataFrame,
+        bucket_expr,
+        touched: list[int],
+        new_version: int,
+    ) -> None:
+        """Write version ``new_version`` of a COW table: materialize
+        ``rows`` (which must cover exactly the ``touched`` buckets) and
+        hard-link every other bucket dir from the current version —
+        the streaming/cdc.py ``write_merged`` contract, keyed by the
+        index manifest instead of a per-table pointer so ALL tables
+        flip atomically with one manifest rename."""
+        out = self._cow_path(name, new_version)
+        (
+            rows.withColumn(IDX_BUCKET, bucket_expr)
+            .repartition(F.col(IDX_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(IDX_BUCKET)
+            .parquet(out)
+        )
+        old_v = self._cow_version(name)
+        if old_v > 0:
+            old = self._cow_path(name, old_v)
+            touched_set = set(touched)
+            for dname in os.listdir(old):
+                if not dname.startswith(f"{IDX_BUCKET}="):
+                    continue
+                if int(dname.split("=", 1)[1]) in touched_set:
+                    continue
+                src_dir, dst_dir = os.path.join(old, dname), os.path.join(out, dname)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fname in os.listdir(src_dir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    try:
+                        os.link(
+                            os.path.join(src_dir, fname),
+                            os.path.join(dst_dir, fname),
+                        )  # zero-copy: same inode
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(src_dir, fname),
+                            os.path.join(dst_dir, fname),
+                        )
+
+    def _retire_cow_versions(self) -> None:
+        """Keep the newest two versions of each COW table (current +
+        in-flight readers); hard links keep shared inodes alive."""
+        for name in ("df", "hot", "pairs"):
+            tdir = os.path.join(self.dir, name)
+            if not os.path.isdir(tdir):
+                continue
+            vs = sorted(
+                int(d[1:])
+                for d in os.listdir(tdir)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            for v in vs[:-2]:
+                shutil.rmtree(self._cow_path(name, v), ignore_errors=True)
+
+    # -- shared read helpers --------------------------------------------
+
+    def _tombstones(self) -> DataFrame | None:
+        """Retracted doc_ids, or None when no retraction ever happened
+        (the common case — skipping the anti-join keeps ingest plans
+        lean)."""
+        files = self._files_under(os.path.join(self.dir, "tombstones"), None)
+        if not files:
+            return None
+        return self.spark.read.schema("doc_id long").parquet(*files)
+
+    @staticmethod
+    def _anti_docs(df: DataFrame, excluded: DataFrame | None, col: str = "doc_id"):
+        if excluded is None:
+            return df
+        return df.join(
+            F.broadcast(excluded.withColumnRenamed("doc_id", col)), col, "left_anti"
+        )
+
+    def _verified_pairs(
+        self,
+        verify_set: DataFrame,
+        hot: DataFrame,
+        extra_sh: DataFrame | None,
+        excluded: DataFrame | None,
+        invol_buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Exact-Jaccard verification of ``verify_set`` (doc_a, doc_b)
+        over the capped shingle sets of exactly the docs it touches.
+        Stored-shingle I/O is bucket-pruned to those docs; ``extra_sh``
+        carries the in-flight batch's shingles (ingest) and ``excluded``
+        drops tombstoned/retracting docs. The hot anti-join carries no
+        broadcast hint: hot is corpus-bounded (tiny in practice —
+        |corpus|/(cap+1) is its ceiling — but AQE gets to decide)."""
+        involved = (
+            verify_set.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(verify_set.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        if invol_buckets is None:
+            invol_buckets = self._bucket_set(involved, self._doc_bucket())
+        stored_sh = self._anti_docs(
+            self._read_append(
+                "shingles", "doc_id long, shingle string", invol_buckets
+            ),
+            excluded,
+        )
+        all_sh = (
+            stored_sh.unionByName(extra_sh) if extra_sh is not None else stored_sh
+        )
+        invol_sh = (
+            all_sh.join(F.broadcast(involved), "doc_id", "left_semi")
+            .join(hot, "shingle", "left_anti")
+            .persist()
+        )
+        sizes = invol_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        # invol_sh is candidate-bounded (docs touched by the verify set,
+        # not the corpus), so BROADCAST both intersection sides: the
+        # whole verification collapses to map-side joins + one AQE-
+        # coalesced groupBy instead of a ladder of tiny shuffles
+        sha, shb = invol_sh.alias("sha"), invol_sh.alias("shb")
+        inter = (
+            verify_set.join(
+                F.broadcast(sha), F.col("sha.doc_id") == F.col("doc_a")
+            )
+            .join(
+                F.broadcast(shb),
+                (F.col("shb.doc_id") == F.col("doc_b"))
+                & (F.col("shb.shingle") == F.col("sha.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa, sb = sizes.alias("sa"), sizes.alias("sb")
+        jac = F.col("n_shared").cast("double") / (
+            F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+        )
+        return (
+            inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= self.threshold)
+        ), invol_sh
 
     # -- public surface -------------------------------------------------
 
     def pairs(self) -> DataFrame:
         """Current verified near-dup pairs view — equal to fresh dd4 on
-        every document ingested so far."""
-        return self._read_versioned(
-            "pairs", "doc_a long, doc_b long, jaccard double"
-        )
+        every document ingested so far and not retracted."""
+        return self._cow_read("pairs", "doc_a long, doc_b long, jaccard double")
 
     def ingest(self, docs: DataFrame, collect_metrics: bool = True) -> dict:
         """Append a batch of (doc_id, text) documents; update bands, df
-        counts, the candidate log, and the verified pairs view. Returns
-        delta-sized bookkeeping counts (all frames counted are
-        candidate-bounded, never corpus-bounded)."""
+        counts, the hot set, the candidate log, and the verified pairs
+        view. All reads and writes are delta- or bucket-bounded except
+        the rare cap-crossing re-verify (module docstring)."""
         spark = self.spark
         man = self._manifest()
         new_version = man["version"] + 1
+        tomb = self._tombstones()
 
         batch_sh = _shingle_batch(docs.select("doc_id", "text")).persist()
+        if tomb is not None:
+            n_bad = docs.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} doc_ids were previously retracted; retracted ids "
+                    "must not be re-ingested (tombstones filter them out)"
+                )
         sig = batch_sh.groupBy("doc_id").agg(*_minhash_sig_cols())
         batch_bands = None
         for name, expr in _band_exprs():
@@ -187,8 +461,28 @@ class MinHashLshIndex:
             )
         batch_bands = batch_bands.persist()
 
-        stored_bands = self._read_append(
-            "bands", "doc_id long, band_id string, sig string"
+        # stored-band read pruned to the batch's band-signature buckets.
+        # ONE job derives every batch-side bucket set (bands + df): the
+        # per-job scheduling floor dominates at micro-batch scale, so
+        # fusing the bounded collects matters more than their row counts
+        tagged = (
+            batch_bands.select(
+                F.lit("band").alias("t"), self._band_bucket().alias("b")
+            )
+            .unionByName(
+                batch_sh.select(
+                    F.lit("df").alias("t"), self._shingle_bucket().alias("b")
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        band_buckets = sorted(r["b"] for r in tagged if r["t"] == "band")
+        stored_bands = self._anti_docs(
+            self._read_append(
+                "bands", "doc_id long, band_id string, sig string", band_buckets
+            ),
+            tomb,
         )
         all_bands = stored_bands.unionByName(batch_bands)
 
@@ -210,11 +504,12 @@ class MinHashLshIndex:
             .persist()
         )
 
-        # df merge + cap-crossing detection
-        old_df = self._read_versioned("df", "shingle string, df long")
-        batch_df = batch_sh.groupBy("shingle").agg(
-            F.count("*").alias("bdf")
-        )
+        # df merge + cap-crossing detection, bucket-pruned: every batch
+        # shingle hashes into a touched bucket, and crossing requires a
+        # batch arrival, so the pruned read sees every possible crossing
+        df_buckets = sorted(r["b"] for r in tagged if r["t"] == "df")
+        old_df = self._cow_read("df", "shingle string, df long", df_buckets)
+        batch_df = batch_sh.groupBy("shingle").agg(F.count("*").alias("bdf"))
         merged = (
             old_df.join(batch_df, "shingle", "full_outer")
             .select(
@@ -228,26 +523,40 @@ class MinHashLshIndex:
             .persist()
         )
         # counting `crossing` doubles as the action that materializes
-        # merged's cache (the df write below reuses it), so the branch
-        # costs nothing extra — and in the COMMON no-crossing case it
-        # lets the whole re-verification subplan (two semi-joins, a
-        # broadcast, a union-distinct, the pairs anti-join — each a
-        # scheduled job at the local per-job floor) vanish entirely.
-        n_crossing = merged.filter(
+        # merged's cache (the df write below reuses it); in the COMMON
+        # no-crossing case the whole re-verification subplan vanishes.
+        crossing = merged.filter(
             (F.col("old_df") <= self.cap) & (F.col("new_df") > self.cap)
-        ).count()
-        stored_sh = self._read_append("shingles", "doc_id long, shingle string")
+        ).select("shingle")
+        n_crossing = crossing.count()
+
+        hot_old = self._cow_read("hot", "shingle string")
+        hot_new = (
+            hot_old.unionByName(crossing).distinct() if n_crossing else hot_old
+        )
+
         if n_crossing:
-            crossing = merged.filter(
-                (F.col("old_df") <= self.cap) & (F.col("new_df") > self.cap)
-            ).select("shingle")
-            # stored docs whose capped sets changed -> re-verify their cands
+            # RARE corpus-bounded step (module docstring): by-shingle
+            # lookup over the doc-bucketed shingle log to find stored
+            # docs whose capped sets changed
+            stored_sh_full = self._anti_docs(
+                self._read_append("shingles", "doc_id long, shingle string"),
+                tomb,
+            )
             affected_old = (
-                stored_sh.join(F.broadcast(crossing), "shingle")
+                stored_sh_full.join(F.broadcast(crossing), "shingle")
                 .select("doc_id")
                 .distinct()
             )
-            stored_cands = self._read_append("cands", "doc_a long, doc_b long")
+            stored_cands = self._anti_docs(
+                self._anti_docs(
+                    self._read_append("cands", "doc_a long, doc_b long"),
+                    tomb,
+                    "doc_a",
+                ),
+                tomb,
+                "doc_b",
+            )
             reverify = (
                 stored_cands.join(
                     F.broadcast(affected_old),
@@ -269,64 +578,47 @@ class MinHashLshIndex:
             reverify = None
             verify_set = new_cands  # already distinct + persisted
 
-        # exact-Jaccard verification over capped sets, restricted to the
-        # docs the verify set touches (delta-sized, never the corpus)
-        involved = (
-            verify_set.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(verify_set.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        all_sh = stored_sh.unionByName(batch_sh)
-        hot = merged.filter(F.col("new_df") > self.cap).select("shingle")
-        invol_sh = (
-            all_sh.join(F.broadcast(involved), "doc_id", "left_semi")
-            .join(F.broadcast(hot), "shingle", "left_anti")
-            .persist()
-        )
-        sizes = invol_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        # invol_sh is candidate-bounded (docs touched by the verify set,
-        # not the corpus), so BROADCAST both intersection sides: the
-        # whole verification collapses to map-side joins + one AQE-
-        # coalesced groupBy instead of a ladder of tiny shuffles (the
-        # per-ingest floor was ~8 s of stage scheduling at toy scale)
-        sha, shb = invol_sh.alias("sha"), invol_sh.alias("shb")
-        inter = (
-            verify_set.join(F.broadcast(sha), F.col("sha.doc_id") == F.col("doc_a"))
-            .join(
-                F.broadcast(shb),
-                (F.col("shb.doc_id") == F.col("doc_b"))
-                & (F.col("shb.shingle") == F.col("sha.shingle")),
+        # one job for the verify-side bucket sets: pairs-COW touched
+        # buckets (doc_a) and the involved-doc shingle buckets (both
+        # sides) — all bounded by n_buckets
+        vk = (
+            verify_set.select(
+                F.lit("a").alias("t"), self._doc_bucket("doc_a").alias("b")
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_shared"))
+            .unionByName(
+                verify_set.select(
+                    F.lit("b").alias("t"), self._doc_bucket("doc_b").alias("b")
+                )
+            )
+            .distinct()
+            .collect()
         )
-        sa, sb = sizes.alias("sa"), sizes.alias("sb")
-        jac = F.col("n_shared").cast("double") / (
-            F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-        )
-        verified = (
-            inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= self.threshold)
+        pair_buckets = sorted(r["b"] for r in vk if r["t"] == "a")
+        invol_buckets = sorted({r["b"] for r in vk})
+
+        verified, invol_sh = self._verified_pairs(
+            verify_set,
+            hot_new,
+            extra_sh=batch_sh,
+            excluded=tomb,
+            invol_buckets=invol_buckets,
         )
 
-        # pairs view: drop every re-examined key, add back the passers.
-        # With unique doc_ids, every NEW candidate touches a batch doc,
-        # so stored pairs can only collide with the REVERIFY keys — the
-        # anti-join exists only when re-verification does.
-        old_pairs = self.pairs()
+        # pairs view, bucket-COW: drop every re-examined key, add back
+        # the passers. With unique doc_ids, every NEW candidate touches
+        # a batch doc, so stored pairs can only collide with REVERIFY
+        # keys. Touched buckets come from the re-examined keys' doc_a.
+        old_pairs_t = self._cow_read(
+            "pairs", "doc_a long, doc_b long, jaccard double", pair_buckets
+        )
         kept = (
-            old_pairs.join(
+            old_pairs_t.join(
                 F.broadcast(reverify), ["doc_a", "doc_b"], "left_anti"
             )
             if reverify is not None
-            else old_pairs
+            else old_pairs_t
         )
         new_pairs = kept.unionByName(verified)
-        # no pinning action needed before the appends: _read_append is
-        # snapshot-pinned to the files present at plan time, so a
-        # recompute during the writes below cannot see appended rows
 
         # bookkeeping counts (candidate-bounded frames only; skippable —
         # each is an extra job, and a bench-timed ingest wants the floor)
@@ -334,36 +626,240 @@ class MinHashLshIndex:
         if collect_metrics:
             metrics.update(
                 new_candidates=new_cands.count(),
-                reverified_candidates=reverify.count() if reverify is not None else 0,
+                reverified_candidates=reverify.count()
+                if reverify is not None
+                else 0,
+                touched_df_buckets=len(df_buckets),
+                touched_pair_buckets=len(pair_buckets),
             )
 
-        # commit: write the new view versions FIRST (their plans read the
-        # snapshot-pinned stored state — appending before writing them
-        # would race a recompute against the updated directories), then
-        # append the immutable tables, then flip the manifest (readers
-        # of the old version unaffected)
-        merged.select("shingle", F.col("new_df").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(self._versioned("df", new_version))
-        new_pairs.write.mode("overwrite").parquet(
-            self._versioned("pairs", new_version)
+        # commit: write the new COW versions FIRST (their plans read the
+        # snapshot-pinned stored state), then append the immutable logs,
+        # then flip the manifest (readers of the old version unaffected)
+        tables = dict(man.get("tables", {}))
+        self._cow_write(
+            "df",
+            merged.select("shingle", F.col("new_df").alias("df")),
+            self._shingle_bucket(),
+            df_buckets,
+            new_version,
         )
-        batch_sh.write.mode("append").parquet(self._append_dir("shingles"))
-        batch_bands.write.mode("append").parquet(self._append_dir("bands"))
-        new_cands.write.mode("append").parquet(self._append_dir("cands"))
+        tables["df"] = new_version
+        if n_crossing:
+            hot_buckets = self._bucket_set(crossing, self._shingle_bucket())
+            hot_rows = self._cow_read(
+                "hot", "shingle string", hot_buckets
+            ).unionByName(crossing).distinct()
+            self._cow_write(
+                "hot", hot_rows, self._shingle_bucket(), hot_buckets, new_version
+            )
+            tables["hot"] = new_version
+        if pair_buckets or self._cow_version("pairs") == 0:
+            self._cow_write(
+                "pairs", new_pairs, self._doc_bucket("doc_a"), pair_buckets,
+                new_version,
+            )
+            tables["pairs"] = new_version
+        self._append("shingles", batch_sh, self._doc_bucket())
+        self._append("bands", batch_bands, self._band_bucket())
+        self._append("cands", new_cands)
         self._commit(
-            {"version": new_version, "n_docs": man["n_docs"] + metrics["batch_docs"]}
+            {
+                "version": new_version,
+                "n_docs": man["n_docs"] + metrics["batch_docs"],
+                "tables": tables,
+            }
         )
         to_release = [batch_sh, batch_bands, new_cands, merged, invol_sh]
         if reverify is not None:
             to_release += [reverify, verify_set]
         for f in to_release:
             f.unpersist()
-        # retire superseded view versions (keep current + previous)
-        for name in ("df", "pairs"):
-            stale = self._versioned(name, new_version - 2)
-            if os.path.exists(stale):
-                shutil.rmtree(stale, ignore_errors=True)
+        self._retire_cow_versions()
+        return metrics
+
+    def retract(self, doc_ids, collect_metrics: bool = True) -> dict:
+        """Remove documents from the index: tombstone their ids, shrink
+        their shingles' df, maintain the hot set across DOWN-crossings,
+        drop their pairs, and re-verify exactly the stored candidates
+        whose capped sets a down-crossing changed. The maintained view
+        afterwards equals a fresh build on the surviving docs (property
+        test). ``doc_ids``: list[int] or a (doc_id) DataFrame."""
+        spark = self.spark
+        man = self._manifest()
+        new_version = man["version"] + 1
+        tomb = self._tombstones()
+
+        if isinstance(doc_ids, DataFrame):
+            req = doc_ids.select("doc_id").distinct()
+        else:
+            req = spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        r = self._anti_docs(req, tomb).persist()  # idempotent re-retract
+        n_retract = r.count()
+        metrics = {"version": new_version, "retracted_docs": n_retract}
+        if n_retract == 0:
+            r.unpersist()
+            metrics["version"] = man["version"]
+            return metrics
+        excluded = r if tomb is None else tomb.unionByName(r)
+
+        # retracted docs' shingles: doc-bucket-pruned log read
+        r_buckets = self._bucket_set(r, self._doc_bucket())
+        r_sh = (
+            self._read_append("shingles", "doc_id long, shingle string", r_buckets)
+            .join(F.broadcast(r), "doc_id", "left_semi")
+            .persist()
+        )
+        dec = r_sh.groupBy("shingle").agg(F.count("*").alias("ddf"))
+
+        # df decrement over the touched shingle buckets only
+        df_buckets = self._bucket_set(dec, self._shingle_bucket())
+        old_df = self._cow_read("df", "shingle string, df long", df_buckets)
+        merged = (
+            old_df.join(dec, "shingle", "left")
+            .select(
+                "shingle",
+                (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("new_df"),
+                F.col("df").alias("old_df"),
+            )
+            .persist()
+        )
+        crossing_down = merged.filter(
+            (F.col("old_df") > self.cap)
+            & (F.col("new_df") <= self.cap)
+            & (F.col("new_df") > 0)  # vanished shingles touch no survivor
+        ).select("shingle")
+        n_crossing = crossing_down.count()
+
+        hot_old = self._cow_read("hot", "shingle string")
+        hot_new = (
+            hot_old.join(F.broadcast(crossing_down), "shingle", "left_anti")
+            if n_crossing
+            else hot_old
+        )
+
+        if n_crossing:
+            # rare by-shingle lookup (same amortized shape as ingest's
+            # up-crossing path)
+            stored_sh_full = self._anti_docs(
+                self._read_append("shingles", "doc_id long, shingle string"),
+                excluded,
+            )
+            affected = (
+                stored_sh_full.join(F.broadcast(crossing_down), "shingle")
+                .select("doc_id")
+                .distinct()
+            )
+            stored_cands = self._anti_docs(
+                self._anti_docs(
+                    self._read_append("cands", "doc_a long, doc_b long"),
+                    excluded,
+                    "doc_a",
+                ),
+                excluded,
+                "doc_b",
+            )
+            reverify = (
+                stored_cands.join(
+                    F.broadcast(affected),
+                    stored_cands.doc_a == affected.doc_id,
+                    "left_semi",
+                )
+                .unionByName(
+                    stored_cands.join(
+                        F.broadcast(affected),
+                        stored_cands.doc_b == affected.doc_id,
+                        "left_semi",
+                    )
+                )
+                .distinct()
+                .persist()
+            )
+            verified, invol_sh = self._verified_pairs(
+                reverify, hot_new, extra_sh=None, excluded=excluded
+            )
+        else:
+            reverify, verified, invol_sh = None, None, None
+
+        # pairs: the view is output-sized, so locating rows that NAME a
+        # retracted doc reads it whole (doc_b's bucket is unknowable
+        # from doc_a's layout) — still orders below corpus I/O
+        all_pairs = self.pairs()
+        ra = r.withColumnRenamed("doc_id", "doc_a")
+        rb = r.withColumnRenamed("doc_id", "doc_b")
+        dropped = (
+            all_pairs.join(F.broadcast(ra), "doc_a", "left_semi")
+            .unionByName(all_pairs.join(F.broadcast(rb), "doc_b", "left_semi"))
+            .distinct()
+            .persist()
+        )
+        touched_keys = dropped.select("doc_a")
+        if reverify is not None:
+            touched_keys = touched_keys.unionByName(reverify.select("doc_a"))
+        pair_buckets = self._bucket_set(touched_keys, self._doc_bucket("doc_a"))
+
+        if collect_metrics:
+            metrics.update(
+                dropped_pairs=dropped.count(),
+                reverified_candidates=reverify.count()
+                if reverify is not None
+                else 0,
+                touched_df_buckets=len(df_buckets),
+                touched_pair_buckets=len(pair_buckets),
+            )
+
+        tables = dict(man.get("tables", {}))
+        self._cow_write(
+            "df",
+            merged.filter(F.col("new_df") > 0).select(
+                "shingle", F.col("new_df").alias("df")
+            ),
+            self._shingle_bucket(),
+            df_buckets,
+            new_version,
+        )
+        tables["df"] = new_version
+        if n_crossing:
+            hot_buckets = self._bucket_set(crossing_down, self._shingle_bucket())
+            hot_rows = self._cow_read("hot", "shingle string", hot_buckets).join(
+                F.broadcast(crossing_down), "shingle", "left_anti"
+            )
+            self._cow_write(
+                "hot", hot_rows, self._shingle_bucket(), hot_buckets, new_version
+            )
+            tables["hot"] = new_version
+        if pair_buckets:
+            old_pairs_t = self._cow_read(
+                "pairs", "doc_a long, doc_b long, jaccard double", pair_buckets
+            )
+            kept = old_pairs_t.join(F.broadcast(ra), "doc_a", "left_anti").join(
+                F.broadcast(rb), "doc_b", "left_anti"
+            )
+            if reverify is not None:
+                kept = kept.join(
+                    F.broadcast(reverify), ["doc_a", "doc_b"], "left_anti"
+                )
+                kept = kept.unionByName(verified)
+            self._cow_write(
+                "pairs", kept, self._doc_bucket("doc_a"), pair_buckets, new_version
+            )
+            tables["pairs"] = new_version
+        self._append("tombstones", r)
+        self._commit(
+            {
+                "version": new_version,
+                "n_docs": max(man["n_docs"] - n_retract, 0),
+                "tables": tables,
+            }
+        )
+        for f in (r, r_sh, merged, dropped):
+            f.unpersist()
+        for f in (reverify, invol_sh):
+            if f is not None:
+                f.unpersist()
+        self._retire_cow_versions()
         return metrics
 
 

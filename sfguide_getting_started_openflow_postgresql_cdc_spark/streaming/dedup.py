@@ -216,6 +216,181 @@ def neardup_filter_batch(
         sigs.unpersist()
 
 
+def neardup_filter_batch_indexed(
+    spark: SparkSession,
+    batch: DataFrame,
+    index,
+    commit_key: tuple[str, int] | None = None,
+) -> DataFrame:
+    """One incremental near-dup filtering step WRITING THROUGH the
+    maintained MinHash-LSH index (operators/dedup_index.py) — the
+    unified-state variant of :func:`neardup_filter_batch`. The legacy
+    filter keeps its own (band_id, sig, doc_id) store; that store and
+    ``MinHashLshIndex``'s bands table are the same state kept twice, so
+    batch dedup jobs and streaming admission could silently diverge.
+    Here admission reads the index's stored bands (bucket-pruned to the
+    batch's band signatures, tombstone-filtered) and survivors are
+    ``index.ingest``-ed — ONE source of truth: batch pairs, retraction
+    (CDC soft deletes via streaming/index_sync.py), and streaming
+    admission all see the same corpus.
+
+    Admission rule is the legacy filter's exactly: drop a doc that
+    band-collides with an already-accepted doc (any prior epoch, via
+    the index) or with a lower-doc_id doc in the same batch.
+
+    IDEMPOTENT per ``commit_key`` (run_key, epoch_id) under
+    at-least-once foreachBatch: ``index.ingest`` commits atomically
+    (manifest flips last), so a replayed epoch is detected either by
+    the recorded epoch watermark or by its doc_ids already being
+    stored; the replay then RE-DERIVES the accepted set (batch ids
+    present in the index, plus shingle-less docs — which can never
+    collide and are always admitted) instead of re-ingesting, so the
+    batch can neither collide with its own first attempt nor
+    double-count document frequencies."""
+    import json
+    import os
+    import uuid
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        _shingle_batch,
+    )
+
+    if commit_key is None:
+        commit_key = (uuid.uuid4().hex[:12], 0)
+    run_key, epoch_id = commit_key
+    epochs_path = os.path.join(index.dir, "stream_epochs.json")
+    applied: dict = {}
+    if os.path.exists(epochs_path):
+        applied = json.load(open(epochs_path))
+
+    batch = batch.persist()
+    batch_sh = _shingle_batch(batch.select("doc_id", "text")).persist()
+    try:
+        shingled_ids = batch_sh.select("doc_id").distinct()
+        # shingle-less docs (under 3 tokens) produce no bands: they can
+        # never collide, are always admitted, and leave no stored trace
+        # to re-derive from on replay — hence the explicit union below
+        bandless = batch.select("doc_id").join(
+            shingled_ids, "doc_id", "left_anti"
+        )
+
+        doc_buckets = index._bucket_set(
+            batch.select("doc_id"), index._doc_bucket()
+        )
+        stored_ids = (
+            index._read_append(
+                "shingles", "doc_id long, shingle string", doc_buckets
+            )
+            .select("doc_id")
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .distinct()
+        )
+        is_replay = applied.get(run_key, -1) >= epoch_id or bool(
+            stored_ids.limit(1).count()
+        )
+        if is_replay:
+            accepted_ids = stored_ids.unionByName(bandless)
+            accepted = batch.join(accepted_ids, "doc_id", "left_semi")
+        else:
+            sigs = _batch_band_signatures(batch).persist()
+            band_buckets = index._bucket_set(sigs, index._band_bucket())
+            stored = index._anti_docs(
+                index._read_append(
+                    "bands",
+                    "doc_id long, band_id string, sig string",
+                    band_buckets,
+                ),
+                index._tombstones(),
+            ).select("band_id", F.col("sig").alias("s_sig"))
+            hit_store = (
+                sigs.join(
+                    stored,
+                    (sigs.band_id == stored.band_id) & (sigs.sig == stored.s_sig),
+                )
+                .select(sigs.doc_id)
+                .distinct()
+            )
+            a, b = sigs.alias("a"), sigs.alias("b")
+            hit_batch = (
+                a.join(
+                    b,
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.doc_id") > F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            dropped = hit_store.unionByName(hit_batch).distinct()
+            accepted = batch.join(dropped, "doc_id", "left_anti")
+            if accepted.limit(1).count():
+                index.ingest(
+                    accepted.select("doc_id", "text"), collect_metrics=False
+                )
+            sigs.unpersist()
+        applied[run_key] = max(applied.get(run_key, -1), epoch_id)
+        tmp = epochs_path + ".tmp"
+        json.dump(applied, open(tmp, "w"))
+        os.replace(tmp, epochs_path)
+        return accepted
+    finally:
+        batch_sh.unpersist()
+        batch.unpersist()
+
+
+def start_streaming_neardup_indexed(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "neardup_indexed_docs",
+    available_now: bool = True,
+    **index_kwargs,
+):
+    """Streaming near-dup ingest filter writing through the maintained
+    MinHash-LSH index — :func:`start_streaming_neardup` with the
+    signature store replaced by ``MinHashLshIndex`` at ``index_dir``
+    (one state for streaming admission AND batch dedup; see
+    :func:`neardup_filter_batch_indexed`)."""
+    import hashlib
+    import os
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        MinHashLshIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import (
+        DOCUMENTS,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    run_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    index = MinHashLshIndex(spark, index_dir, **index_kwargs)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        accepted = neardup_filter_batch_indexed(
+            spark, batch, index, commit_key=(run_key, int(epoch_id))
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"run={run_key}", f"epoch={int(epoch_id)}")
+        )
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_neardup(
     spark: SparkSession,
     source_dir: str,

@@ -107,6 +107,124 @@ def test_cap_crossing_can_retract_pairs(spark, tmp_path):
     assert (1, 2) in before and (1, 2) not in after
 
 
+def _df_bucket_files(idx, table="df"):
+    """{bucket: {fname: inode}} for the CURRENT version of a COW table."""
+    import os
+
+    v = idx._cow_version(table)
+    root = idx._cow_path(table, v)
+    out = {}
+    for name in os.listdir(root):
+        if not name.startswith("_IDX_BUCKET="):
+            continue
+        b = int(name.split("=", 1)[1])
+        d = os.path.join(root, name)
+        out[b] = {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_ingest_rewrites_only_touched_df_buckets(spark, tmp_path):
+    """Copy-on-write at bucket granularity (VERDICT r7 task 1): a small
+    second ingest must rewrite ONLY the df buckets its shingles hash
+    into; every other bucket's files in the new version are the SAME
+    inode (hard link) as the previous version — delta I/O, not a
+    corpus-wide df rewrite."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    idx.ingest(docs.filter(F.col("doc_id") < 400))
+    before = _df_bucket_files(idx)
+    assert len(before) > 4, "base ingest should populate many buckets"
+
+    # one tiny doc with an unseen vocabulary: few shingles, few buckets
+    m = idx.ingest(
+        spark.createDataFrame(
+            [(990001, "zq1 zq2 zq3 zq4 zq5")], "doc_id long, text string"
+        )
+    )
+    after = _df_bucket_files(idx)
+    assert m["touched_df_buckets"] < len(before) / 2
+    reused = rewritten = 0
+    for b, files in after.items():
+        prev = before.get(b)
+        if prev is not None and files == prev:  # same names AND inodes
+            reused += 1
+        else:
+            rewritten += 1
+    assert rewritten <= m["touched_df_buckets"]
+    assert reused >= len(before) - m["touched_df_buckets"] - 1
+    assert reused > rewritten, f"{reused} reused vs {rewritten} rewritten"
+
+
+def test_retract_equals_fresh_build_on_survivors(spark, tmp_path):
+    """Ingest/retract interleaving == fresh build on the surviving docs
+    — including when the retraction DOWN-crosses a hot shingle (capped
+    sets grow back; surviving pairs must re-verify in both directions).
+    Uses the cap-crossing corpus: the shared c-run goes hot at 4 docs
+    (cap=2) and must un-cross when two of them are retracted."""
+    base = "c1 c2 c3 c4 c5 c6 c7 c8"
+    mk = lambda i: f"{base} u{i} v{i} w{i}"  # noqa: E731
+    kw = dict(cap=2, threshold=0.5)
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+    idx.ingest(_mk_docs(spark, [(3, mk(3)), (4, mk(4))]))
+    # c-run now hot: (1,2) retracted from the view (cap-crossing test)
+    assert (1, 2) not in _pairs_dict(idx)
+
+    m = idx.retract([3, 4])
+    assert m["retracted_docs"] == 2
+    assert m["reverified_candidates"] > 0, "down-crossing must re-verify"
+    fresh = _fresh(spark, _mk_docs(spark, [(1, mk(1)), (2, mk(2))]), str(tmp_path), **kw)
+    got = _pairs_dict(idx)
+    assert got == fresh
+    # the c-run un-crossed: doc 1/2's capped sets regained the shared
+    # shingles, so their pair must REAPPEAR — the both-directions case
+    assert (1, 2) in got
+
+    # further ingest after a retraction still matches fresh (tombstones
+    # filter stored state on every read path)
+    idx.ingest(_mk_docs(spark, [(5, mk(5))]))
+    fresh2 = _fresh(
+        spark,
+        _mk_docs(spark, [(1, mk(1)), (2, mk(2)), (5, mk(5))]),
+        str(tmp_path),
+        **kw,
+    )
+    assert _pairs_dict(idx) == fresh2
+
+
+def test_retract_interleaved_on_real_docs(spark, tmp_path):
+    """Append/retract interleaving over the real documents table: after
+    each step the view equals a fresh build on the surviving set."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    b0 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    b1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    idx.ingest(b0)
+    idx.ingest(b1)
+    # retract half of batch 0
+    victims = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0) & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    ).select("doc_id")
+    idx.retract(victims)
+    surviving = b0.join(victims, "doc_id", "left_anti").unionByName(b1)
+    assert _pairs_dict(idx) == _fresh(spark, surviving, str(tmp_path))
+    # retract is idempotent; re-retracting is a no-op
+    m = idx.retract(victims)
+    assert m["retracted_docs"] == 0
+    # and a tombstoned id cannot be re-ingested
+    one = victims.limit(1).collect()[0]["doc_id"]
+    with pytest.raises(ValueError, match="retracted"):
+        idx.ingest(_mk_docs(spark, [(one, "a b c d")]))
+
+
 def test_crash_between_view_write_and_manifest_keeps_old_version(spark, tmp_path):
     """The manifest flips last: a reader against an index whose latest
     ingest died before the manifest commit sees the previous consistent

@@ -106,3 +106,130 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert nxt == set()  # 4 collides with accepted doc 1 via the store
+
+
+def test_indexed_streaming_filter_unifies_state(spark, tmp_path):
+    """Write-through variant (VERDICT r7 task 7): the streaming filter's
+    accepted-signature state IS the maintained MinHashLshIndex. After
+    streamed ingestion, (a) admission decisions match the legacy
+    filter's, (b) the index equals a fresh index built by batch-
+    ingesting the same accepted docs, (c) an epoch replay re-derives
+    the same accepted set without re-ingesting (no df double-count),
+    and (d) a CDC-style retraction through the SAME index frees the
+    slot for streaming admission — the one-source-of-truth property
+    the two-store design could not give."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        MinHashLshIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.dedup import (
+        neardup_filter_batch_indexed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    uniq = "one two three four five six seven eight nine ten " * 4
+    other = "red orange yellow green blue indigo violet umber black white " * 4
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+
+    b1 = spark.createDataFrame(
+        [doc(1, base), doc(2, base + " tailword"), doc(3, uniq)], DOCUMENTS
+    )
+    got1 = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(
+            spark, b1, idx, commit_key=("run0", 0)
+        ).collect()
+    }
+    assert got1 == {1, 3}  # 2: same-batch collision, higher id (legacy rule)
+
+    b2 = spark.createDataFrame([doc(4, base + " another"), doc(5, other)], DOCUMENTS)
+    got2 = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(
+            spark, b2, idx, commit_key=("run0", 1)
+        ).collect()
+    }
+    assert got2 == {5}  # 4 collides with accepted doc 1 via the INDEX
+
+    # (b) one source of truth: streamed index == batch-ingested index
+    fresh = MinHashLshIndex(spark, str(tmp_path / "fresh"))
+    fresh.ingest(b1.filter(F.col("doc_id").isin(1, 3)).select("doc_id", "text"))
+    fresh.ingest(b2.filter(F.col("doc_id").isin(5)).select("doc_id", "text"))
+    stored = lambda i: {  # noqa: E731
+        r["doc_id"]
+        for r in i._read_append("shingles", "doc_id long, shingle string")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert stored(idx) == stored(fresh) == {1, 3, 5}
+    pairs = lambda i: {  # noqa: E731
+        (r["doc_a"], r["doc_b"]) for r in i.pairs().collect()
+    }
+    assert pairs(idx) == pairs(fresh)
+
+    # (c) at-least-once replay of epoch 1: same accepted set, index
+    # version untouched (no re-ingest, no df double-count)
+    v_before = idx._manifest()["version"]
+    replay = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(
+            spark, b2, idx, commit_key=("run0", 1)
+        ).collect()
+    }
+    assert replay == got2
+    assert idx._manifest()["version"] == v_before
+
+    # (d) retraction reaches streaming admission: retract doc 1, and a
+    # near-dup of it is now admitted
+    idx.retract([1])
+    b3 = spark.createDataFrame([doc(6, base + " yetanother")], DOCUMENTS)
+    got3 = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(
+            spark, b3, idx, commit_key=("run0", 2)
+        ).collect()
+    }
+    assert got3 == {6}
+
+
+def test_indexed_streaming_e2e_query(spark, tmp_path):
+    """start_streaming_neardup_indexed drives the same write-through
+    filter from a real file-source streaming query."""
+    from pyspark.sql import Row
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        MinHashLshIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.dedup import (
+        start_streaming_neardup_indexed,
+    )
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    idx_dir, ckpt = tmp_path / "idx", tmp_path / "ckpt"
+    src.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    uniq = "one two three four five six seven eight nine ten " * 4
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    spark.createDataFrame(
+        [doc(1, base), doc(2, base + " tailword"), doc(3, uniq)], DOCUMENTS
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    q = start_streaming_neardup_indexed(
+        spark, str(src / "b1"), str(out), str(idx_dir), str(ckpt / "c1")
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 3}
+    idx = MinHashLshIndex(spark, str(idx_dir))
+    assert idx._manifest()["n_docs"] == 2

@@ -66,6 +66,7 @@ HEADLINE = [
     # sf, not the pinned-parity twins' knobs)
     "sim11_knn_graph_auto",
     "dd16_embedding_dups_auto",
+    "px13_exact_substring_spans",
 ]
 
 

@@ -52,6 +52,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd16_embedding_dups_auto",  # changed/new this round
     "px12_neardup_decontamination",  # changed/new this round
     "dd15_incremental_minhash_pairs",  # changed/new this round
+    "px13_exact_substring_spans",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -97,7 +98,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "d25_top_percent",  # latest green r5
     "dd10_containment_pairs",  # latest green r5
     "dd11_softdedup_weights",  # latest green r5
-    "dd8_semantic_dedup_groups",  # latest green r5
 ]
 
 

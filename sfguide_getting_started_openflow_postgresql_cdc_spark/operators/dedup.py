@@ -1741,3 +1741,133 @@ def dd14_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- px13: exact-substring dedup span manifests (Lee et al. 2022) ----------
+
+# Minimum repeated-run length, in tokens. The ExactSubstr recipe in
+# "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al., 2022) removes verbatim runs of >= 50 tokens repeated anywhere in
+# the corpus; dd9 only SIGNALS cross-doc n-gram repetition — this
+# operator produces the per-document REMOVED-SPAN manifest a curation
+# job actually applies.
+EXACT_SUBSTR_MIN_TOKENS = 50
+
+
+@query(
+    "px13_exact_substring_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+                 w[i+1:i+{EXACT_SUBSTR_MIN_TOKENS}], ' ')) AS g
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(greatest(
+                   len(w) - {EXACT_SUBSTR_MIN_TOKENS} + 1, 0))) AS i
+        FROM tok
+      )
+    ),
+    dup AS (SELECT g FROM starts GROUP BY g HAVING COUNT(*) > 1),
+    ds AS (SELECT doc_id, pos FROM starts SEMI JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos > prev + {EXACT_SUBSTR_MIN_TOKENS}
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM ds
+      )
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {EXACT_SUBSTR_MIN_TOKENS} - 1 AS BIGINT)
+               AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {EXACT_SUBSTR_MIN_TOKENS} AS BIGINT)
+               AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def px13_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring dedup span manifests — the Lee-et-al. ExactSubstr
+    recipe dd9 only signals: for every document, the maximal token spans
+    covered by a >= {K}-token run that appears verbatim MORE THAN ONCE
+    in the corpus (cross-doc or self-repeat, as in the paper). Output
+    (doc_id, span_start, span_end, span_tokens) is directly applicable:
+    drop those token ranges and every surviving >= {K}-token substring
+    is corpus-unique.
+
+    Spark-first reduction of the paper's suffix array: a repeated run of
+    length >= K is exactly the union of its repeated K-gram prefixes, so
+    (1) one ordered-window pass builds each position's K-gram (O(K) per
+    row — no per-position array slicing, which would be O(len^2) per
+    doc on long documents), hashed to md5 for a portable 128-bit
+    fingerprint; (2) a hash-shuffle groupBy finds grams occurring > 1
+    time (map-side partial counts); (3) a keyed semi-join marks covered
+    start positions; (4) a per-doc gaps-and-islands window merges
+    overlapping/adjacent covered intervals into maximal spans. Suffix
+    ORDERING is replaced by gram HASHING — same duplicated-run set, no
+    global sort, every stage either per-doc-windowed or keyed on the
+    gram hash: linear in corpus tokens at any scale.
+
+    K = EXACT_SUBSTR_MIN_TOKENS = {K} (the paper's 50)."""
+    from pyspark.sql.window import Window
+
+    K = EXACT_SUBSTR_MIN_TOKENS
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, K - 1)
+    )
+    grams = tok.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.concat_ws(" ", F.collect_list("w").over(wf))).alias("g"),
+        F.count("*").over(wf).alias("nf"),
+    )
+    starts = grams.filter(F.col("nf") == K).select("doc_id", "pos", "g")
+    dup = (
+        starts.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    ds = starts.join(dup, "g", "left_semi")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        ds.withColumn("prev", F.lag("pos").over(wo))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(F.col("pos") > F.col("prev") + K, 1).otherwise(0)
+            ).over(wo),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + K - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + K).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+    return spans
+
+
+px13_exact_substring_spans.__doc__ = px13_exact_substring_spans.__doc__.format(
+    K=EXACT_SUBSTR_MIN_TOKENS
+)

@@ -395,7 +395,11 @@ class SemanticModel:
 
         m = re.search(r"\b(?:by|per|for each|grouped by)\s+(.+)$", q)
         if m:
-            lt, rt = _toks(q[: m.start()]) - ftoks, _toks(m.group(1))
+            # filter-value tokens are consumed by the WHERE slot on BOTH
+            # sides: qualifiers trail as often as they lead ('billed
+            # amount by month for completed appointments')
+            lt = _toks(q[: m.start()]) - ftoks
+            rt = _toks(m.group(1)) - ftoks
             dim = self._resolve_column(rt, kinds={"dimension", "time_dimension"})
             if dim is not None:
                 dt, dcol = dim
@@ -423,25 +427,54 @@ class SemanticModel:
                             filters=filters,
                         )
                     )
-            elif rt & _BUCKET_WORDS and len(rt) == 1:
-                bucket = next(iter(rt))
+                # JOINED count: the left side names a different subject
+                # table related to the dimension's table ('appointments
+                # by specialty' counts appointments joined to doctors,
+                # grouped by doctors.specialty) — the combined-slot
+                # shape a filter qualifier composes with ('scheduled
+                # appointments by specialty')
+                subj = self._resolve_tables(lt)
+                if (
+                    len(subj) == 1
+                    and subj[0] != dt
+                    and not (lt - _COUNT_WORDS - _table_toks(subj[0]))
+                ):
+                    st = subj[0]
+                    self._rel_between(st, dt)  # must be joinable
+                    return _check_filters(
+                        TemplateRoute(
+                            "count_by_dimension", (st, dt), None, None,
+                            dcol, dt, filters=filters,
+                        )
+                    )
+            elif len(rt & _BUCKET_WORDS) == 1:
+                bucket = next(iter(rt & _BUCKET_WORDS))
+                # by-side tokens beyond the grain must be explained by
+                # the subject itself ('billed amount by month for
+                # completed appointments' leaves 'appointments' after
+                # the filter slot ate 'completed') — anything else is a
+                # qualifier we would silently drop, so refuse below
+                rest = rt - _BUCKET_WORDS
                 meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
                 if meas is not None:
                     mt, mcol = meas
-                    fam = (
-                        "avg_measure_by_time_bucket"
-                        if lt & _AVG_WORDS
-                        else "measure_by_time_bucket"
-                    )
-                    return _check_filters(
-                        TemplateRoute(
-                            fam, (mt,), mcol, mt, _first_time_dim(mt), mt,
-                            filters=filters, bucket=bucket,
+                    if not (rest - _table_toks(mt)):
+                        fam = (
+                            "avg_measure_by_time_bucket"
+                            if lt & _AVG_WORDS
+                            else "measure_by_time_bucket"
                         )
-                    )
+                        return _check_filters(
+                            TemplateRoute(
+                                fam, (mt,), mcol, mt, _first_time_dim(mt), mt,
+                                filters=filters, bucket=bucket,
+                            )
+                        )
                 subj = self._resolve_tables(lt)
-                if len(subj) == 1 and not (
-                    lt - _COUNT_WORDS - _table_toks(subj[0])
+                if (
+                    len(subj) == 1
+                    and not (lt - _COUNT_WORDS - _table_toks(subj[0]))
+                    and not (rest - _table_toks(subj[0]))
                 ):
                     t = subj[0]
                     return _check_filters(
@@ -472,6 +505,27 @@ class SemanticModel:
                                 filters=filters,
                             )
                         )
+                    # 'top N <entity table> by <measure>' ('top 5
+                    # doctors by revenue'): group the measure on its
+                    # declared FK to the named table — the top-N slot
+                    # composed with the r7 FK-entity grouping. The
+                    # catalog cannot express LIMIT, so the template
+                    # fires even without a filter qualifier.
+                    gtabs = self._resolve_tables(lt - {"top"})
+                    if len(gtabs) == 1 and not (
+                        lt - {"top"} - _table_toks(gtabs[0])
+                    ):
+                        gt = gtabs[0]
+                        mt, mcol = meas
+                        if mt != gt:
+                            ak, _bk = self._rel_between(mt, gt)
+                            return _check_filters(
+                                TemplateRoute(
+                                    "top_dimension_by_measure", (mt,), mcol,
+                                    mt, ak, mt, limit=int(top.group(1)),
+                                    filters=filters,
+                                )
+                            )
                 # 'by <table>': group the subject on its declared FK to
                 # that table ('completed appointments by doctor').
                 # Gated on a FILTER being present: an enum qualifier is
@@ -481,15 +535,28 @@ class SemanticModel:
                 # what the catalog covers, and falls through to the
                 # verified router (the catalog-first contract the r5
                 # routing tests pin).
+                # (a top-N slot also unlocks the branch: LIMIT is
+                # inexpressible in the blessed catalog, same rationale
+                # as the filter gate)
                 group_tabs = self._resolve_tables(rt)
-                if filters and len(group_tabs) == 1 and not (
+                if (filters or top) and len(group_tabs) == 1 and not (
                     rt - _table_toks(group_tabs[0])
                 ):
                     gt = group_tabs[0]
-                    meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
+                    meas = self._resolve_column(
+                        lt - _AVG_WORDS - {"top"}, kinds={"fact"}
+                    )
                     if meas is not None:
                         mt, mcol = meas
                         ak, _bk = self._rel_between(mt, gt)
+                        if top:
+                            return _check_filters(
+                                TemplateRoute(
+                                    "top_dimension_by_measure", (mt,), mcol,
+                                    mt, ak, mt, limit=int(top.group(1)),
+                                    filters=filters,
+                                )
+                            )
                         fam = (
                             "avg_measure_by_dimension"
                             if lt & _AVG_WORDS
@@ -591,6 +658,23 @@ class SemanticModel:
             t = route.tables[0]
             return live(t).agg(F.count("*").alias(f"total_{t}"))
         if route.family == "count_by_dimension":
+            subject, dt = route.tables[0], route.dimension_table
+            if subject != dt:
+                # joined count: count SUBJECT rows grouped by a
+                # dimension on the related entity table (broadcast the
+                # dimension side — entity tables are the small side)
+                ak, bk = self._rel_between(subject, dt)
+                s_side, d_side = live(subject).alias("m"), live(dt).alias("d")
+                return (
+                    s_side.join(
+                        F.broadcast(d_side), F.col(f"m.{ak}") == F.col(f"d.{bk}")
+                    )
+                    .groupBy(
+                        F.col(f"d.{route.dimension}").alias(route.dimension)
+                    )
+                    .agg(F.count("*").alias("n"))
+                    .orderBy(F.col("n").desc(), route.dimension)
+                )
             return (
                 live(route.dimension_table)
                 .groupBy(route.dimension)

@@ -426,3 +426,85 @@ def test_template_time_bucket_family(spark, model, replicas):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         model.route_template("appointments by fortnight")
+
+
+def test_template_combined_slots(spark, model, replicas):
+    """r8 (VERDICT r7 task 5): slots COMPOSE — WHERE-filter + time
+    bucket, filter + joined entity dimension, top-N + FK grouping —
+    while refusal discipline, catalog-first precedence for unqualified
+    questions, and the explain_route audit surface stay intact."""
+    # filter + time bucket
+    kind, t = model.route("completed appointments by month")
+    assert kind == "template" and t.family == "count_by_time_bucket"
+    assert t.filters == (("appointments", "status", "completed"),)
+    assert t.bucket == "month"
+    got = {str(r["month"]): r["n"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {str(r["m"]): r["n"]
+            for r in replicas["appointments"]
+            .filter((F.col("status") == "completed")
+                    & (~F.col(schemas.META_DELETED)))
+            .groupBy(F.trunc("appointment_date", "month").alias("m"))
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    # filter + JOINED dimension: count subject rows grouped by a
+    # dimension on the related entity table
+    kind, t = model.route("scheduled appointments by specialty")
+    assert kind == "template" and t.family == "count_by_dimension"
+    assert t.tables == ("appointments", "doctors")
+    assert (t.dimension_table, t.dimension) == ("doctors", "specialization")
+    assert t.filters == (("appointments", "status", "scheduled"),)
+    got = {r["specialization"]: r["n"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    a, d = replicas["appointments"].alias("a"), replicas["doctors"].alias("d")
+    want = {r["specialization"]: r["n"]
+            for r in a.filter((F.col("status") == "scheduled")
+                              & (~F.col(f"a.{schemas.META_DELETED}")))
+            .join(d.filter(~F.col(f"d.{schemas.META_DELETED}")),
+                  F.col("a.doctor_id") == F.col("d.doctor_id"))
+            .groupBy(F.col("d.specialization").alias("specialization"))
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    # top-N + FK entity grouping (inverse grammar), no filter needed —
+    # LIMIT is inexpressible in the catalog, so the template wins
+    kind, t = model.route("top 5 doctors by revenue")
+    assert kind == "template" and t.family == "top_dimension_by_measure"
+    assert (t.dimension_table, t.dimension) == ("visits", "doctor_id")
+    assert t.limit == 5
+    rows = model.run_template(t, spark, replicas).collect()
+    assert 0 < len(rows) <= 5
+    want = (replicas["visits"].filter(~F.col(schemas.META_DELETED))
+            .groupBy("doctor_id")
+            .agg(F.sum("total_charge").alias("total_total_charge"))
+            .orderBy(F.col("total_total_charge").desc_nulls_last(), "doctor_id")
+            .limit(5).collect())
+    assert [r["doctor_id"] for r in rows] == [r["doctor_id"] for r in want]
+
+    # top-N through the direct-grammar FK branch too
+    kind, t = model.route("top 3 revenue by doctor")
+    assert kind == "template" and t.limit == 3
+
+    # measure + bucket with a trailing subject qualifier the filter
+    # slot consumed ('for completed visits' style) — by-side leftovers
+    # must be explained by the subject, else refuse
+    kind, t = model.route("average billed amount by month")
+    assert kind == "template" and t.family == "avg_measure_by_time_bucket"
+
+    # audit surface carries the combination
+    ex = model.explain_route("scheduled appointments by specialty")
+    assert ex["kind"] == "template"
+    assert ex["filters"] == ["appointments.status = 'scheduled'"]
+    assert ex["tables"] == ["appointments", "doctors"]
+
+    # refusal discipline survives the new branches
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template("top 5 doctors by shoe size")
+    with _pytest.raises(KeyError):  # filter table not read by the route
+        model.route_template("completed billed amount by week")
+    # catalog-first: unqualified entity question still routes verified
+    assert model.route("billed amount per physician") == (
+        "verified", "revenue_by_doctor",
+    )

@@ -37,6 +37,7 @@ CHANGED_SINCE_GREEN = [
     "dd16_embedding_dups_auto",  # r8: NEW (corpus-adaptive dup pairs entry)
     "px12_neardup_decontamination",  # r8: train-side sizes semi-join before broadcast
     "dd15_incremental_minhash_pairs",  # r8: bucketed copy-on-write index state
+    "px13_exact_substring_spans",  # r8: NEW (Lee-et-al exact-substring manifests)
 ]
 
 

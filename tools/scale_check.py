@@ -124,7 +124,11 @@ def main() -> None:
              "mm7_audio_frame_energy",
              # similarity side at 10x vectors (dim-rotated replicas)
              "sim6_knn_graph", "sim7_kmeans_assign", "dd6_embedding_cosine_dups",
-             "sim10_knn_graph_scaled", "dd6_embedding_cosine_dups_scaled"]
+             "sim10_knn_graph_scaled", "dd6_embedding_cosine_dups_scaled",
+             # r8: the corpus-adaptive entry points — geometry re-derives
+             # at each scale, so the ratio measures the occupancy-constant
+             # claim end-to-end (bits grow, bucket occupancy doesn't)
+             "sim11_knn_graph_auto", "dd16_embedding_dups_auto"]
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass
@@ -141,6 +145,13 @@ def main() -> None:
         t_merge = bench._bench_cdc_merge(spark, sf_dir)
         result.setdefault("cdc_merge_10pct_churn", {})[sf_tag] = round(
             t_merge, 3
+        )
+        # r8: maintained-index delta ingest at 10x corpus (fresh index +
+        # fresh shingle pass per scale — CLAUDE.md cache rule)
+        clear_dedup_cache()
+        t_ing = bench._bench_incremental_dedup(spark, sf_dir)
+        result.setdefault("dd15_ingest_10pct_delta", {})[sf_tag] = round(
+            t_ing, 3
         )
     for name, r in result.items():
         r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)

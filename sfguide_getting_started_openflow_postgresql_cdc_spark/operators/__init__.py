@@ -46,13 +46,19 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
 ]
-
 _NEEDS_EVIDENCE_FIRST = [
     "sim11_knn_graph_auto",  # changed/new this round
     "dd16_embedding_dups_auto",  # changed/new this round
     "px12_neardup_decontamination",  # changed/new this round
     "dd15_incremental_minhash_pairs",  # changed/new this round
     "px13_exact_substring_spans",  # changed/new this round
+    "px14_exact_substring_decontamination",  # changed/new this round
+    "c18_important_parts",  # changed/new this round
+    "c19_top_supplier",  # changed/new this round
+    "c20_bracketed_revenue",  # changed/new this round
+    "c21_supplier_diversity",  # changed/new this round
+    "c22_sole_late_supplier",  # changed/new this round
+    "mm9_image_neardup_pairs",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -91,13 +97,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "h14_date_trunc_hour",  # latest green r4
     "h21_regexp_extract",  # latest green r4
     "h28_array_functions",  # latest green r4
-    "h2_h3_round_nullif",  # latest green r4
-    "a5_generate_series",  # latest green r5
-    "b1_project_filter",  # latest green r5
-    "c10_salted_skew_join",  # latest green r5
-    "d25_top_percent",  # latest green r5
-    "dd10_containment_pairs",  # latest green r5
-    "dd11_softdedup_weights",  # latest green r5
 ]
 
 

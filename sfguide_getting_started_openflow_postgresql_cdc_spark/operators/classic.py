@@ -379,3 +379,276 @@ def c17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (promo / total * F.lit(100.0)).alias("promo_share_pct"),
         )
     )
+
+
+@query(
+    "c18_important_parts",
+    oracle="""
+    WITH tot AS (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS t
+      FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.l_partkey,
+           CAST(p.rev AS DOUBLE) AS part_revenue,
+           CAST(p.rev AS DOUBLE) / CAST(tot.t AS DOUBLE) AS revenue_share
+    FROM per_part p, tot
+    WHERE p.rev > tot.t * CAST(0.001 AS DECIMAL(6,3))
+    """,
+)
+def c18_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups whose aggregate exceeds a FRACTION of
+    the global aggregate (the 'important stock' report, adapted to the
+    star schema's lineitem revenue since the testdata has no partsupp).
+    The global total is a driver-collected scalar (ONE exact Decimal —
+    the c16 bounded-reduction pattern; the alternative scalar subquery
+    is a single-row broadcast nested loop the plan gate forbids); the
+    threshold comparison runs in EXACT decimal on both engines
+    (collected Decimal x Decimal('0.001') is exact, as is DuckDB's
+    decimal multiply), so no round-trip through doubles can flip a
+    borderline group. One fact shuffle: the per-part pre-aggregation."""
+    import decimal
+
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.sum(_disc_price()).alias("t")).first()["t"]
+    threshold = total * decimal.Decimal("0.001")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev"))
+    return per_part.filter(F.col("rev") > F.lit(threshold)).select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("part_revenue"),
+        (F.col("rev").cast("double") / F.lit(float(total))).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@query(
+    "c19_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def c19_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) whose windowed revenue equals
+    the GLOBAL maximum (ties kept, per the spec's view formulation).
+    The per-supplier pre-aggregation is persisted and reused for both
+    the max probe and the filter — one fact scan, one shuffle; the max
+    is a driver-collected scalar compared in EXACT decimal, so a
+    tie at the top survives on both engines bit-for-bit. Supplier dim
+    joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total"))
+    rev = rev.persist()
+    best = rev.agg(F.max("total").alias("m")).first()["m"]
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    out = (
+        rev.filter(F.col("total") == F.lit(best))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+    return out
+
+
+@query(
+    "c20_bracketed_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def c20_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under DISJUNCTIVE bracket predicates
+    (brand x size-range x quantity-range, OR-ed). The part side of
+    every bracket is pushed below the broadcast join (Catalyst derives
+    `p_brand IN (...)` + size bounds from the OR and prunes the dim
+    before the build side ships); the residual mixed predicate stays in
+    the join filter. One broadcast join, zero fact shuffles before the
+    final scalar aggregate."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "c21_supplier_diversity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN ok_supp s ON s.s_suppkey = pr.l_suppkey
+    JOIN part p    ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type NOT LIKE 'PROMO%'
+    GROUP BY 1, 2, 3
+    """,
+)
+def c21_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many DISTINCT suppliers can provide each
+    part group, excluding flagged suppliers (the NOT IN subquery,
+    expressed as a pre-filtered semi join — c9 convention) and excluded
+    part families (negated predicates pushed to the broadcast dim).
+    The supplier-part relation comes from lineitem (the testdata has no
+    partsupp): deduped FIRST so the distinct-count shuffle moves one
+    row per (part, supplier), never raw fact rows."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    ok_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .select("s_suppkey")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & ~F.col("p_type").like("PROMO%")
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(ok_supp, pairs.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .join(part, pairs.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "c22_sole_late_supplier",
+    oracle="""
+    WITH pair AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(late) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS lone_late
+      FROM pair GROUP BY 1
+    ),
+    waits AS (
+      SELECT lone_late AS suppkey, COUNT(*) AS numwait
+      FROM per_order WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+    FROM waits w JOIN supplier s ON s.s_suppkey = w.suppkey
+    """,
+)
+def c22_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — 'suppliers who kept orders waiting': for each
+    finished multi-supplier order, the supplier who was the ONLY late
+    one (EXISTS another supplier on the order / NOT EXISTS another LATE
+    supplier — the spec's double-correlated-subquery pair). Late is
+    adapted to the star schema's columns: shipped more than 90 days
+    after the order date (the testdata has no receipt/commit dates).
+
+    Decorrelation (Spark-first): both EXISTS collapse into ONE
+    per-order aggregate over deduped (order, supplier, late) rows —
+    `n_supp >= 2 AND n_late = 1`, with the culprit recovered as
+    `MAX(CASE WHEN late...)`, exact because the filter pins exactly one
+    late supplier per qualifying order. Scale shape: the fact->orders
+    join, the pair dedup, and the per-order aggregate ALL hash on
+    l_orderkey, so Catalyst reuses one exchange for the three steps;
+    the final per-supplier count shuffles pre-aggregated rows and the
+    supplier dim broadcasts. Timestamps compare exactly (TIMESTAMP_NTZ
+    + whole-day interval) on both engines."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    pair = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "lone_late"
+        ),
+    )
+    waits = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("lone_late")
+        .agg(F.count("*").alias("numwait"))
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return waits.join(supp, waits.lone_late == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", F.col("numwait").cast("long").alias("numwait")
+    )

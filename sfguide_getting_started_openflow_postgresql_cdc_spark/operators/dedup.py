@@ -1871,3 +1871,120 @@ def px13_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 px13_exact_substring_spans.__doc__ = px13_exact_substring_spans.__doc__.format(
     K=EXACT_SUBSTR_MIN_TOKENS
 )
+
+
+@query(
+    "px14_exact_substring_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+                 w[i+1:i+{EXACT_SUBSTR_MIN_TOKENS}], ' ')) AS g
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(greatest(
+                   len(w) - {EXACT_SUBSTR_MIN_TOKENS} + 1, 0))) AS i
+        FROM tok
+      )
+    ),
+    bench AS (SELECT DISTINCT g FROM starts WHERE doc_id % 100 < 2),
+    ds AS (
+      SELECT doc_id, pos FROM starts
+      WHERE doc_id % 100 >= 2 AND g IN (SELECT g FROM bench)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos > prev + {EXACT_SUBSTR_MIN_TOKENS}
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM ds
+      )
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {EXACT_SUBSTR_MIN_TOKENS} - 1 AS BIGINT)
+               AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {EXACT_SUBSTR_MIN_TOKENS} AS BIGINT)
+               AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def px14_exact_substring_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-substring eval decontamination — px13's machinery run
+    BIPARTITE (train grams vs benchmark grams), the verbatim-leak twin
+    of px12's near-dup audit: for every TRAIN document (doc_id%100>=2,
+    the px4/px8/px12 split convention), the maximal token spans whose
+    >= {K}-token runs appear VERBATIM in any benchmark doc
+    (doc_id%100<2). Dropping the spans removes every benchmark quote of
+    >= {K} tokens from the training set while keeping the rest of the
+    document — span surgery instead of px8's whole-doc flag.
+
+    Scale shape: the benchmark side is eval-suite-sized, so its
+    DISTINCT gram hashes are BROADCAST and the 100 TB train side is
+    never shuffled on gram — candidate marking is a map-side semi join;
+    the only train-side exchanges are the per-doc windows (gram build,
+    islands merge), both partitioned by doc_id. K =
+    EXACT_SUBSTR_MIN_TOKENS = {K}."""
+    from pyspark.sql.window import Window
+
+    K = EXACT_SUBSTR_MIN_TOKENS
+    is_bench = F.col("doc_id") % 100 < 2
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, K - 1)
+    )
+    grams = tok.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.concat_ws(" ", F.collect_list("w").over(wf))).alias("g"),
+        F.count("*").over(wf).alias("nf"),
+    ).filter(F.col("nf") == K)
+    bench = grams.filter(is_bench).select("g").distinct()
+    ds = (
+        grams.filter(~is_bench)
+        .select("doc_id", "pos", "g")
+        .join(F.broadcast(bench), "g", "left_semi")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        ds.withColumn("prev", F.lag("pos").over(wo))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(F.col("pos") > F.col("prev") + K, 1).otherwise(0)
+            ).over(wo),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + K - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + K).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+px14_exact_substring_decontamination.__doc__ = (
+    px14_exact_substring_decontamination.__doc__.format(
+        K=EXACT_SUBSTR_MIN_TOKENS
+    )
+)

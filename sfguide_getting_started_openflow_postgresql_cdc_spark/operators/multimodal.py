@@ -556,9 +556,7 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm6_image_ahash",
-    oracle="""
+MM6_ORACLE = """
     WITH d AS (
       SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
       FROM documents WHERE doc_id % 2 = 0
@@ -583,22 +581,13 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                           END, '' ORDER BY p.y, p.x)) AS ahash
     FROM px p JOIN tot t ON t.doc_id = p.doc_id
     GROUP BY p.doc_id
-    """,
-)
-def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCEPTUAL image hashing (average-hash) over REAL decoded pixels:
-    parse the BMP container (header offsets, bottom-up rows, stride
-    padding — the same byte layout ``_make_media_decoder`` walks),
-    grayscale each pixel (channel sum — order-free), and emit one bit
-    per pixel for gray > image mean; md5 of the bit string is the
-    portable fixed-width hash id. The compare is integer-exact
-    (``g3 * n_pixels > total``), so the hash is bit-identical in any
-    engine — the oracle recomputes it from the closed-form pixel
-    definition, catching any decode/stride/orientation bug. This is the
-    image near-dup primitive: identical aHash -> duplicate candidates,
-    hamming distance on the bit string -> near-dups (dd5's SimHash
-    machinery downstream). Arrow-batched mapInPandas; payload bytes
-    never leave the executors."""
+    """
+
+
+def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal: the per-image aHash BIT STRING frame (doc_id, width,
+    height, n_above, bits) mm6 publishes (md5-condensed) and mm9 bands
+    for hamming near-dups. One decode pass, no shuffle."""
 
     def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -634,11 +623,28 @@ def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     imgs = synthesize_media_payloads(docs).filter(F.col("kind") == "bmp")
-    hashed = imgs.select("doc_id", "payload").mapInPandas(
+    return imgs.select("doc_id", "payload").mapInPandas(
         _ahash,
         schema="doc_id long, width long, height long, n_above long, bits string",
     )
-    return hashed.select(
+
+
+@query("mm6_image_ahash", oracle=MM6_ORACLE)
+def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image hashing (average-hash) over REAL decoded pixels:
+    parse the BMP container (header offsets, bottom-up rows, stride
+    padding — the same byte layout ``_make_media_decoder`` walks),
+    grayscale each pixel (channel sum — order-free), and emit one bit
+    per pixel for gray > image mean; md5 of the bit string is the
+    portable fixed-width hash id. The compare is integer-exact
+    (``g3 * n_pixels > total``), so the hash is bit-identical in any
+    engine — the oracle recomputes it from the closed-form pixel
+    definition, catching any decode/stride/orientation bug. This is the
+    image near-dup primitive: identical aHash -> duplicate candidates
+    (mm8), hamming distance on the bit string -> near-dups (mm9).
+    Arrow-batched mapInPandas; payload bytes never leave the
+    executors."""
+    return _image_ahash_bits(spark, sf_dir).select(
         "doc_id", "width", "height", "n_above", F.md5("bits").alias("ahash")
     )
 
@@ -780,3 +786,148 @@ def mm8_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+IMG_HAM_PCT_DEN = 4  # near-dup when hamming <= n_bits/4 (25% of pixels)
+
+
+@query(
+    "mm9_image_neardup_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    pk AS (SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d),
+    px AS (
+      SELECT doc_id, w, h, k % w AS x, k // w AS y,
+             ((k % w) + (k // w) + 0 + doc_id) % 256
+           + ((k % w) + (k // w) + 1 + doc_id) % 256
+           + ((k % w) + (k // w) + 2 + doc_id) % 256 AS g3
+      FROM pk
+    ),
+    tot AS (
+      SELECT doc_id, SUM(g3) AS total, COUNT(*) AS np FROM px GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT p.doc_id, MAX(p.w) AS w, MAX(p.h) AS h,
+             string_agg(CASE WHEN p.g3 * t.np > t.total THEN '1' ELSE '0'
+                        END, '' ORDER BY p.y, p.x) AS bits
+      FROM px p JOIN tot t ON t.doc_id = p.doc_id
+      GROUP BY p.doc_id
+    ),
+    cls AS (
+      SELECT w, h, bits, MIN(doc_id) AS can, COUNT(*) AS n
+      FROM per_doc GROUP BY w, h, bits
+    )
+    SELECT CAST(a.w AS BIGINT) AS width, CAST(a.h AS BIGINT) AS height,
+           a.can AS doc_a, b.can AS doc_b,
+           CAST(a.n AS BIGINT) AS n_members_a,
+           CAST(b.n AS BIGINT) AS n_members_b,
+           CAST(hamming(a.bits, b.bits) AS BIGINT) AS hamming
+    FROM cls a JOIN cls b
+      ON a.w = b.w AND a.h = b.h AND a.can < b.can
+    WHERE hamming(a.bits, b.bits)
+          BETWEEN 1 AND length(a.bits) // {IMG_HAM_PCT_DEN}
+    """,
+)
+def mm9_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate PAIRS — perceptually close but NOT
+    identical renders (1 <= hamming(aHash bits) <= n_pixels/4, a
+    RELATIVE 25% threshold: image hashes vary in width with the pixel
+    grid, so a fixed bit budget would mean a different similarity per
+    size class). Exact-duplicate collapse happens FIRST (mm8's
+    (width, height, bits) grouping, min-doc_id canonical), so the
+    pairwise stage compares one CANONICAL representative per distinct
+    grid — never the raw (quadratically dup-heavy) image set; exact-dup
+    members ride along as counts.
+
+    Scale shape: candidates come from a self-join on
+    (width, height, band_id, band_substring) with PER-LENGTH band
+    geometry: B = L div 4 + 1 contiguous bands — by pigeonhole any pair
+    within distance L/4 has a clash-free band, so the banding is
+    EXACT-recall for the relative threshold (the fixed price of an
+    exact guarantee: mean band width is the threshold denominator
+    {IMG_HAM_PCT_DEN}; dd14 pays the same for SimHash distance 3; a
+    lower relative threshold buys wider bands at scale — the
+    ann_auto occupancy analysis applies unchanged). Verification
+    (exact hamming) runs JVM-side as a fold over character positions —
+    no Python and no cross join in the pairwise path; the decode pass
+    runs ONCE (the class frame is persisted; bounded by distinct
+    grids, not corpus size). Oracle verifies against the closed-form
+    pixel definition with DuckDB's native hamming()."""
+    classes = (
+        _image_ahash_bits(spark, sf_dir)
+        .groupBy("width", "height", "bits")
+        .agg(F.min("doc_id").alias("can"), F.count("*").alias("n"))
+        .persist()
+    )
+    den = IMG_HAM_PCT_DEN
+    band = F.expr(
+        f"""
+        explode(transform(
+            sequence(0, length(bits) div {den}),
+            i -> struct(
+                i AS band_id,
+                substring(bits,
+                    (i * length(bits)) div (length(bits) div {den} + 1) + 1,
+                    ((i + 1) * length(bits)) div (length(bits) div {den} + 1)
+                    - (i * length(bits)) div (length(bits) div {den} + 1)
+                ) AS sub)))
+        """
+    )
+    banded = classes.select(
+        "width", "height", "bits", "can", "n", band.alias("b")
+    ).select(
+        "width", "height", "bits", "can", "n",
+        F.col("b.band_id").alias("band_id"), F.col("b.sub").alias("sub"),
+    )
+    left = banded.select(
+        "width", "height", "band_id", "sub",
+        F.col("bits").alias("bits_a"), F.col("can").alias("doc_a"),
+        F.col("n").alias("n_members_a"),
+    )
+    right = banded.select(
+        F.col("width").alias("w2"), F.col("height").alias("h2"),
+        F.col("band_id").alias("band_id2"), F.col("sub").alias("sub2"),
+        F.col("bits").alias("bits_b"), F.col("can").alias("doc_b"),
+        F.col("n").alias("n_members_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("width") == F.col("w2"))
+            & (F.col("height") == F.col("h2"))
+            & (F.col("band_id") == F.col("band_id2"))
+            & (F.col("sub") == F.col("sub2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "width", "height", "doc_a", "doc_b",
+            "n_members_a", "n_members_b", "bits_a", "bits_b",
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        """
+        aggregate(sequence(1, length(bits_a)), 0, (acc, i) ->
+            acc + IF(substring(bits_a, i, 1) = substring(bits_b, i, 1),
+                     0, 1))
+        """
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(
+            (F.col("hamming") >= 1)
+            & (F.col("hamming") <= F.expr(f"length(bits_a) div {den}"))
+        )
+        .select(
+            "width", "height", "doc_a", "doc_b",
+            "n_members_a", "n_members_b", "hamming",
+        )
+    )
+
+
+mm9_image_neardup_pairs.__doc__ = mm9_image_neardup_pairs.__doc__.format(
+    IMG_HAM_PCT_DEN=IMG_HAM_PCT_DEN
+)

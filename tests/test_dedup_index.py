@@ -225,6 +225,31 @@ def test_retract_interleaved_on_real_docs(spark, tmp_path):
         idx.ingest(_mk_docs(spark, [(one, "a b c d")]))
 
 
+def test_shingleless_batch_is_safe(spark, tmp_path):
+    """A batch whose docs are too short to produce a single 3-gram
+    (under 3 tokens) must not corrupt any table: no bands, no
+    candidates, empty-bucket COW writes link the previous version, and
+    a later normal ingest still equals a fresh build."""
+    kw = dict(cap=5, threshold=0.2)
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    base = "c1 c2 c3 c4"
+    mk = lambda i: f"{base} u{i} t1 t2 t3"  # noqa: E731
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+    m = idx.ingest(_mk_docs(spark, [(100, "a b"), (101, "x")]))
+    assert m["new_candidates"] == 0
+    idx.ingest(_mk_docs(spark, [(3, mk(3))]))
+    fresh = _fresh(
+        spark,
+        _mk_docs(
+            spark,
+            [(1, mk(1)), (2, mk(2)), (100, "a b"), (101, "x"), (3, mk(3))],
+        ),
+        str(tmp_path),
+        **kw,
+    )
+    assert _pairs_dict(idx) == fresh
+
+
 def test_crash_between_view_write_and_manifest_keeps_old_version(spark, tmp_path):
     """The manifest flips last: a reader against an index whose latest
     ingest died before the manifest commit sees the previous consistent

@@ -27,6 +27,8 @@ SINGLE_PARTITION_POST_AGG = {
     "c12_small_qty_revenue",        # Q17: global revenue scalar after the
                                     # per-part join (map-side partials first)
     "i16_funnel_stages",            # crossJoin of three 1-row stage counts
+    "c20_bracketed_revenue",        # Q19: global scalar after the broadcast
+                                    # join (map-side partials first)
 }
 
 

@@ -38,6 +38,13 @@ CHANGED_SINCE_GREEN = [
     "px12_neardup_decontamination",  # r8: train-side sizes semi-join before broadcast
     "dd15_incremental_minhash_pairs",  # r8: bucketed copy-on-write index state
     "px13_exact_substring_spans",  # r8: NEW (Lee-et-al exact-substring manifests)
+    "px14_exact_substring_decontamination",  # r8: NEW (bipartite px13)
+    "c18_important_parts",  # r8: NEW (Q11 shape)
+    "c19_top_supplier",  # r8: NEW (Q15 shape)
+    "c20_bracketed_revenue",  # r8: NEW (Q19 shape)
+    "c21_supplier_diversity",  # r8: NEW (Q16 shape)
+    "c22_sole_late_supplier",  # r8: NEW (Q21 shape)
+    "mm9_image_neardup_pairs",  # r8: NEW (perceptual hamming banding)
 ]
 
 

@@ -59,6 +59,14 @@ _NEEDS_EVIDENCE_FIRST = [
     "c21_supplier_diversity",  # changed/new this round
     "c22_sole_late_supplier",  # changed/new this round
     "mm9_image_neardup_pairs",  # changed/new this round
+    "c23_order_priority_check",  # changed/new this round
+    "c24_local_supplier_volume",  # changed/new this round
+    "c25_returned_top_customers",  # changed/new this round
+    "c26_shipping_delay_priority",  # changed/new this round
+    "c27_customer_order_distribution",  # changed/new this round
+    "c28_shipping_priority",  # changed/new this round
+    "c29_product_type_profit",  # changed/new this round
+    "mm10_audio_neardup_pairs",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -89,14 +97,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "e10_range_interval_frame",  # latest green r4
     "e1_pct_of_total",  # latest green r4
     "e2_nested_agg_window",  # latest green r4
-    "e3_partitioned_window",  # latest green r4
-    "e4_listagg_distinct",  # latest green r4
-    "e5_lag_lead",  # latest green r4
-    "flagship_revenue_by_nation",  # latest green r4
-    "h11_timestampdiff_minute",  # latest green r4
-    "h14_date_trunc_hour",  # latest green r4
-    "h21_regexp_extract",  # latest green r4
-    "h28_array_functions",  # latest green r4
 ]
 
 

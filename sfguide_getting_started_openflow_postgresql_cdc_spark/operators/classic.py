@@ -652,3 +652,385 @@ def c22_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waits.join(supp, waits.lone_late == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", F.col("numwait").cast("long").alias("numwait")
     )
+
+
+@query(
+    "c23_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def c23_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: how many orders in a
+    quarter had at least one line item shipped late (the correlated
+    EXISTS; 'late' adapted to the star schema as shipped more than 60
+    days after the order date, the c22 convention). Expressed as a
+    LEFT SEMI join with the correlated predicate IN the join condition,
+    so Spark never materializes the per-order match list — one hash
+    exchange of each side on the order key and the date filter prunes
+    the orders side before the shuffle. The 5-group count aggregate is
+    map-side partial."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "c24_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({_dp_sql('l')}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def c24_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue that stayed 'local': line items whose
+    supplier and ordering customer sit in the SAME nation of one
+    region, by nation. The region->nation chain collapses into one
+    pre-filtered 25-row broadcast; supplier rides with its nation name
+    as a broadcast dim. The two fact-sized exchanges are
+    lineitem⋈orders (order key) and ⋈customer (cust key) — the same
+    join tree AQE would pick at 100 TB, with the same-nation equality
+    applied as a residual filter at the earliest join where both
+    nation keys exist. Revenue is the exact decimal disc-price sum."""
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (F.col("s_nationkey") == cust.c_nationkey),
+        )
+        .groupBy("nation")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "c25_returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+           CAST(SUM({_dp_sql('l')}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def c25_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — the returned-item report: top 20 customers by
+    revenue lost to returns in a two-quarter window. The revenue
+    aggregate groups on c_custkey BEFORE the row is widened with name /
+    balance / nation (those ride the broadcast dims in the same
+    grouping key set — functionally dependent, zero extra shuffle), and
+    the global top-20 plans as TakeOrderedAndProject (per-partition
+    heaps, no full sort). Tie at the revenue boundary broken by
+    c_custkey; revenue compares exactly (decimal sum, one double
+    cast)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "c26_shipping_delay_priority",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST'
+                WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'NORMAL'
+                ELSE 'SLOW' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_priority_items,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_priority_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def c26_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-performance vs order priority: items
+    shipped in a year bucketed by order-to-ship delay (the testdata has
+    no l_shipmode, so the mode dimension is adapted to FAST/NORMAL/SLOW
+    delay classes — same CASE-pivot surface), counting urgent vs other
+    orders per bucket. One fact-fact hash join on the order key, then a
+    3-group map-side-partial aggregate; day difference is exact (both
+    engines diff midnight-NTZ timestamps as whole days)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(delay <= 30, "FAST")
+            .when(delay <= 90, "NORMAL")
+            .otherwise("SLOW")
+            .alias("ship_bucket"),
+            F.when(is_high, 1).otherwise(0).alias("hi"),
+            F.when(is_high, 0).otherwise(1).alias("lo"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("hi").cast("long").alias("high_priority_items"),
+            F.sum("lo").cast("long").alias("low_priority_items"),
+        )
+    )
+
+
+@query(
+    "c27_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def c27_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the customer order-count distribution: how
+    many customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers (the left outer join with the qualifier in the
+    ON clause, not the WHERE — the classic outer-join-semantics trap).
+    The orders side pre-aggregates to (custkey, count) before the outer
+    join, so the join moves one row per customer, not raw orders; the
+    distribution is a second map-side-partial aggregate over customer-
+    count rows. No dim is data-proportional broadcast."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(
+            per_cust_orders, cust.c_custkey == F.col("o_custkey"), "left"
+        )
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+@query(
+    "c28_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_dp_sql('l')}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def c28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the shipping-priority report: the 10 highest-
+    value orders from one market segment booked before a cutoff but
+    still (partly) unshipped after it. The segment filter prunes the
+    customer dim BEFORE its broadcast; lineitem⋈orders is the one
+    fact exchange (order key), reused by the per-order revenue
+    aggregate; the global top-10 plans as TakeOrderedAndProject. The
+    o_orderdate output column stays TIMESTAMP_NTZ end-to-end (the
+    verify-skill TZ rule)."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        orders.join(cust, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "c29_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2))
+             - CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(0.6 AS DECIMAL(2,1))
+               * CAST(l.l_quantity AS DECIMAL(4,1))
+           ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def c29_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year. The spec's ps_supplycost has no testdata twin, so cost
+    is adapted to 60% of the part's retail price per unit — preserving
+    the shape (a revenue-minus-cost measure spanning THREE tables'
+    columns, a name-substring dim filter, and a two-level rollup key).
+    part (name-filtered) + supplier⋈nation broadcast; the only fact
+    exchange is lineitem⋈orders on the order key. The profit term is
+    computed per-row in EXACT decimal (retail price is 2-decimal,
+    quantity integral — casts are value-preserving; products stay
+    under DECIMAL(38)) and summed exactly; one double cast at the
+    end."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit("0.6").cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(4,1)")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+    )

@@ -791,6 +791,88 @@ def mm8_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMG_HAM_PCT_DEN = 4  # near-dup when hamming <= n_bits/4 (25% of pixels)
 
 
+def _banded_hamming_pairs(
+    classes: DataFrame, class_cols: list[str], den: int
+) -> DataFrame:
+    """Pigeonhole-exact banded near-dup pair search over canonical
+    bit-string classes (the shared engine of mm9 / mm10).
+
+    ``classes`` carries one row per DISTINCT fingerprint: the
+    ``class_cols`` partition key (fingerprints of different lengths
+    never pair), ``bits`` (the fingerprint), ``can`` (canonical member
+    doc_id) and ``n`` (member count). Returns every canonical pair with
+    ``1 <= hamming <= length(bits) div den`` — a RELATIVE threshold, so
+    each length class gets B = L div den + 1 contiguous bands and by
+    pigeonhole any qualifying pair collides on at least one clash-free
+    band: EXACT recall, no all-pairs join. Verification (exact hamming)
+    is a JVM-side fold over character positions — no Python, no
+    cartesian product; candidate multiplicity from multi-band collisions
+    is collapsed by ``distinct()`` before verification."""
+    band = F.expr(
+        f"""
+        explode(transform(
+            sequence(0, length(bits) div {den}),
+            i -> struct(
+                i AS band_id,
+                substring(bits,
+                    (i * length(bits)) div (length(bits) div {den} + 1) + 1,
+                    ((i + 1) * length(bits)) div (length(bits) div {den} + 1)
+                    - (i * length(bits)) div (length(bits) div {den} + 1)
+                ) AS sub)))
+        """
+    )
+    banded = classes.select(
+        *class_cols, "bits", "can", "n", band.alias("b")
+    ).select(
+        *class_cols, "bits", "can", "n",
+        F.col("b.band_id").alias("band_id"), F.col("b.sub").alias("sub"),
+    )
+    left = banded.select(
+        *class_cols, "band_id", "sub",
+        F.col("bits").alias("bits_a"), F.col("can").alias("doc_a"),
+        F.col("n").alias("n_members_a"),
+    )
+    right = banded.select(
+        *[F.col(c).alias(f"{c}_r") for c in class_cols],
+        F.col("band_id").alias("band_id_r"), F.col("sub").alias("sub_r"),
+        F.col("bits").alias("bits_b"), F.col("can").alias("doc_b"),
+        F.col("n").alias("n_members_b"),
+    )
+    on = (
+        (F.col("band_id") == F.col("band_id_r"))
+        & (F.col("sub") == F.col("sub_r"))
+        & (F.col("doc_a") < F.col("doc_b"))
+    )
+    for c in class_cols:
+        on = on & (F.col(c) == F.col(f"{c}_r"))
+    cand = (
+        left.join(right, on)
+        .select(
+            *class_cols, "doc_a", "doc_b",
+            "n_members_a", "n_members_b", "bits_a", "bits_b",
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        """
+        aggregate(sequence(1, length(bits_a)), 0, (acc, i) ->
+            acc + IF(substring(bits_a, i, 1) = substring(bits_b, i, 1),
+                     0, 1))
+        """
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(
+            (F.col("hamming") >= 1)
+            & (F.col("hamming") <= F.expr(f"length(bits_a) div {den}"))
+        )
+        .select(
+            *class_cols, "doc_a", "doc_b",
+            "n_members_a", "n_members_b", "hamming",
+        )
+    )
+
+
 @query(
     "mm9_image_neardup_pairs",
     oracle=f"""
@@ -862,72 +944,113 @@ def mm9_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("can"), F.count("*").alias("n"))
         .persist()
     )
-    den = IMG_HAM_PCT_DEN
-    band = F.expr(
-        f"""
-        explode(transform(
-            sequence(0, length(bits) div {den}),
-            i -> struct(
-                i AS band_id,
-                substring(bits,
-                    (i * length(bits)) div (length(bits) div {den} + 1) + 1,
-                    ((i + 1) * length(bits)) div (length(bits) div {den} + 1)
-                    - (i * length(bits)) div (length(bits) div {den} + 1)
-                ) AS sub)))
-        """
-    )
-    banded = classes.select(
-        "width", "height", "bits", "can", "n", band.alias("b")
-    ).select(
-        "width", "height", "bits", "can", "n",
-        F.col("b.band_id").alias("band_id"), F.col("b.sub").alias("sub"),
-    )
-    left = banded.select(
-        "width", "height", "band_id", "sub",
-        F.col("bits").alias("bits_a"), F.col("can").alias("doc_a"),
-        F.col("n").alias("n_members_a"),
-    )
-    right = banded.select(
-        F.col("width").alias("w2"), F.col("height").alias("h2"),
-        F.col("band_id").alias("band_id2"), F.col("sub").alias("sub2"),
-        F.col("bits").alias("bits_b"), F.col("can").alias("doc_b"),
-        F.col("n").alias("n_members_b"),
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("width") == F.col("w2"))
-            & (F.col("height") == F.col("h2"))
-            & (F.col("band_id") == F.col("band_id2"))
-            & (F.col("sub") == F.col("sub2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select(
-            "width", "height", "doc_a", "doc_b",
-            "n_members_a", "n_members_b", "bits_a", "bits_b",
-        )
-        .distinct()
-    )
-    ham = F.expr(
-        """
-        aggregate(sequence(1, length(bits_a)), 0, (acc, i) ->
-            acc + IF(substring(bits_a, i, 1) = substring(bits_b, i, 1),
-                     0, 1))
-        """
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(
-            (F.col("hamming") >= 1)
-            & (F.col("hamming") <= F.expr(f"length(bits_a) div {den}"))
-        )
-        .select(
-            "width", "height", "doc_a", "doc_b",
-            "n_members_a", "n_members_b", "hamming",
-        )
-    )
+    return _banded_hamming_pairs(classes, ["width", "height"], IMG_HAM_PCT_DEN)
 
 
 mm9_image_neardup_pairs.__doc__ = mm9_image_neardup_pairs.__doc__.format(
     IMG_HAM_PCT_DEN=IMG_HAM_PCT_DEN
 )
+
+
+@query(
+    "mm10_audio_neardup_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+      WHERE doc_id % 2 = 1
+    ),
+    s AS (
+      SELECT doc_id, i,
+             CASE WHEN ((doc_id * 31 + i * 7) % 65536) % 256 >= 128
+                  THEN '1' ELSE '0' END AS b
+      FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM w)
+    ),
+    per_doc AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY i) AS bits
+      FROM s GROUP BY doc_id
+    ),
+    cls AS (
+      SELECT length(bits) AS n_samples, bits,
+             MIN(doc_id) AS can, COUNT(*) AS cnt
+      FROM per_doc GROUP BY bits
+    )
+    SELECT CAST(a.n_samples AS BIGINT) AS n_samples,
+           a.can AS doc_a, b.can AS doc_b,
+           CAST(a.cnt AS BIGINT) AS n_members_a,
+           CAST(b.cnt AS BIGINT) AS n_members_b,
+           CAST(hamming(a.bits, b.bits) AS BIGINT) AS hamming
+    FROM cls a JOIN cls b
+      ON a.n_samples = b.n_samples AND a.can < b.can
+    WHERE hamming(a.bits, b.bits)
+          BETWEEN 1 AND a.n_samples // {IMG_HAM_PCT_DEN}
+    """,
+)
+def mm10_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate PAIRS — the audio twin of mm9, closing the
+    modality symmetry (image: mm6 hash / mm8 exact groups / mm9 near
+    pairs; audio: mm7 features / THIS). Each clip's REAL decoded PCM
+    stream (the mm7 RIFF chunk walk) reduces to a low-byte-envelope
+    fingerprint — one bit per sample, ``(sample & 0xFF) >= 0x80`` —
+    the deterministic stand-in for a spectral-band fingerprint
+    (Haitsma-Kalker shape: a bit string whose hamming distance
+    measures waveform drift). The sign bit would be DEGENERATE here
+    (each synthetic clip's samples span a 406-value window of the
+    65536 range, so sign is constant per clip); the low byte cycles
+    within every clip and drifts gradually with the clip's phase
+    offset, giving a graded hamming spectrum (measured at sf0.01: 244
+    distinct fingerprints over 250 clips, 376 of 1075 same-length
+    class pairs inside the 25% threshold). The ``& 0xFF`` masking is
+    two's-complement (numpy int64), matching the oracle's nonnegative
+    ``% 256`` on the pre-offset sample value — both engines see the
+    identical bit. Clips of different lengths never pair (different
+    n_samples = different audio, the mm9 per-length-class rule).
+
+    Same scale shape as mm9 via the shared ``_banded_hamming_pairs``
+    engine: exact-dup collapse FIRST (one canonical per distinct
+    fingerprint — the pairwise stage never sees the raw dup-heavy
+    corpus), per-length pigeonhole-exact banding
+    (B = L div {IMG_HAM_PCT_DEN} + 1 contiguous bands for the relative
+    25% threshold), JVM-side hamming verification, decode pass runs
+    once (class frame persisted, bounded by distinct fingerprints).
+    Oracle rebuilds the sign bits from the closed-form sample
+    definition and verifies with DuckDB's native hamming()."""
+
+    def _sign_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _pcm(p: bytes) -> "_np.ndarray":
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            off = 12
+            while off + 8 <= len(p):
+                cid, size = _struct.unpack_from("<4sI", p, off)
+                if cid == b"data":
+                    return _np.frombuffer(p, "<i2", size // 2, off + 8)
+                off += 8 + size + (size & 1)  # chunks are word-aligned
+            raise ValueError("no data chunk")
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "bits": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _pcm(bytes(payload)).astype(_np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(s))
+                out["bits"].append(
+                    "".join("1" if b else "0" for b in (s & 255) >= 128)
+                )
+            yield _pd.DataFrame(out)
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    clips = synthesize_media_payloads(docs).filter(F.col("kind") == "wav")
+    fp = clips.select("doc_id", "payload").mapInPandas(
+        _sign_bits, schema="doc_id long, n_samples long, bits string"
+    )
+    classes = (
+        fp.groupBy("n_samples", "bits")
+        .agg(F.min("doc_id").alias("can"), F.count("*").alias("n"))
+        .persist()
+    )
+    return _banded_hamming_pairs(classes, ["n_samples"], IMG_HAM_PCT_DEN)

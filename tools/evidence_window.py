@@ -45,6 +45,14 @@ CHANGED_SINCE_GREEN = [
     "c21_supplier_diversity",  # r8: NEW (Q16 shape)
     "c22_sole_late_supplier",  # r8: NEW (Q21 shape)
     "mm9_image_neardup_pairs",  # r8: NEW (perceptual hamming banding)
+    "c23_order_priority_check",  # r8: NEW (Q4 shape)
+    "c24_local_supplier_volume",  # r8: NEW (Q5 shape)
+    "c25_returned_top_customers",  # r8: NEW (Q10 shape)
+    "c26_shipping_delay_priority",  # r8: NEW (Q12 shape)
+    "c27_customer_order_distribution",  # r8: NEW (Q13 shape)
+    "c28_shipping_priority",  # r8: NEW (Q3 shape)
+    "c29_product_type_profit",  # r8: NEW (Q9 shape)
+    "mm10_audio_neardup_pairs",  # r8: NEW (audio low-byte-envelope hamming)
 ]
 
 

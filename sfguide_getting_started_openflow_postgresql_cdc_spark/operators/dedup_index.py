@@ -126,6 +126,26 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import
 IDX_BUCKET = "_IDX_BUCKET"
 
 
+def _run_concurrently(jobs) -> None:
+    """Run independent write jobs from driver threads so their Spark
+    jobs schedule concurrently (SparkSession is thread-safe; each job's
+    inputs are cached frames or snapshot-pinned file lists, so ordering
+    within the group is immaterial). Serial submission pays one per-job
+    scheduling floor per table — the dominant micro-batch ingest cost
+    on an otherwise idle cluster. Exceptions propagate (first one
+    wins), matching the serial failure contract."""
+    if len(jobs) <= 1:
+        for j in jobs:
+            j()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
+
+
 def _shingle_batch(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct 3-gram pairs for one batch — the same
     construction as operators/dedup.py::_doc_shingles, applied to an
@@ -462,22 +482,32 @@ class MinHashLshIndex:
         batch_bands = batch_bands.persist()
 
         # stored-band read pruned to the batch's band-signature buckets.
-        # ONE job derives every batch-side bucket set (bands + df): the
-        # per-job scheduling floor dominates at micro-batch scale, so
-        # fusing the bounded collects matters more than their row counts
+        # ONE job derives every batch-side bucket set (bands + df) AND
+        # the batch doc count (manifest bookkeeping — counting `docs`
+        # separately would re-run its whole input plan as its own job):
+        # the per-job scheduling floor dominates at micro-batch scale,
+        # so fusing the bounded collects matters more than row counts
         tagged = (
             batch_bands.select(
-                F.lit("band").alias("t"), self._band_bucket().alias("b")
+                F.lit("band").alias("t"),
+                self._band_bucket().cast("long").alias("b"),
             )
             .unionByName(
                 batch_sh.select(
-                    F.lit("df").alias("t"), self._shingle_bucket().alias("b")
+                    F.lit("df").alias("t"),
+                    self._shingle_bucket().cast("long").alias("b"),
                 )
             )
             .distinct()
+            .unionByName(
+                docs.agg(F.count("*").alias("b")).select(
+                    F.lit("ndocs").alias("t"), "b"
+                )
+            )
             .collect()
         )
-        band_buckets = sorted(r["b"] for r in tagged if r["t"] == "band")
+        n_batch_docs = next(int(r["b"]) for r in tagged if r["t"] == "ndocs")
+        band_buckets = sorted(int(r["b"]) for r in tagged if r["t"] == "band")
         stored_bands = self._anti_docs(
             self._read_append(
                 "bands", "doc_id long, band_id string, sig string", band_buckets
@@ -507,7 +537,7 @@ class MinHashLshIndex:
         # df merge + cap-crossing detection, bucket-pruned: every batch
         # shingle hashes into a touched bucket, and crossing requires a
         # batch arrival, so the pruned read sees every possible crossing
-        df_buckets = sorted(r["b"] for r in tagged if r["t"] == "df")
+        df_buckets = sorted(int(r["b"]) for r in tagged if r["t"] == "df")
         old_df = self._cow_read("df", "shingle string, df long", df_buckets)
         batch_df = batch_sh.groupBy("shingle").agg(F.count("*").alias("bdf"))
         merged = (
@@ -622,7 +652,7 @@ class MinHashLshIndex:
 
         # bookkeeping counts (candidate-bounded frames only; skippable —
         # each is an extra job, and a bench-timed ingest wants the floor)
-        metrics = {"version": new_version, "batch_docs": docs.count()}
+        metrics = {"version": new_version, "batch_docs": n_batch_docs}
         if collect_metrics:
             metrics.update(
                 new_candidates=new_cands.count(),
@@ -635,34 +665,52 @@ class MinHashLshIndex:
 
         # commit: write the new COW versions FIRST (their plans read the
         # snapshot-pinned stored state), then append the immutable logs,
-        # then flip the manifest (readers of the old version unaffected)
+        # then flip the manifest (readers of the old version unaffected).
+        # WITHIN each group the writes are independent Spark jobs over
+        # pinned inputs (every stored-state read enumerated its concrete
+        # file list at plan time, and the batch frames are cached), so
+        # they run CONCURRENTLY from driver threads — the serial version
+        # paid one per-job scheduling floor per table, the dominant cost
+        # of a micro-batch ingest on an otherwise idle cluster.
         tables = dict(man.get("tables", {}))
-        self._cow_write(
-            "df",
-            merged.select("shingle", F.col("new_df").alias("df")),
-            self._shingle_bucket(),
-            df_buckets,
-            new_version,
-        )
+        cow_jobs = [
+            lambda: self._cow_write(
+                "df",
+                merged.select("shingle", F.col("new_df").alias("df")),
+                self._shingle_bucket(),
+                df_buckets,
+                new_version,
+            )
+        ]
         tables["df"] = new_version
         if n_crossing:
             hot_buckets = self._bucket_set(crossing, self._shingle_bucket())
             hot_rows = self._cow_read(
                 "hot", "shingle string", hot_buckets
             ).unionByName(crossing).distinct()
-            self._cow_write(
-                "hot", hot_rows, self._shingle_bucket(), hot_buckets, new_version
+            cow_jobs.append(
+                lambda: self._cow_write(
+                    "hot", hot_rows, self._shingle_bucket(), hot_buckets,
+                    new_version,
+                )
             )
             tables["hot"] = new_version
         if pair_buckets or self._cow_version("pairs") == 0:
-            self._cow_write(
-                "pairs", new_pairs, self._doc_bucket("doc_a"), pair_buckets,
-                new_version,
+            cow_jobs.append(
+                lambda: self._cow_write(
+                    "pairs", new_pairs, self._doc_bucket("doc_a"),
+                    pair_buckets, new_version,
+                )
             )
             tables["pairs"] = new_version
-        self._append("shingles", batch_sh, self._doc_bucket())
-        self._append("bands", batch_bands, self._band_bucket())
-        self._append("cands", new_cands)
+        _run_concurrently(cow_jobs)
+        _run_concurrently(
+            [
+                lambda: self._append("shingles", batch_sh, self._doc_bucket()),
+                lambda: self._append("bands", batch_bands, self._band_bucket()),
+                lambda: self._append("cands", new_cands),
+            ]
+        )
         self._commit(
             {
                 "version": new_version,

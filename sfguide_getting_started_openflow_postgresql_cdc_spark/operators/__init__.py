@@ -8,6 +8,7 @@ this round), and operators with long green history run last."""
 
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (  # noqa: F401
     ann_auto,
+    pq,
     analytics_ext,
     classic,
     windows,
@@ -67,6 +68,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "c28_shipping_priority",  # changed/new this round
     "c29_product_type_profit",  # changed/new this round
     "mm10_audio_neardup_pairs",  # changed/new this round
+    "sim12_knn_pq",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -96,7 +98,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd6_embedding_cosine_dups",  # latest green r4
     "e10_range_interval_frame",  # latest green r4
     "e1_pct_of_total",  # latest green r4
-    "e2_nested_agg_window",  # latest green r4
 ]
 
 

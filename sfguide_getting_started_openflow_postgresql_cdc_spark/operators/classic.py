@@ -1034,3 +1034,95 @@ def c29_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
     )
+
+
+@query(
+    "c30_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM offer GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           o.unit_cost AS best_unit_cost
+    FROM offer o
+    JOIN best b     ON b.l_partkey = o.l_partkey
+                   AND o.unit_cost = b.best_cost
+    JOIN part p     ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    WHERE p.p_size >= 30 AND p.p_type LIKE 'SMALL%'
+    """,
+)
+def c30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the minimum-cost supplier: for each qualifying
+    part, the region-local supplier(s) whose offered unit cost equals
+    the per-part MINIMUM (the spec's correlated MIN subquery; 'offer'
+    adapted to the star schema as min observed l_extendedprice /
+    l_quantity per (part, supplier), since the testdata has no
+    partsupp). Decorrelated Spark-first: the per-(part, supplier) offer
+    pre-aggregation and the per-part minimum reuse ONE l_partkey-keyed
+    exchange; the tie-keeping filter is a same-key join, never a
+    per-row subquery. Region->nation->supplier collapses into one
+    pre-filtered broadcast; the part dim filter prunes before its
+    broadcast join. Unit cost divides two raw parquet doubles — the
+    same IEEE division on both engines, so MIN and the equality tie
+    filter are exact."""
+    euro_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    load_table(spark, sf_dir, "region").filter(
+                        F.col("r_name") == "EUROPE"
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offer = (
+        li.join(euro_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") >= 30) & F.col("p_type").like("SMALL%"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        offer.join(
+            best,
+            (offer.l_partkey == best.bk)
+            & (offer.unit_cost == best.best_cost),
+        )
+        .join(part, offer.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("unit_cost").alias("best_unit_cost"),
+        )
+    )

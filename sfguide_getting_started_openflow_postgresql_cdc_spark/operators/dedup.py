@@ -1988,3 +1988,93 @@ px14_exact_substring_decontamination.__doc__ = (
         K=EXACT_SUBSTR_MIN_TOKENS
     )
 )
+
+
+def _px15_oracle() -> str:
+    # dd7's transitive-closure CTE gives the cluster canonical; the
+    # split key is md5(cluster id) — px2's rule lifted from doc to
+    # CLUSTER granularity
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
+        ORACLES,
+    )
+
+    dd4_sql = ORACLES["dd4_minhash_lsh_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({dd4_sql}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.canonical, d.doc_id) AS cluster_id,
+             (('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id)
+                                       AS VARCHAR)), 1, 15))::BIGINT % 10)
+                 AS h
+      FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1
+    """
+
+
+@query("px15_cluster_safe_split", oracle=_px15_oracle())
+def px15_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: px2 hashes each DOC into a
+    split, which lets two near-duplicate documents land in train and
+    val — the eval then scores memorization (the leak px12 audits
+    after the fact). This operator prevents it BY CONSTRUCTION: the
+    split key is the near-dup CLUSTER id (dd7's canonical; a doc in no
+    pair is its own cluster), so every near-dup cluster lands wholly
+    in one split. Same md5-threshold 80/10/10 rule as px2 — stable
+    across runs, retries, and engines.
+
+    Composition: dd4 pairs (memoized) -> dd7 components -> one
+    broadcast left join back to the corpus (the component table only
+    holds PAIRED docs — tiny next to the corpus) -> map-side split
+    hash -> 3-group aggregate. The per-doc assignment frame before the
+    aggregate is the manifest a pipeline would persist; the registered
+    query reports the per-split audit (doc/cluster/char counts) the
+    oracle can replay."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        _md5_mod,
+    )
+
+    groups = dd7_dedup_groups(spark, sf_dir).select(
+        "doc_id", "canonical_doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    cluster = F.coalesce(F.col("canonical_doc_id"), F.col("doc_id"))
+    h = _md5_mod(cluster.cast("string"), 10)
+    split = (
+        F.when(h < 8, F.lit("train"))
+        .when(h == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(F.broadcast(groups), on="doc_id", how="left")
+        .select(
+            split.alias("split"),
+            cluster.alias("cluster_id"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -769,3 +769,56 @@ def test_python_udtf_chunk_text(spark):
     assert spark.sql(
         "SELECT * FROM udtf_null, LATERAL chunk_text(text, 4, 1)"
     ).count() == 0
+
+
+def test_px15_cluster_safe_split_no_leakage(spark):
+    """px15's whole point: no near-dup cluster straddles splits. Recompute
+    the per-doc assignment the same way the operator does and assert (1)
+    every dd4-paired doc's split equals its canonical's split, (2) the
+    registered per-split audit agrees with the recomputed counts, and
+    (3) totals cover the corpus exactly once."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        _md5_mod,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        dd7_dedup_groups,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    groups = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in dd7_dedup_groups(spark, SF01).collect()
+    }
+    docs = load_table(spark, SF01, "documents").select("doc_id").collect()
+
+    def split_of(cluster: int) -> str:
+        import hashlib
+
+        h = int(hashlib.md5(str(cluster).encode()).hexdigest()[:15], 16) % 10
+        return "train" if h < 8 else ("val" if h == 8 else "test")
+
+    # leakage check: paired docs inherit the canonical's split
+    for doc, canon in groups.items():
+        assert split_of(groups.get(doc, doc)) == split_of(canon)
+
+    want = {}
+    for r in docs:
+        s = split_of(groups.get(r["doc_id"], r["doc_id"]))
+        want[s] = want.get(s, 0) + 1
+    got = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["px15_cluster_safe_split"](spark, SF01).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(docs)
+
+    # the Spark-side split expression must match the python replay above
+    h = _md5_mod(F.lit("4242").cast("string"), 10)
+    spark_h = spark.range(1).select(h.alias("h")).collect()[0]["h"]
+    import hashlib
+
+    assert spark_h == int(hashlib.md5(b"4242").hexdigest()[:15], 16) % 10

@@ -54,6 +54,8 @@ CHANGED_SINCE_GREEN = [
     "c29_product_type_profit",  # r8: NEW (Q9 shape)
     "mm10_audio_neardup_pairs",  # r8: NEW (audio low-byte-envelope hamming)
     "sim12_knn_pq",  # r8: NEW (product-quantization ADC + exact rerank)
+    "px15_cluster_safe_split",  # r8: NEW (cluster-granular leakage-safe split)
+    "c30_min_cost_supplier",  # r8: NEW (Q2 shape)
 ]
 
 

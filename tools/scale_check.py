@@ -128,7 +128,13 @@ def main() -> None:
              # r8: the corpus-adaptive entry points — geometry re-derives
              # at each scale, so the ratio measures the occupancy-constant
              # claim end-to-end (bits grow, bucket occupancy doesn't)
-             "sim11_knn_graph_auto", "dd16_embedding_dups_auto"]
+             "sim11_knn_graph_auto", "dd16_embedding_dups_auto",
+             # r8 second batch: PQ/ADC search (corpus-relative shortlist
+             # — scoring is linear table lookups; the ratio checks the
+             # rerank stays shortlist-bounded) and the hamming-banded
+             # image near-dup pairs (class count, not corpus, drives
+             # the pairwise stage)
+             "sim12_knn_pq", "mm9_image_neardup_pairs"]
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass

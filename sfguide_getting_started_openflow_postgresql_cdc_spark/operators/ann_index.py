@@ -58,9 +58,20 @@ class IvfIndex:
         self.path = path
         self.n_cells = n_cells
         self.n_probe = n_probe
-        self.pq_m = pq_m
         self._centroids = None  # lazily loaded normalized np matrix
         self._pq_books = None  # lazily loaded (m, k, dim/m) codebooks
+        if pq_m is None and os.path.exists(
+            os.path.join(path, "pq_codebooks.json")
+        ):
+            # PQ-ness is a property of the on-disk index, not of whoever
+            # constructed this handle: a reopened IvfIndex(path) MUST
+            # keep encoding add() rows (and keep PQ through a drift
+            # rebuild), or appended rows silently lack codes and every
+            # later ADC search crashes on nulls.
+            with open(os.path.join(path, "pq_codebooks.json")) as f:
+                self._pq_books = None  # keep lazy; just read the shape
+                pq_m = len(json.load(f))
+        self.pq_m = pq_m
 
     # -- artifacts ----------------------------------------------------------
     def _centroids_path(self) -> str:
@@ -149,6 +160,12 @@ class IvfIndex:
             with open(self._pq_books_path(), "w") as f:
                 json.dump(books.tolist(), f)
             self._pq_books = books
+        elif os.path.exists(self._pq_books_path()):
+            # non-PQ rebuild over a previously-PQ path: stale codebooks
+            # must not survive, or reopened handles would encode add()
+            # rows against books the stored rows no longer carry
+            os.remove(self._pq_books_path())
+            self._pq_books = None
 
         (
             self._maybe_with_codes(self._with_cell(emb))
@@ -179,10 +196,13 @@ class IvfIndex:
         return emb.withColumn("cell", nearest_cell(F.col("embedding")))
 
     def _maybe_with_codes(self, df: DataFrame) -> DataFrame:
-        """Append the PQ ``codes`` column when this is a PQ index —
-        encoding is a pure function of the stored codebooks (like cell
-        assignment), so add() rows get byte-identical codes to a full
-        rebuild under the same codebooks."""
+        """Append the PQ ``codes`` column when this index carries PQ
+        state — encoding is a pure function of the stored codebooks
+        (like cell assignment), so add() rows get byte-identical codes
+        to a full rebuild under the same codebooks. PQ-ness is
+        self-describing on disk — ``__init__`` infers ``pq_m`` from
+        pq_codebooks.json for reopened handles, so this check covers
+        them too."""
         if not self.pq_m:
             return df
         from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
@@ -443,15 +463,29 @@ class IvfIndex:
             w_adc = Window.partitionBy("query_id").orderBy(
                 F.col("approx_sim").desc(), F.col("vec_id")
             )
-            short = (
+            # the shortlist is DRIVER-BOUNDED by design (n_queries x
+            # adc_shortlist rows), so collect it and push its vec_ids
+            # INTO the rerank scan as an IN-filter: the raw-embedding
+            # read prunes at the parquet scan (PushedFilters row-group
+            # skipping) instead of re-reading every probed cell's
+            # vectors for a broadcast join to discard
+            short_rows = (
                 scored.join(F.broadcast(probes), ["query_id", "cell"])
                 .filter(F.col("vec_id") != F.col("query_id"))
                 .withColumn("r", F.row_number().over(w_adc))
                 .filter(F.col("r") <= adc_shortlist)
                 .select("query_id", "vec_id")
+                .collect()
             )
-            cand_src = index.select("vec_id", "embedding").join(
-                F.broadcast(short), "vec_id"
+            short = spark.createDataFrame(
+                [(r["query_id"], r["vec_id"]) for r in short_rows],
+                "query_id long, vec_id long",
+            )
+            short_ids = sorted({r["vec_id"] for r in short_rows})
+            cand_src = (
+                index.select("vec_id", "embedding")
+                .filter(F.col("vec_id").isin(short_ids))
+                .join(F.broadcast(short), "vec_id")
             )
         else:
             cand_src = (

@@ -78,19 +78,24 @@ Storage layout (all under ``index_dir``)::
 
     manifest.json                  {"version", "n_docs", "n_buckets",
                                     "tables": {"df": v, "hot": v, "pairs": v}}
-    shingles/_IDX_BUCKET=<b>/...   append-only, b = hash(doc_id)
-    bands/_IDX_BUCKET=<b>/...      append-only, b = hash(band_id, sig)
-    cands/...                      append-only, flat (read only on
-                                   crossing re-verify / retract)
-    tombstones/...                 append-only, flat (retracted doc_ids)
-    df/v<N>/_IDX_BUCKET=<b>/...    copy-on-write, b = hash(shingle)
-    hot/v<N>/_IDX_BUCKET=<b>/...   copy-on-write, b = hash(shingle)
-    pairs/v<N>/_IDX_BUCKET=<b>/... copy-on-write, b = hash(doc_a)
+    shingles/v<N>/_IDX_BUCKET=<b>/...  log segments, b = hash(doc_id)
+    bands/v<N>/_IDX_BUCKET=<b>/...     log segments, b = hash(band_id, sig)
+    cands/v<N>/...                     log segments, flat (read only on
+                                       crossing re-verify / retract)
+    tombstones/v<N>/...                log segments, flat (retracted ids)
+    df/v<N>/_IDX_BUCKET=<b>/...        copy-on-write, b = hash(shingle)
+    hot/v<N>/_IDX_BUCKET=<b>/...       copy-on-write, b = hash(shingle)
+    pairs/v<N>/_IDX_BUCKET=<b>/...     copy-on-write, b = hash(doc_a)
 
 The manifest flips LAST (atomic rename), so a crashed operation leaves
-the previous version fully readable; version dirs are immutable once
-the manifest points at them, and append reads snapshot-pin the file
-list present at plan time (a bare directory read is lazy — a recompute
+the previous version fully readable. Log tables are SEGMENTED by the
+writing operation's version and reads are manifest-gated (only
+segments ``v <= manifest.version`` are visible), so a crashed
+operation's orphan segment is invisible and a RETRY of the same batch
+overwrites it instead of double-appending — the idempotence the COW
+tables get from versioned overwrite extends to the logs. Within an
+operation, append reads additionally snapshot-pin the file list
+present at plan time (a bare directory read is lazy — a recompute
 after this ingest's appends would double-count the batch). Write
 parallelism is bounded by the bucket count (16 here for test-scale
 file counts); a cluster deployment raises ``n_buckets`` to thousands,
@@ -132,8 +137,12 @@ def _run_concurrently(jobs) -> None:
     inputs are cached frames or snapshot-pinned file lists, so ordering
     within the group is immaterial). Serial submission pays one per-job
     scheduling floor per table — the dominant micro-batch ingest cost
-    on an otherwise idle cluster. Exceptions propagate (first one
-    wins), matching the serial failure contract."""
+    on an otherwise idle cluster. Exceptions propagate (first raised
+    wins) but siblings are NOT cancelled — a failed operation may leave
+    any subset of its group's writes on disk. That partial state is
+    harmless by construction: COW versions and log segments both land
+    in not-yet-committed ``v{new}`` dirs that reads (manifest-gated)
+    cannot see, and a retry overwrites them — see ``_append``."""
     if len(jobs) <= 1:
         for j in jobs:
             j()
@@ -257,26 +266,53 @@ class MinHashLshIndex:
             return self.spark.read.schema(schema).parquet(*files)
         return self.spark.createDataFrame([], schema)
 
+    def _append_versions(self, name: str, upto: int) -> list[int]:
+        """Committed log segments: version dirs ``v1..v{upto}`` present
+        on disk. Gating reads on the MANIFEST version (not the listing)
+        is what makes a crashed operation's orphan segment invisible —
+        it sits at ``v{upto+1}`` until the retry overwrites it and the
+        retry's commit makes it real."""
+        tdir = os.path.join(self.dir, name)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for d in os.listdir(tdir):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= upto:
+                out.append(int(d[1:]))
+        return sorted(out)
+
     def _read_append(
         self, name: str, schema: str, buckets: list[int] | None = None
     ) -> DataFrame:
-        return self._read_files(
-            self._files_under(os.path.join(self.dir, name), buckets), schema
-        )
+        upto = self._manifest()["version"]
+        files: list[str] = []
+        for v in self._append_versions(name, upto):
+            files += self._files_under(
+                os.path.join(self.dir, name, f"v{v}"), buckets
+            )
+        return self._read_files(files, schema)
 
-    def _append(self, name: str, df: DataFrame, bucket_expr=None) -> None:
-        """Append a batch to a log table; ``bucket_expr`` partitions it
-        into hash-bucket dirs for pruned reads. One writer task per
-        bucket (repartition on the bucket column), so file counts track
-        buckets, not input partitioning."""
-        path = os.path.join(self.dir, name)
+    def _append(
+        self, name: str, df: DataFrame, bucket_expr=None, *, version: int
+    ) -> None:
+        """Write one log SEGMENT — the batch's rows land in
+        ``name/v{version}`` with mode=overwrite, so a retry of a crashed
+        operation (same not-yet-committed version) REPLACES the orphan
+        segment instead of appending duplicate rows next to it; reads
+        gate on the manifest version (:meth:`_append_versions`), so the
+        segment only becomes visible when the manifest flips.
+        ``bucket_expr`` partitions the segment into hash-bucket dirs for
+        pruned reads; one writer task per bucket (repartition on the
+        bucket column), so file counts track buckets, not input
+        partitioning."""
+        path = os.path.join(self.dir, name, f"v{version}")
         if bucket_expr is None:
-            df.write.mode("append").parquet(path)
+            df.write.mode("overwrite").parquet(path)
         else:
             (
                 df.withColumn(IDX_BUCKET, bucket_expr)
                 .repartition(F.col(IDX_BUCKET))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy(IDX_BUCKET)
                 .parquet(path)
             )
@@ -366,8 +402,14 @@ class MinHashLshIndex:
     def _tombstones(self) -> DataFrame | None:
         """Retracted doc_ids, or None when no retraction ever happened
         (the common case — skipping the anti-join keeps ingest plans
-        lean)."""
-        files = self._files_under(os.path.join(self.dir, "tombstones"), None)
+        lean). Version-gated like every log read: a crashed retract's
+        orphan tombstone segment is invisible until its retry commits."""
+        upto = self._manifest()["version"]
+        files: list[str] = []
+        for v in self._append_versions("tombstones", upto):
+            files += self._files_under(
+                os.path.join(self.dir, "tombstones", f"v{v}"), None
+            )
         if not files:
             return None
         return self.spark.read.schema("doc_id long").parquet(*files)
@@ -706,9 +748,15 @@ class MinHashLshIndex:
         _run_concurrently(cow_jobs)
         _run_concurrently(
             [
-                lambda: self._append("shingles", batch_sh, self._doc_bucket()),
-                lambda: self._append("bands", batch_bands, self._band_bucket()),
-                lambda: self._append("cands", new_cands),
+                lambda: self._append(
+                    "shingles", batch_sh, self._doc_bucket(),
+                    version=new_version,
+                ),
+                lambda: self._append(
+                    "bands", batch_bands, self._band_bucket(),
+                    version=new_version,
+                ),
+                lambda: self._append("cands", new_cands, version=new_version),
             ]
         )
         self._commit(
@@ -894,7 +942,7 @@ class MinHashLshIndex:
                 "pairs", kept, self._doc_bucket("doc_a"), pair_buckets, new_version
             )
             tables["pairs"] = new_version
-        self._append("tombstones", r)
+        self._append("tombstones", r, version=new_version)
         self._commit(
             {
                 "version": new_version,

@@ -213,7 +213,15 @@ def sim12_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (the approximation only selects the shortlist)."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # persist guarded by storageLevel (the ann_auto._resolve convention):
+    # the count, sample, encode, and rerank passes all read `emb`, and
+    # Spark's CacheManager dedups identical canonical plans, so repeated
+    # sim12 calls share ONE session-scoped cache entry rather than
+    # leaking one per call; a deployment evicts it with unpersist after
+    # materializing results (the _dd4_shingle_cache rationale).
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not (emb.storageLevel.useMemory or emb.storageLevel.useDisk):
+        emb.persist()
     n_corpus = emb.count()  # one job; emb persisted for the later passes
     shortlist = max(PQ_SHORTLIST_MIN, math.ceil(n_corpus * PQ_SHORTLIST_FRAC))
     sample = [

@@ -267,3 +267,52 @@ def test_crash_between_view_write_and_manifest_keeps_old_version(spark, tmp_path
 def _cleanup(tmp_path):
     yield
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_crashed_ingest_retry_does_not_double_append(spark, tmp_path):
+    """A crash AFTER the log appends but BEFORE the manifest commit
+    must leave the orphan segments invisible (reads are manifest-gated)
+    and a RETRY of the same batch must overwrite them — the maintained
+    view afterwards equals a fresh build, with no duplicate stored
+    band/shingle rows inflating candidates or capped jaccard sets."""
+    kw = dict(cap=5, threshold=0.2)
+    base = "c1 c2 c3 c4"
+    mk = lambda i: f"{base} u{i} t1 t2 t3"  # noqa: E731
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+
+    batch = [(3, mk(3)), (4, mk(4))]
+    real_commit = idx._commit
+    idx._commit = lambda manifest: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before manifest flip")
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.ingest(_mk_docs(spark, batch))
+    idx._commit = real_commit
+
+    # the orphan v2 segments exist on disk but no read can see them
+    import os
+
+    assert os.path.isdir(str(tmp_path / "idx" / "bands" / "v2"))
+    assert idx._manifest()["version"] == 1
+    assert idx._read_append(
+        "bands", "doc_id long, band_id string, sig string"
+    ).filter(F.col("doc_id") >= 3).count() == 0
+
+    # retry the same batch: segments overwritten, view == fresh build
+    idx.ingest(_mk_docs(spark, batch))
+    fresh = _fresh(
+        spark,
+        _mk_docs(spark, [(1, mk(1)), (2, mk(2))] + batch),
+        str(tmp_path),
+        **kw,
+    )
+    assert _pairs_dict(idx) == fresh
+    stored = idx._read_append("shingles", "doc_id long, shingle string")
+    dup = (
+        stored.groupBy("doc_id", "shingle")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "retry double-appended shingle rows"

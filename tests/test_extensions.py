@@ -801,9 +801,15 @@ def test_px15_cluster_safe_split_no_leakage(spark):
         h = int(hashlib.md5(str(cluster).encode()).hexdigest()[:15], 16) % 10
         return "train" if h < 8 else ("val" if h == 8 else "test")
 
-    # leakage check: paired docs inherit the canonical's split
-    for doc, canon in groups.items():
-        assert split_of(groups.get(doc, doc)) == split_of(canon)
+    # witness: cluster-keying actually CHANGES some paired doc's split
+    # vs px2's doc-keying — this is what makes the aggregate comparison
+    # below sharp (an operator that hashed doc_id would reproduce px2's
+    # counts, which must differ from `want` at this witness)
+    assert any(
+        split_of(doc) != split_of(canon)
+        for doc, canon in groups.items()
+        if doc != canon
+    ), "corpus has no pair where doc- and cluster-keying disagree"
 
     want = {}
     for r in docs:

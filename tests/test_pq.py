@@ -190,3 +190,37 @@ def test_ivf_pq_search_and_add(spark, tmp_path):
 
     with pytest.raises(ValueError, match="without PQ"):
         plain.search(spark, queries, top_k=10, adc_shortlist=100).collect()
+
+
+def test_ivf_pq_reopened_handle_keeps_encoding(spark, tmp_path):
+    """PQ-ness is a property of the on-disk index: a handle reopened
+    WITHOUT pq_m must still encode its add() rows (else they lack the
+    codes column and ADC search crashes on nulls), and its ADC search
+    must keep working."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    path = str(tmp_path / "pqidx")
+    IvfIndex(path, n_cells=16, n_probe=4, pq_m=8).build(spark, base)
+
+    reopened = IvfIndex(path, n_cells=16, n_probe=4)  # no pq_m given
+    assert reopened.pq_m == 8  # inferred from pq_codebooks.json
+    reopened.add(spark, delta)
+    rows = spark.read.parquet(path + "/index")
+    assert "codes" in rows.columns
+    assert rows.filter(F.col("codes").isNull()).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = reopened.search(spark, queries, top_k=10, adc_shortlist=100)
+    assert out.count() > 0

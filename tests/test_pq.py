@@ -224,3 +224,65 @@ def test_ivf_pq_reopened_handle_keeps_encoding(spark, tmp_path):
     )
     out = reopened.search(spark, queries, top_k=10, adc_shortlist=100)
     assert out.count() > 0
+
+
+def test_banded_hamming_pairs_exact_recall_property(spark):
+    """The pigeonhole claim behind mm9/mm10, tested directly: for
+    RANDOM fingerprints of assorted lengths, the banded candidate
+    search returns EXACTLY the brute-force pair set under the relative
+    threshold (B = L div den + 1 contiguous bands guarantee a clash-
+    free band for any pair within distance L/den — recall 1.0; the
+    hamming verify makes precision 1.0)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+        IMG_HAM_PCT_DEN,
+        _banded_hamming_pairs,
+    )
+
+    rng = random.Random(0)
+    rows = []
+    doc = 0
+    for length in (8, 13, 24, 40):
+        base = [rng.randint(0, 1) for _ in range(length)]
+        for _ in range(18):
+            bits = list(base)
+            # mutate a random number of positions so distances span
+            # well below and well above the threshold
+            for p in rng.sample(range(length), rng.randint(0, length // 2)):
+                bits[p] ^= 1
+            rows.append((doc, length, "".join(map(str, bits))))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, n long, bits string")
+    classes = df.groupBy("n", "bits").agg(
+        F.min("doc_id").alias("can"), F.count("*").alias("n_members")
+    ).withColumnRenamed("n_members", "n_m")
+    classes = classes.select(
+        F.col("n").alias("n_samples"), "bits", "can",
+        F.col("n_m").alias("n"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _banded_hamming_pairs(
+            classes, ["n_samples"], IMG_HAM_PCT_DEN
+        ).collect()
+    }
+
+    # brute force over the same canonical classes
+    canon = {}
+    for d, length, bits in rows:
+        canon.setdefault((length, bits), d)
+    want = {}
+    cl = sorted(canon.items(), key=lambda kv: kv[1])
+    for i in range(len(cl)):
+        for j in range(i + 1, len(cl)):
+            (la, ba), da = cl[i]
+            (lb, bb), db = cl[j]
+            if la != lb:
+                continue
+            h = sum(x != y for x, y in zip(ba, bb))
+            if 1 <= h <= la // IMG_HAM_PCT_DEN:
+                want[(min(da, db), max(da, db))] = h
+    assert got == want

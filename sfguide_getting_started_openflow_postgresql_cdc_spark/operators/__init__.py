@@ -71,6 +71,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "sim12_knn_pq",  # changed/new this round
     "px15_cluster_safe_split",  # changed/new this round
     "c30_min_cost_supplier",  # changed/new this round
+    "c31_dominant_part_suppliers",  # changed/new this round
+    "c32_forecast_revenue_change",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
@@ -96,8 +98,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "d6_count_distinct",  # latest green r4
     "d8_conditional_sum",  # latest green r4
     "d9_count_case_no_else",  # latest green r4
-    "dd1_exact_dedup",  # latest green r4
-    "dd6_embedding_cosine_dups",  # latest green r4
 ]
 
 

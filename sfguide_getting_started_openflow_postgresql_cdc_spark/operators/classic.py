@@ -1126,3 +1126,124 @@ def c30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unit_cost").alias("best_unit_cost"),
         )
     )
+
+
+@query(
+    "c31_dominant_part_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT pq.l_suppkey
+      FROM pq
+      JOIN pt ON pt.l_partkey = pq.l_partkey
+      JOIN part p ON p.p_partkey = pq.l_partkey
+      WHERE p.p_name LIKE 'small%' AND pq.sq * 10 > pt.tq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN qual q   ON q.l_suppkey = s.s_suppkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                       'NATION_5')
+    """,
+)
+def c31_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — 'potential part promotion': suppliers in named
+    nations who dominate the supply of some qualifying part (the spec's
+    availqty > half-of-shipped nested-subquery chain; adapted to the
+    star schema as shipped-share: the supplier moved MORE THAN 10% of
+    a 'small%' part's total shipped quantity — an OUTSIZED share, 2x+
+    the uniform spread, since the synthetic corpus fans each part
+    across ~20 suppliers and the 99th-percentile share is ~11.6%; the
+    spec's 50%-of-availqty bound would be vacuous here).
+    Decorrelated Spark-first:
+    the per-(part, supplier) quantity pre-aggregation and the per-part
+    total REUSE one l_partkey exchange; the >50% share test compares
+    two exact decimal sums (sq * 10 > tq — integer-exact, no division);
+    the qualifying-supplier set is DISTINCT-collapsed before the final
+    semi join so the supplier dim joins one row per candidate. Part and
+    nation dims broadcast pre-filtered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
+    )
+    pt = pq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual = (
+        pq.join(pt, pq.l_partkey == pt.pk)
+        .join(part, pq.l_partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("sq") * 10 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin(
+                "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+            )
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        nations, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(
+        F.broadcast(qual), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+
+
+@query(
+    "c32_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def c32_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the forecast-revenue-change scalar: what
+    revenue was given away as discount on small-quantity items in one
+    shipping year. The simplest classic shape, registered to complete
+    the Q1-Q22 analog sweep: a single scan with every predicate pushed
+    to the parquet reader (range on l_shipdate, BETWEEN on l_discount,
+    bound on l_quantity — all appear in PushedFilters), a map-side
+    partial aggregate, and one exact decimal product summed exactly.
+    Double literals (0.05/0.07) parse to the identical IEEE values on
+    both engines, so the raw-double comparisons agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )

@@ -29,6 +29,8 @@ SINGLE_PARTITION_POST_AGG = {
     "i16_funnel_stages",            # crossJoin of three 1-row stage counts
     "c20_bracketed_revenue",        # Q19: global scalar after the broadcast
                                     # join (map-side partials first)
+    "c32_forecast_revenue_change",  # Q6: global scalar over one pushed-
+                                    # filter scan (map-side partials first)
 }
 
 

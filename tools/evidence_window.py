@@ -56,6 +56,8 @@ CHANGED_SINCE_GREEN = [
     "sim12_knn_pq",  # r8: NEW (product-quantization ADC + exact rerank)
     "px15_cluster_safe_split",  # r8: NEW (cluster-granular leakage-safe split)
     "c30_min_cost_supplier",  # r8: NEW (Q2 shape)
+    "c31_dominant_part_suppliers",  # r8: NEW (Q20 shape)
+    "c32_forecast_revenue_change",  # r8: NEW (Q6 shape)
 ]
 
 

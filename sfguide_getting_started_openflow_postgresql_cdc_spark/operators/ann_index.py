@@ -46,7 +46,13 @@ class IvfIndex:
     ADC lookup tables over the codes column ONLY (column pruning keeps
     raw embeddings unread), exact-reranking just the shortlist — at
     100 TB a query reads the probed cells' code bytes (~32x smaller
-    than the vectors) plus a few hundred raw rows."""
+    than the vectors) plus a few hundred raw rows.
+
+    ``pq_m`` semantics: an explicit int enables PQ with that many
+    subspaces; ``None`` (default) INFERS PQ-ness from the on-disk
+    codebooks, so reopened handles preserve the index's format; ``0``
+    explicitly opts out — "rebuild this path as a plain IVF index"
+    (build() removes the stale codebooks)."""
 
     def __init__(
         self,
@@ -67,11 +73,15 @@ class IvfIndex:
             # constructed this handle: a reopened IvfIndex(path) MUST
             # keep encoding add() rows (and keep PQ through a drift
             # rebuild), or appended rows silently lack codes and every
-            # later ADC search crashes on nulls.
+            # later ADC search crashes on nulls. pq_m=0 is the explicit
+            # opt-out: "rebuild this as a plain IVF index" (build()
+            # removes the stale codebooks).
+            import numpy as np
+
             with open(os.path.join(path, "pq_codebooks.json")) as f:
-                self._pq_books = None  # keep lazy; just read the shape
-                pq_m = len(json.load(f))
-        self.pq_m = pq_m
+                self._pq_books = np.array(json.load(f), dtype=np.float64)
+            pq_m = int(self._pq_books.shape[0])
+        self.pq_m = pq_m or None  # 0 -> None: explicitly non-PQ
 
     # -- artifacts ----------------------------------------------------------
     def _centroids_path(self) -> str:

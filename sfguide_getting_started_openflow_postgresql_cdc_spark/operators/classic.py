@@ -1069,9 +1069,9 @@ def c30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted to the star schema as min observed l_extendedprice /
     l_quantity per (part, supplier), since the testdata has no
     partsupp). Decorrelated Spark-first: the per-(part, supplier) offer
-    pre-aggregation and the per-part minimum reuse ONE l_partkey-keyed
-    exchange; the tie-keeping filter is a same-key join, never a
-    per-row subquery. Region->nation->supplier collapses into one
+    pre-aggregation is PERSISTED (the c19 convention) and feeds both
+    the per-part minimum and the tie-keeping same-key join, so the
+    fact scan and its exchange run once — never a per-row subquery. Region->nation->supplier collapses into one
     pre-filtered broadcast; the part dim filter prunes before its
     broadcast join. Unit cost divides two raw parquet doubles — the
     same IEEE division on both engines, so MIN and the equality tie
@@ -1102,6 +1102,9 @@ def c30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "unit_cost"
             )
         )
+        .persist()  # c19 convention: the pre-agg feeds BOTH the per-part
+        # minimum and the tie filter — without the cache Catalyst
+        # duplicates the whole fact scan + exchange subtree
     )
     best = offer.groupBy(F.col("l_partkey").alias("bk")).agg(
         F.min("unit_cost").alias("best_cost")
@@ -1162,8 +1165,9 @@ def c31_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     across ~20 suppliers and the 99th-percentile share is ~11.6%; the
     spec's 50%-of-availqty bound would be vacuous here).
     Decorrelated Spark-first:
-    the per-(part, supplier) quantity pre-aggregation and the per-part
-    total REUSE one l_partkey exchange; the >50% share test compares
+    the per-(part, supplier) quantity pre-aggregation is PERSISTED (the
+    c19 convention) and feeds both the per-part total and the share
+    filter, so the fact scan and its exchange run once; the outsized-share test compares
     two exact decimal sums (sq * 10 > tq — integer-exact, no division);
     the qualifying-supplier set is DISTINCT-collapsed before the final
     semi join so the supplier dim joins one row per candidate. Part and
@@ -1173,7 +1177,8 @@ def c31_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
-    )
+    ).persist()  # feeds both the per-part total and the share filter
+    # (c19 convention — one fact scan, not a duplicated subtree)
     pt = pq.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("sq").alias("tq")
     )

@@ -1993,7 +1993,12 @@ px14_exact_substring_decontamination.__doc__ = (
 def _px15_oracle() -> str:
     # dd7's transitive-closure CTE gives the cluster canonical; the
     # split key is md5(cluster id) — px2's rule lifted from doc to
-    # CLUSTER granularity
+    # CLUSTER granularity. The bucket SQL comes from _md5_mod_sql so
+    # the Spark/DuckDB hash twins can never drift apart (the px2
+    # pairing convention).
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        _md5_mod_sql,
+    )
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
         ORACLES,
     )
@@ -2017,9 +2022,9 @@ def _px15_oracle() -> str:
     assigned AS (
       SELECT d.doc_id, d.n_chars,
              COALESCE(c.canonical, d.doc_id) AS cluster_id,
-             (('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id)
-                                       AS VARCHAR)), 1, 15))::BIGINT % 10)
-                 AS h
+             {_md5_mod_sql(
+                 "CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)", 10
+             )} AS h
       FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
     )
     SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'

@@ -204,14 +204,48 @@ class MinHashLshIndex:
 
     # -- manifest / storage plumbing ------------------------------------
 
+    LAYOUT_VERSION = 2  # v2: log tables segmented by operation version
+
     def _manifest(self) -> dict:
         p = os.path.join(self.dir, "manifest.json")
         if os.path.exists(p):
-            return json.load(open(p))
+            man = json.load(open(p))
+            if (
+                man.get("version", 0) > 0
+                and man.get("layout", 1) != self.LAYOUT_VERSION
+            ):
+                # a flat-log (pre-segmentation) index would be SILENTLY
+                # read as having empty logs — refuse loudly instead
+                raise ValueError(
+                    f"index at {self.dir} uses storage layout "
+                    f"{man.get('layout', 1)}, this code reads layout "
+                    f"{self.LAYOUT_VERSION}; rebuild the index "
+                    "(re-ingest the corpus) to migrate"
+                )
+            return man
         return {"version": 0, "n_docs": 0, "tables": {}}
+
+    _LOG_TABLES = ("shingles", "bands", "cands", "tombstones")
+
+    def _clear_orphan_segments(self, version: int, wrote: set[str]) -> None:
+        """Remove v{version} segments of log tables THIS operation did
+        not write. Without this, a crashed ingest's orphan bands/v2
+        would be resurrected when a later RETRACT (which only writes
+        tombstones) commits version 2 — the `v <= manifest.version`
+        read gate cannot tell which OPERATION produced a segment, so
+        the committing operation must own every segment at its
+        version."""
+        for name in self._LOG_TABLES:
+            if name in wrote:
+                continue
+            shutil.rmtree(
+                os.path.join(self.dir, name, f"v{version}"),
+                ignore_errors=True,
+            )
 
     def _commit(self, manifest: dict) -> None:
         manifest["n_buckets"] = self.n_buckets
+        manifest["layout"] = self.LAYOUT_VERSION
         tmp = os.path.join(self.dir, "manifest.json.tmp")
         json.dump(manifest, open(tmp, "w"))
         os.replace(tmp, os.path.join(self.dir, "manifest.json"))
@@ -759,6 +793,9 @@ class MinHashLshIndex:
                 lambda: self._append("cands", new_cands, version=new_version),
             ]
         )
+        self._clear_orphan_segments(
+            new_version, wrote={"shingles", "bands", "cands"}
+        )
         self._commit(
             {
                 "version": new_version,
@@ -943,6 +980,7 @@ class MinHashLshIndex:
             )
             tables["pairs"] = new_version
         self._append("tombstones", r, version=new_version)
+        self._clear_orphan_segments(new_version, wrote={"tombstones"})
         self._commit(
             {
                 "version": new_version,

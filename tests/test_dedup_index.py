@@ -316,3 +316,56 @@ def test_crashed_ingest_retry_does_not_double_append(spark, tmp_path):
         .count()
     )
     assert dup == 0, "retry double-appended shingle rows"
+
+
+def test_crashed_op_segments_not_resurrected_by_other_op(spark, tmp_path):
+    """Orphan segments from a crashed operation must NOT become visible
+    when a DIFFERENT operation type later commits the same version
+    number: (a) crashed ingest's bands/shingles must not leak phantom
+    docs into reads after a retract commits that version; (b) a crashed
+    retract's tombstones must not silently delete live docs after an
+    ingest commits that version."""
+    kw = dict(cap=5, threshold=0.2)
+    base = "c1 c2 c3 c4"
+    mk = lambda i: f"{base} u{i} t1 t2 t3"  # noqa: E731
+
+    def crash(idx):
+        real = idx._commit
+        idx._commit = lambda m: (_ for _ in ()).throw(RuntimeError("boom"))
+        return real
+
+    # (a) crashed ingest, then retract commits the same version
+    idx = MinHashLshIndex(spark, str(tmp_path / "a"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2)), (9, mk(9))]))
+    real = crash(idx)
+    with pytest.raises(RuntimeError):
+        idx.ingest(_mk_docs(spark, [(3, mk(3))]))  # orphan v2 logs
+    idx._commit = real
+    idx.retract([9])  # commits version 2 without touching bands/v2
+    stored = idx._read_append("bands", "doc_id long, band_id string, sig string")
+    assert stored.filter(F.col("doc_id") == 3).count() == 0, (
+        "crashed ingest's band segment resurrected by the retract commit"
+    )
+    fresh = _fresh(
+        spark, _mk_docs(spark, [(1, mk(1)), (2, mk(2))]), str(tmp_path), **kw
+    )
+    assert _pairs_dict(idx) == fresh
+
+    # (b) crashed retract, then ingest commits the same version
+    idx2 = MinHashLshIndex(spark, str(tmp_path / "b"), **kw)
+    idx2.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+    real2 = crash(idx2)
+    with pytest.raises(RuntimeError):
+        idx2.retract([1])  # orphan tombstones/v2
+    idx2._commit = real2
+    idx2.ingest(_mk_docs(spark, [(3, mk(3))]))  # commits version 2
+    assert idx2._tombstones() is None, (
+        "crashed retract's tombstones resurrected by the ingest commit"
+    )
+    fresh2 = _fresh(
+        spark,
+        _mk_docs(spark, [(1, mk(1)), (2, mk(2)), (3, mk(3))]),
+        str(tmp_path),
+        **kw,
+    )
+    assert _pairs_dict(idx2) == fresh2

@@ -31,6 +31,14 @@ SINGLE_PARTITION_POST_AGG = {
                                     # join (map-side partials first)
     "c32_forecast_revenue_change",  # Q6: global scalar over one pushed-
                                     # filter scan (map-side partials first)
+    "c30_min_cost_supplier",        # Q2: the exchange is Catalyst's
+                                    # RUNTIME BLOOM FILTER build on the
+                                    # pruned part keys (partial agg of a
+                                    # bounded sketch, then one merge) —
+                                    # injected scan pruning, the scale-
+                                    # POSITIVE behavior
+    "c31_dominant_part_suppliers",  # Q20: same runtime bloom-filter
+                                    # build
 }
 
 

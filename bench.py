@@ -164,14 +164,26 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> float:
     return min(elapsed)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def run_with_retry(run_once_fn, max_retries: int = 2) -> dict:
+    """Re-run the whole timed pass while its own contention sentinel
+    trips (r8 verdict: the recorded BENCH_r08 artifact was self-flagged
+    ``contended: true`` while a clean run sat in BASELINE.md — the
+    retry must be mechanical, not a process note). Returns the first
+    clean result; after ``max_retries`` re-runs, returns the LAST
+    attempt still flagged, so a permanently-noisy machine stays visible
+    instead of being silently retried forever. ``attempts`` is recorded
+    in the sentinel either way."""
+    attempt = 0
+    while True:
+        result = run_once_fn()
+        attempt += 1
+        result["sentinel"]["attempts"] = attempt
+        if not result["sentinel"]["contended"] or attempt > max_retries:
+            return result
 
+
+def _run_once(spark, sf_dir: str) -> dict:
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import QUERIES
-    from sfguide_getting_started_openflow_postgresql_cdc_spark.session import get_spark
-
-    spark = get_spark(app_name="bench")
 
     # warm-up: JIT the parquet reader, codegen, and broadcast machinery
     # outside the timings (different queries than the timed set's first,
@@ -219,22 +231,32 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "sentinel": {
-                    "flagship_start_s": sentinel_start,
-                    "flagship_end_s": sentinel_end,
-                    "contended": contended,
-                },
-            }
-        )
-    )
+    return {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "sentinel": {
+            "flagship_start_s": sentinel_start,
+            "flagship_end_s": sentinel_end,
+            "contended": contended,
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # NOTE on retries: the dedup shingle/pairs memos stay warm across
+    # retries, matching the steady state the per-query min-of-3 already
+    # records (pass 1 builds the memo, passes 2-3 time warm caches)
+    result = run_with_retry(lambda: _run_once(spark, sf_dir))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

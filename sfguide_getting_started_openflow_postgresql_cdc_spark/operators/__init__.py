@@ -46,58 +46,59 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 ]
 _NEEDS_EVIDENCE_FIRST = [
-    "sim11_knn_graph_auto",  # changed/new this round
-    "dd16_embedding_dups_auto",  # changed/new this round
-    "px12_neardup_decontamination",  # changed/new this round
-    "dd15_incremental_minhash_pairs",  # changed/new this round
-    "px13_exact_substring_spans",  # changed/new this round
-    "px14_exact_substring_decontamination",  # changed/new this round
     "c18_important_parts",  # changed/new this round
-    "c19_top_supplier",  # changed/new this round
-    "c20_bracketed_revenue",  # changed/new this round
-    "c21_supplier_diversity",  # changed/new this round
-    "c22_sole_late_supplier",  # changed/new this round
-    "mm9_image_neardup_pairs",  # changed/new this round
-    "c23_order_priority_check",  # changed/new this round
-    "c24_local_supplier_volume",  # changed/new this round
-    "c25_returned_top_customers",  # changed/new this round
-    "c26_shipping_delay_priority",  # changed/new this round
-    "c27_customer_order_distribution",  # changed/new this round
-    "c28_shipping_priority",  # changed/new this round
-    "c29_product_type_profit",  # changed/new this round
-    "mm10_audio_neardup_pairs",  # changed/new this round
-    "sim12_knn_pq",  # changed/new this round
+    "dd4_minhash_lsh_pairs",  # changed/new this round
+    "dd3_ngram_jaccard_pairs",  # changed/new this round
+    "dd10_containment_pairs",  # changed/new this round
+    "dd15_incremental_minhash_pairs",  # changed/new this round
+    "dd7_dedup_groups",  # changed/new this round
+    "px6_neardup_aware_curation",  # changed/new this round
     "px15_cluster_safe_split",  # changed/new this round
-    "c30_min_cost_supplier",  # changed/new this round
-    "c31_dominant_part_suppliers",  # changed/new this round
-    "c32_forecast_revenue_change",  # changed/new this round
+    "dd11_softdedup_weights",  # changed/new this round
+    "dd13_cluster_size_histogram",  # changed/new this round
+    "px12_neardup_decontamination",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
+    "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
-    "b8_column_inequality",  # latest green r4
-    "c12_full_outer_join",  # latest green r4
-    "c1_join_2way_agg",  # latest green r4
-    "c5_join_derived_table",  # latest green r4
-    "c6_semi_join",  # latest green r4
-    "c8_scalar_subquery",  # latest green r4
-    "c9_not_exists",  # latest green r4
-    "d10_rate_avg_case",  # latest green r4
-    "d11_having",  # latest green r4
-    "d17_rollup",  # latest green r4
-    "d18_cube",  # latest green r4
-    "d19_exact_corr_moments",  # latest green r4
-    "d1_global_agg",  # latest green r4
-    "d20_order_statistics",  # latest green r4
-    "d21_bool_aggregates",  # latest green r4
-    "d26_grouping_sets",  # latest green r4
-    "d2_groupby_single",  # latest green r4
-    "d3_tpch_q1_pricing_summary",  # latest green r4
-    "d4_groupby_expression",  # latest green r4
-    "d6_count_distinct",  # latest green r4
-    "d8_conditional_sum",  # latest green r4
-    "d9_count_case_no_else",  # latest green r4
+    "dd1_exact_dedup",  # latest green r4
+    "dd6_embedding_cosine_dups",  # latest green r4
+    "e10_range_interval_frame",  # latest green r4
+    "e1_pct_of_total",  # latest green r4
+    "e2_nested_agg_window",  # latest green r4
+    "e3_partitioned_window",  # latest green r4
+    "e4_listagg_distinct",  # latest green r4
+    "e5_lag_lead",  # latest green r4
+    "flagship_revenue_by_nation",  # latest green r4
+    "h11_timestampdiff_minute",  # latest green r4
+    "h14_date_trunc_hour",  # latest green r4
+    "h21_regexp_extract",  # latest green r4
+    "h28_array_functions",  # latest green r4
+    "h2_h3_round_nullif",  # latest green r4
+    "a5_generate_series",  # latest green r5
+    "b1_project_filter",  # latest green r5
+    "c10_salted_skew_join",  # latest green r5
+    "d25_top_percent",  # latest green r5
+    "dd8_semantic_dedup_groups",  # latest green r5
+    "e6_moving_frame",  # latest green r5
+    "e7_rank_functions",  # latest green r5
+    "e8_running_total",  # latest green r5
+    "f4_topk_global",  # latest green r5
+    "f6_topk_per_group",  # latest green r5
+    "f7_pagination",  # latest green r5
+    "g1_union_all_rowcounts",  # latest green r5
+    "g2_data_quality_nulls",  # latest green r5
+    "g3_intersect",  # latest green r5
+    "g4_except",  # latest green r5
+    "h12_to_char_month",  # latest green r5
+    "h13_compose_timestamp",  # latest green r5
+    "h15_dayname_dayofweek",  # latest green r5
+    "h16_modulo",  # latest green r5
+    "h1_string_concat",  # latest green r5
+    "h20_like_patterns",  # latest green r5
 ]
 
 

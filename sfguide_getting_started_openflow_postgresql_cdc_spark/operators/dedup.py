@@ -189,13 +189,22 @@ def dd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _doc_shingles(spark, sf_dir)
     # doc-frequency via a window on the same shuffle key the join needs
     dfreq = F.count("*").over(Window.partitionBy("shingle"))
+    # attach each doc's capped-set SIZE to every shingle row before the
+    # self-join (a second window, keyed like the sizes groupBy would
+    # be): the verify then needs NO sizes join at all — min() over the
+    # pair group reproduces |A| and |B| exactly, since every row of a
+    # group carries the same n. The previous shape broadcast a
+    # one-row-PER-CORPUS-DOC sizes frame twice (executor OOM at
+    # billion-doc scale — r8 verdict); now nothing corpus-cardinality
+    # is ever broadcast and two joins disappear from the plan.
+    nsize = F.count("*").over(Window.partitionBy("doc_id"))
     sh = (
         raw.withColumn("_df", dfreq)
         .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
         .drop("_df")
-        .persist()  # used 3x below
+        .withColumn("n", nsize)
+        .persist()  # both sides of the self-join
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -206,17 +215,17 @@ def dd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+        F.col("na") + F.col("nb") - F.col("n_shared")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -278,7 +287,16 @@ def _dd4_shingle_cache(spark: SparkSession, sf_dir: str):
         .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
         .select("shingle")
     )
-    capped = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
+    # each capped row carries its doc's capped-set SIZE (one window,
+    # persisted with the rows): the verify step of every consumer
+    # (dd4/dd10/px12) can then take min(n) inside its pair aggregate
+    # instead of joining a corpus-cardinality sizes frame — the r8
+    # verdict's scale-killer was broadcasting that frame
+    capped = (
+        sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .persist()
+    )
     _DD4_CACHE[key] = (sh, capped)
     return sh, capped
 
@@ -397,7 +415,6 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh, capped = _dd4_shingle_cache(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     bands = None
     for name, expr in _band_exprs():
         part = sig.select(
@@ -416,7 +433,13 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates with exact jaccard over the CAPPED sets
-    # (candidates are few; dd3-parity requires the capped sets)
+    # (candidates are few; dd3-parity requires the capped sets). Each
+    # capped row carries its doc's set size (memoized window), so |A|
+    # and |B| ride the verify joins and min() inside the pair aggregate
+    # reproduces them exactly — NO sizes join, and nothing
+    # corpus-cardinality is ever broadcast (the r8 verdict's
+    # scale-killer was broadcasting a one-row-per-corpus-doc sizes
+    # frame here; at billions of docs that OOMs the executors)
     sha, shb = capped.alias("sha"), capped.alias("shb")
     inter = (
         cand.join(sha, F.col("sha.doc_id") == F.col("doc_a"))
@@ -426,16 +449,17 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("shb.shingle") == F.col("sha.shingle")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min(F.col("sha.n")).alias("na"),
+            F.min(F.col("shb.n")).alias("nb"),
+        )
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+        F.col("na") + F.col("nb") - F.col("n_shared")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -1110,7 +1134,10 @@ def dd10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so composing it with the other dedup operators costs one shuffle,
     not a re-explode."""
     _, capped = _dd4_shingle_cache(spark, sf_dir)
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # each (cached) capped row carries its doc's capped-set size (the
+    # memo's window), so the directional ratios ride the self-join and
+    # need no sizes join — and no corpus-cardinality broadcast (r8
+    # verdict: the old shape broadcast a one-row-per-corpus-doc frame)
     a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(
@@ -1121,15 +1148,16 @@ def dd10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    c_a = F.col("n_shared").cast("double") / F.col("sa.n")
-    c_b = F.col("n_shared").cast("double") / F.col("sb.n")
+    c_a = F.col("n_shared").cast("double") / F.col("na")
+    c_b = F.col("n_shared").cast("double") / F.col("nb")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             c_a.alias("containment_a"),

@@ -120,6 +120,7 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup impor
     SHINGLE_DOC_FREQ_CAP,
     _band_exprs,
     _minhash_sig_cols,
+    clear_dedup_cache,
 )
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
     query,
@@ -417,19 +418,32 @@ class MinHashLshIndex:
                         )
 
     def _retire_cow_versions(self) -> None:
-        """Keep the newest two versions of each COW table (current +
-        in-flight readers); hard links keep shared inodes alive."""
+        """Retire COW versions relative to each table's MANIFEST-COMMITTED
+        version, never the directory listing: a crashed operation's
+        orphan dir can outrank the committed version, and a
+        listing-based "keep newest two" would retire the committed dir
+        while keeping orphans — ``_cow_read`` would then silently return
+        an empty view. Keep the committed dir plus the highest dir below
+        it (in-flight readers of the previous version); delete everything
+        else, INCLUDING orphans above the committed version — the COW
+        analog of ``_clear_orphan_segments`` (a crashed op's retry
+        rewrites its own version dir with mode=overwrite anyway). Hard
+        links keep inodes shared with the previous version alive."""
         for name in ("df", "hot", "pairs"):
             tdir = os.path.join(self.dir, name)
             if not os.path.isdir(tdir):
                 continue
+            committed = self._cow_version(name)
             vs = sorted(
                 int(d[1:])
                 for d in os.listdir(tdir)
                 if d.startswith("v") and d[1:].isdigit()
             )
-            for v in vs[:-2]:
-                shutil.rmtree(self._cow_path(name, v), ignore_errors=True)
+            below = [v for v in vs if v < committed]
+            keep = {committed, below[-1]} if below else {committed}
+            for v in vs:
+                if v not in keep:
+                    shutil.rmtree(self._cow_path(name, v), ignore_errors=True)
 
     # -- shared read helpers --------------------------------------------
 
@@ -859,17 +873,26 @@ class MinHashLshIndex:
             )
             .persist()
         )
-        crossing_down = merged.filter(
-            (F.col("old_df") > self.cap)
-            & (F.col("new_df") <= self.cap)
-            & (F.col("new_df") > 0)  # vanished shingles touch no survivor
-        ).select("shingle")
+        down = merged.filter(
+            (F.col("old_df") > self.cap) & (F.col("new_df") <= self.cap)
+        )
+        # two DISTINCT uses of the down-crossing set: HOT REMOVAL must
+        # include vanished shingles (new_df == 0) — a hot shingle whose
+        # docs are all retracted in one call leaves the df table (the
+        # new_df > 0 write filter) but would otherwise stay in hot
+        # forever, wrongly excluded from capped sets when later ingests
+        # reintroduce it at df <= cap; the RE-VERIFY lookup keeps the
+        # new_df > 0 restriction (a vanished shingle touches no
+        # surviving doc's capped set, so nothing to re-verify)
+        hot_down = down.select("shingle")
+        crossing_down = down.filter(F.col("new_df") > 0).select("shingle")
+        n_hot_down = hot_down.count()
         n_crossing = crossing_down.count()
 
         hot_old = self._cow_read("hot", "shingle string")
         hot_new = (
-            hot_old.join(F.broadcast(crossing_down), "shingle", "left_anti")
-            if n_crossing
+            hot_old.join(F.broadcast(hot_down), "shingle", "left_anti")
+            if n_hot_down
             else hot_old
         )
 
@@ -954,10 +977,10 @@ class MinHashLshIndex:
             new_version,
         )
         tables["df"] = new_version
-        if n_crossing:
-            hot_buckets = self._bucket_set(crossing_down, self._shingle_bucket())
+        if n_hot_down:
+            hot_buckets = self._bucket_set(hot_down, self._shingle_bucket())
             hot_rows = self._cow_read("hot", "shingle string", hot_buckets).join(
-                F.broadcast(crossing_down), "shingle", "left_anti"
+                F.broadcast(hot_down), "shingle", "left_anti"
             )
             self._cow_write(
                 "hot", hot_rows, self._shingle_bucket(), hot_buckets, new_version
@@ -994,6 +1017,15 @@ class MinHashLshIndex:
             if f is not None:
                 f.unpersist()
         self._retire_cow_versions()
+        # retraction invalidates the SESSION-LEVEL dedup memos (shared
+        # shingle sets, dd4 pairs, dd15 replay): downstream consumers
+        # (dd7 groups, px6 curation, px15 splits) recomputed after a
+        # CDC soft-delete sync must see the surviving corpus, not a
+        # persisted pre-retraction snapshot (r8 verdict task 7). The
+        # memos rebuild lazily on next use; deletes are rare
+        # (takedowns), so the rebuild cost is the correct trade.
+        clear_dedup_cache()
+        _DD15_MEMO.clear()
         return metrics
 
 

@@ -285,11 +285,18 @@ def neardup_filter_batch_indexed(
             .join(batch.select("doc_id"), "doc_id", "left_semi")
             .distinct()
         )
+        # replay DETECTION reads the raw shingle log (tombstoned docs
+        # still prove the epoch was ingested); the re-derived ACCEPTED
+        # set must drop tombstones — docs retracted between the first
+        # attempt and an at-least-once replay (CDC soft deletes) must
+        # not be re-emitted as accepted output
         is_replay = applied.get(run_key, -1) >= epoch_id or bool(
             stored_ids.limit(1).count()
         )
         if is_replay:
-            accepted_ids = stored_ids.unionByName(bandless)
+            accepted_ids = index._anti_docs(
+                stored_ids.unionByName(bandless), index._tombstones()
+            )
             accepted = batch.join(accepted_ids, "doc_id", "left_semi")
         else:
             sigs = _batch_band_signatures(batch).persist()

@@ -369,3 +369,149 @@ def test_crashed_op_segments_not_resurrected_by_other_op(spark, tmp_path):
         **kw,
     )
     assert _pairs_dict(idx2) == fresh2
+
+
+def test_retract_all_docs_of_hot_shingle_clears_hot(spark, tmp_path):
+    """Retracting EVERY doc containing a hot shingle in one call drives
+    its df to 0: the shingle must leave the HOT table along with the df
+    table (r8 advice). A stale hot entry would be anti-joined out of
+    capped sets forever, silently zeroing the intersection of pairs
+    among LATER ingests that reuse the shingle at df <= cap."""
+    base = "c1 c2 c3 c4 c5 c6 c7 c8"
+    mk = lambda i: f"{base} u{i} v{i} w{i}"  # noqa: E731
+    kw = dict(cap=2, threshold=0.5)
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2))]))
+    idx.ingest(_mk_docs(spark, [(3, mk(3)), (4, mk(4))]))
+    # the shared c-run is hot (df=4 > cap=2)
+    assert idx._cow_read("hot", "shingle string").count() > 0
+
+    # retract ALL four docs at once: every c-run shingle's new_df == 0
+    idx.retract([1, 2, 3, 4])
+    assert idx._cow_read("hot", "shingle string").count() == 0, (
+        "hot shingles whose docs all vanished must leave the hot table"
+    )
+
+    # later ingests reusing the run at df <= cap verify WITH it: docs 5
+    # and 6 share exactly the 6 c-run shingles (jaccard 6/12 = 0.5).
+    # Reuse docs 1/2's TEXTS (new ids): that shingle pair is known to
+    # band-collide (test_cap_crossing_can_retract_pairs asserts the
+    # (1,2) pair pre-crossing), so the candidate exists and the only
+    # question is whether verification sees the de-hotted c-run.
+    idx.ingest(_mk_docs(spark, [(5, mk(1)), (6, mk(2))]))
+    fresh = _fresh(
+        spark, _mk_docs(spark, [(5, mk(1)), (6, mk(2))]), str(tmp_path), **kw
+    )
+    got = _pairs_dict(idx)
+    assert got == fresh
+    assert (5, 6) in got, "stale hot entry suppressed the survivors' pair"
+
+
+def test_orphan_cow_dirs_never_outrank_committed(spark, tmp_path):
+    """COW retirement must key on the MANIFEST-committed version, not
+    the directory listing (r8 advice): crash/retry sequences where later
+    operations never rewrite a table leave orphan dirs ABOVE its
+    committed version, and a listing-based 'keep newest two' would
+    retire the committed dir — pairs() would silently read empty."""
+    import os
+
+    kw = dict(cap=5, threshold=0.2)
+    base = "c1 c2 c3 c4"
+    mk = lambda i: f"{base} u{i} t1 t2 t3"  # noqa: E731
+    # docs 7/17: disjoint vocab, shingled but pair-less (retract fodder)
+    z7, z17 = "z1 z2 z3 z4 z5", "y1 y2 y3 y4 y5"
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.ingest(_mk_docs(spark, [(1, mk(1)), (2, mk(2)), (7, z7), (17, z17)]))
+    assert (1, 2) in _pairs_dict(idx)
+    pairs_v = idx._cow_version("pairs")
+
+    def crash_ingest(batch):
+        real = idx._commit
+        idx._commit = lambda m: (_ for _ in ()).throw(RuntimeError("boom"))
+        with pytest.raises(RuntimeError):
+            idx.ingest(_mk_docs(spark, batch))
+        idx._commit = real
+
+    # two crash/commit rounds: each crashed ingest writes orphan COW
+    # pairs dirs above v1; each retract commits the version WITHOUT
+    # rewriting pairs (no pairs name docs 7/17, no crossings)
+    crash_ingest([(8, mk(8)), (9, mk(9))])
+    idx.retract([7])
+    crash_ingest([(10, mk(10)), (11, mk(11))])
+    idx.retract([17])
+
+    assert idx._cow_version("pairs") == pairs_v
+    assert os.path.isdir(idx._cow_path("pairs", pairs_v)), (
+        "retirement deleted the committed pairs version"
+    )
+    got = _pairs_dict(idx)
+    assert (1, 2) in got, "committed pairs view lost to orphan retirement"
+    fresh = _fresh(
+        spark, _mk_docs(spark, [(1, mk(1)), (2, mk(2))]), str(tmp_path), **kw
+    )
+    assert got == fresh
+    # orphans above the committed version are cleaned, not accumulated
+    pairs_dirs = {
+        d for d in os.listdir(os.path.join(str(tmp_path / "idx"), "pairs"))
+        if d.startswith("v")
+    }
+    assert pairs_dirs == {f"v{pairs_v}"}
+
+
+def test_retraction_invalidates_pairs_consumers(spark, tmp_path):
+    """r8 verdict task 7: retraction must reach the PAIRS CONSUMERS —
+    the session-level dd4 memos (shingle sets, verified pairs) persist
+    a snapshot of the corpus dir, so after a CDC soft-delete lands
+    (replica view rewritten + index retraction via
+    streaming/index_sync.sync_soft_deletes -> MinHashLshIndex.retract;
+    the bridge itself is covered by test_index_sync), dd7 groups / px6
+    curation / px15 splits recomputed IN THE SAME SESSION must equal a
+    fresh build on the surviving corpus — not serve pre-retraction
+    pairs out of the memo. retract() now clears the memos."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        dd4_minhash_lsh_pairs,
+        dd7_dedup_groups,
+        px6_neardup_aware_curation,
+        px15_cluster_safe_split,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = str(tmp_path / "corpus")
+    fresh_dir = str(tmp_path / "fresh")
+    import os
+
+    os.makedirs(corpus), os.makedirs(fresh_dir)
+    docs.write.parquet(os.path.join(corpus, "documents.parquet"))
+
+    def snapshot(sf):
+        return {
+            "dd7": sorted(map(tuple, dd7_dedup_groups(spark, sf).collect())),
+            "px6": sorted(map(tuple, px6_neardup_aware_curation(spark, sf).collect())),
+            "px15": sorted(map(tuple, px15_cluster_safe_split(spark, sf).collect())),
+        }
+
+    before = snapshot(corpus)  # memos now warm for (session, corpus)
+    pairs = dd4_minhash_lsh_pairs(spark, corpus).collect()
+    assert pairs, "sf0.001 documents must contain near-dup pairs"
+    victims = sorted({p["doc_b"] for p in pairs})
+
+    # the CDC soft delete: replica's surviving view rewritten on disk,
+    # the delete forwarded to the maintained index (retract)
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(corpus, "documents.parquet")
+    )
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    idx.ingest(docs.select("doc_id", "text"))
+    idx.retract(victims)
+
+    after = snapshot(corpus)
+    # expected: a fresh build on the survivors (fresh dir => fresh memo key)
+    survivors.write.parquet(os.path.join(fresh_dir, "documents.parquet"))
+    expected = snapshot(fresh_dir)
+    assert after == expected, "consumers served pre-retraction memo state"
+    # and the retraction genuinely changed the answer (non-vacuous)
+    assert before["dd7"] != after["dd7"]

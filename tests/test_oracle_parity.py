@@ -23,6 +23,12 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
+    from tests.oracle_harness import LEGITIMATELY_EMPTY
+
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    n = df.count()
+    assert n > 0 or name in LEGITIMATELY_EMPTY, (
+        f"{name}: empty result at {sf_dir} — a rows-only driver check "
+        "on an empty frame is vacuous"
+    )
     assert df.schema is not None

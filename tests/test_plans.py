@@ -352,3 +352,28 @@ def test_dd4_standalone_plan_never_hits_pairs_memo(spark, sf_dir):
         # the dd7/px6 timing drop and the oracle equality tests)
     finally:
         dedup.clear_dedup_cache()
+
+
+def test_dedup_verify_is_sizes_join_free(spark, sf_dir):
+    """The r8 verdict's scale-killer: dd4/dd3/dd10 broadcast a sizes
+    frame with ONE ROW PER CORPUS DOC in their jaccard/containment
+    verify (executor OOM at billion-doc scale). Now every capped
+    shingle row carries its doc's set size (one window, computed once
+    in the shared memo / dd3's own build), so |A| and |B| ride the
+    verify joins and min() inside the pair aggregate reproduces them —
+    the sizes join no longer EXISTS: everything above the pair-level
+    Aggregate (the first one in the top-down plan string) must be
+    join-free in all three plans, and dd3's whole plan has exactly its
+    one shingle self-join."""
+    for name in (
+        "dd4_minhash_lsh_pairs",
+        "dd3_ngram_jaccard_pairs",
+        "dd10_containment_pairs",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        head = opt.split("Aggregate", 1)[0]
+        assert "Join" not in head, f"{name}: sizes join above verify agg"
+    d3 = QUERIES["dd3_ngram_jaccard_pairs"](spark, sf_dir)
+    opt3 = d3._jdf.queryExecution().optimizedPlan().toString()
+    assert opt3.count("Join ") == 1, opt3[:2000]

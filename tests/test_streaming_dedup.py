@@ -233,3 +233,51 @@ def test_indexed_streaming_e2e_query(spark, tmp_path):
     assert got == {1, 3}
     idx = MinHashLshIndex(spark, str(idx_dir))
     assert idx._manifest()["n_docs"] == 2
+
+
+def test_indexed_replay_after_retraction_drops_tombstoned_docs(spark, tmp_path):
+    """At-least-once replay AFTER a CDC retraction (r8 advice): the
+    replay re-derivation reads the shingle log, which still names
+    retracted docs — the accepted set must anti-join tombstones so
+    retracted docs (shingled AND bandless) are not re-emitted, while
+    replay DETECTION still fires off the raw log."""
+    from pyspark.sql import Row
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (
+        MinHashLshIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.dedup import (
+        neardup_filter_batch_indexed,
+    )
+
+    uniq = "one two three four five six seven eight nine ten " * 4
+    other = "red orange yellow green blue indigo violet umber black white " * 4
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    idx = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    # doc 3 is bandless (under 3 tokens): admitted without a stored trace
+    batch = spark.createDataFrame(
+        [doc(1, uniq), doc(2, other), doc(3, "a b")], DOCUMENTS
+    )
+    key = ("runR", 0)
+    first = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(spark, batch, idx, commit_key=key).collect()
+    }
+    assert first == {1, 2, 3}
+
+    # CDC soft-deletes docs 1 (shingled) and 3 (bandless), then the
+    # epoch replays (crash before the sink commit downstream)
+    idx.retract([1, 3])
+    replay = {
+        r["doc_id"]
+        for r in neardup_filter_batch_indexed(spark, batch, idx, commit_key=key).collect()
+    }
+    assert replay == {2}, "replay re-emitted retracted docs as accepted"
+    # still a replay: the index version must not move (no re-ingest)
+    assert idx._read_append(
+        "shingles", "doc_id long, shingle string"
+    ).select("doc_id").distinct().count() == 2  # logs keep 1 and 2

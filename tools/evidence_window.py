@@ -31,33 +31,19 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r8: all r7 entries cleared (CORRECTNESS_r07: 47 green + 3
+    # r9: all r8 entries cleared (CORRECTNESS_r08: 46 green + 4
     # rows-only by design, 0 failures).
-    "sim11_knn_graph_auto",  # r8: NEW (corpus-adaptive kNN graph entry)
-    "dd16_embedding_dups_auto",  # r8: NEW (corpus-adaptive dup pairs entry)
-    "px12_neardup_decontamination",  # r8: train-side sizes semi-join before broadcast
-    "dd15_incremental_minhash_pairs",  # r8: bucketed copy-on-write index state
-    "px13_exact_substring_spans",  # r8: NEW (Lee-et-al exact-substring manifests)
-    "px14_exact_substring_decontamination",  # r8: NEW (bipartite px13)
-    "c18_important_parts",  # r8: NEW (Q11 shape)
-    "c19_top_supplier",  # r8: NEW (Q15 shape)
-    "c20_bracketed_revenue",  # r8: NEW (Q19 shape)
-    "c21_supplier_diversity",  # r8: NEW (Q16 shape)
-    "c22_sole_late_supplier",  # r8: NEW (Q21 shape)
-    "mm9_image_neardup_pairs",  # r8: NEW (perceptual hamming banding)
-    "c23_order_priority_check",  # r8: NEW (Q4 shape)
-    "c24_local_supplier_volume",  # r8: NEW (Q5 shape)
-    "c25_returned_top_customers",  # r8: NEW (Q10 shape)
-    "c26_shipping_delay_priority",  # r8: NEW (Q12 shape)
-    "c27_customer_order_distribution",  # r8: NEW (Q13 shape)
-    "c28_shipping_priority",  # r8: NEW (Q3 shape)
-    "c29_product_type_profit",  # r8: NEW (Q9 shape)
-    "mm10_audio_neardup_pairs",  # r8: NEW (audio low-byte-envelope hamming)
-    "sim12_knn_pq",  # r8: NEW (product-quantization ADC + exact rerank)
-    "px15_cluster_safe_split",  # r8: NEW (cluster-granular leakage-safe split)
-    "c30_min_cost_supplier",  # r8: NEW (Q2 shape)
-    "c31_dominant_part_suppliers",  # r8: NEW (Q20 shape)
-    "c32_forecast_revenue_change",  # r8: NEW (Q6 shape)
+    "c18_important_parts",  # r9: threshold re-anchored to 1.25x avg share (r8 green was 0-row vacuous)
+    "dd4_minhash_lsh_pairs",  # r9: sizes ride the verify joins (memoized window), sizes broadcast removed
+    "dd3_ngram_jaccard_pairs",  # r9: window-attached sizes, sizes joins removed
+    "dd10_containment_pairs",  # r9: memoized window sizes, sizes joins removed
+    "dd15_incremental_minhash_pairs",  # r9: retract hot-vanish fix + COW retirement keyed on manifest
+    "dd7_dedup_groups",  # r9: consumes dd4's changed pairs plan
+    "px6_neardup_aware_curation",  # r9: consumes dd4's changed pairs plan
+    "px15_cluster_safe_split",  # r9: consumes dd7 over dd4's changed pairs plan
+    "dd11_softdedup_weights",  # r9: consumes dd7 over dd4's changed pairs plan
+    "dd13_cluster_size_histogram",  # r9: consumes dd7 over dd4's changed pairs plan
+    "px12_neardup_decontamination",  # r9: reads the changed shingle memo (n column)
 ]
 
 

@@ -60,6 +60,10 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd11_softdedup_weights",  # changed/new this round
     "dd13_cluster_size_histogram",  # changed/new this round
     "px12_neardup_decontamination",  # changed/new this round
+    "mm5_decoded_media_metadata",  # changed/new this round
+    "mm6_image_ahash",  # changed/new this round
+    "mm8_image_dup_groups",  # changed/new this round
+    "mm9_image_neardup_pairs",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
@@ -95,10 +99,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "g4_except",  # latest green r5
     "h12_to_char_month",  # latest green r5
     "h13_compose_timestamp",  # latest green r5
-    "h15_dayname_dayofweek",  # latest green r5
-    "h16_modulo",  # latest green r5
-    "h1_string_concat",  # latest green r5
-    "h20_like_patterns",  # latest green r5
 ]
 
 

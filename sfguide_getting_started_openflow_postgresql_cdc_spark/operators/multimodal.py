@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched pandas stages.
 
-North-star extension. ``decode_media`` REALLY decodes 24-bit BMP and
-16-bit PCM WAV containers (pure-Python header + content parse — no
-codec dependency; see ``_make_media_decoder``); formats that need a
-codec library (PNG/JPEG/MP3/...) raise NotImplementedError. Everything
-Spark-side is real and tested: binary column handling, metadata struct
-schema, ``mapInPandas`` batch iteration, output schema, and
+North-star extension. ``decode_media`` REALLY decodes 24-bit BMP,
+8-bit-truecolor PNG (stdlib-zlib inflate + per-scanline filter
+reconstruction — no codec dependency; r8 verdict task 4) and 16-bit
+PCM WAV containers (see ``_make_media_decoder`` /
+``_make_pixel_decoder``); formats that genuinely need a codec library
+(JPEG/MP3/...) raise NotImplementedError. Everything Spark-side is
+real and tested: binary column handling, metadata struct schema,
+``mapInPandas`` batch iteration, output schema, and
 partition-preserving execution.
 
 At 100 TB the pattern is: keep payloads as parquet binary columns
@@ -38,28 +40,29 @@ N_HIST_BINS = 8
 FEATURE_SCHEMA = "doc_id long, kind string, n_bytes long, bin long, n_in_bin long"
 
 
-def _make_media_decoder():
-    """Pure-Python BMP/WAV decoder, built as a NESTED closure so
+def _make_pixel_decoder():
+    """Pure-Python IMAGE decoder -> (kind, pixels): top-down (h, w, 3)
+    uint8 array of raw channel bytes. Built as a NESTED closure so
     cloudpickle ships it by value into mapInPandas stages (workers never
-    import this package). Stdlib ``struct`` + numpy only — no codec
-    dependency.
+    import this package). Stdlib ``struct``/``zlib`` + numpy only — no
+    codec dependency.
 
     Supported containers (dispatch on magic bytes):
     - BMP: 24-bit uncompressed BITMAPINFOHEADER — header parse + full
-      pixel-array decode honoring the 4-byte row stride (padding bytes
-      excluded from the content sum);
-    - WAV: RIFF chunk walk -> ``fmt `` (16-bit PCM) + ``data`` — sample
-      decode via one vectorized int16 view, duration derived from the
-      PARSED sample rate.
+      pixel-array decode honoring the 4-byte row stride and bottom-up
+      row order (padding bytes never reach the pixel array);
+    - PNG: 8-bit truecolor (color type 2), non-interlaced — chunk walk
+      with CRC verification, stdlib-zlib inflate of the concatenated
+      IDAT stream, then per-scanline FILTER RECONSTRUCTION (all five
+      filter types: None/Sub/Up/Average/Paeth, the spec's byte-exact
+      recurrences).
 
-    Returns a dict: kind, width, height, duration_us, n_units (pixels or
-    samples), content_sum (sum of pixel bytes / sample values),
-    payload_bytes. Anything else (PNG, JPEG, MP3, ...) raises
-    NotImplementedError — real codecs are out of scope for this runtime.
-    """
+    Palette/gray/alpha PNGs, 16-bit depth, interlacing, and anything
+    needing a real codec (JPEG/...) raise NotImplementedError."""
 
-    def decode(payload: bytes) -> dict:
+    def pixels(payload: bytes):
         import struct as _struct
+        import zlib as _zlib
 
         import numpy as _np
 
@@ -67,8 +70,8 @@ def _make_media_decoder():
         if p[:2] == b"BM":
             if len(p) < 54:
                 raise ValueError("truncated BMP header")
-            file_size, _res, off = _struct.unpack_from("<III", p, 2)
-            (hdr_sz, w, h, planes, bpp, comp) = _struct.unpack_from(
+            _file_size, _res, off = _struct.unpack_from("<III", p, 2)
+            (_hdr_sz, w, h, _planes, bpp, comp) = _struct.unpack_from(
                 "<IiiHHI", p, 14
             )
             if bpp != 24 or comp != 0:
@@ -83,13 +86,112 @@ def _make_media_decoder():
             rows = arr.reshape(h, stride)[:, : 3 * w]  # drop stride padding
             if bottom_up:
                 rows = rows[::-1]
+            return "bmp", rows.reshape(h, w, 3)
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            pos, ihdr, idat = 8, None, b""
+            while pos + 8 <= len(p):
+                ln = _struct.unpack_from(">I", p, pos)[0]
+                typ = p[pos + 4 : pos + 8]
+                body = p[pos + 8 : pos + 8 + ln]
+                crc = _struct.unpack_from(">I", p, pos + 8 + ln)[0]
+                if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+                if typ == b"IHDR":
+                    ihdr = _struct.unpack(">IIBBBBB", body)
+                elif typ == b"IDAT":
+                    idat += body
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            if ihdr is None:
+                raise ValueError("PNG missing IHDR")
+            w, h, depth, ctype, comp, filt, interlace = ihdr
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+            raw = _zlib.decompress(idat)
+            bpp, stride = 3, 3 * w
+            if len(raw) != h * (1 + stride):
+                raise ValueError("PNG scanline data length mismatch")
+            out = _np.zeros((h, stride), _np.int64)
+            for y in range(h):
+                ft = raw[y * (1 + stride)]
+                line = _np.frombuffer(
+                    raw, _np.uint8, stride, y * (1 + stride) + 1
+                ).astype(_np.int64)
+                prev = out[y - 1] if y else _np.zeros(stride, _np.int64)
+                if ft == 0:  # None
+                    rec = line
+                elif ft == 2:  # Up
+                    rec = (line + prev) % 256
+                else:  # Sub/Average/Paeth need the left-neighbour recurrence
+                    rec = _np.zeros(stride, _np.int64)
+                    for i in range(stride):
+                        a = rec[i - bpp] if i >= bpp else 0
+                        b = int(prev[i])
+                        if ft == 1:  # Sub
+                            pred = a
+                        elif ft == 3:  # Average
+                            pred = (a + b) // 2
+                        elif ft == 4:  # Paeth
+                            c = int(prev[i - bpp]) if i >= bpp else 0
+                            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        else:
+                            raise ValueError(f"bad PNG filter type {ft}")
+                        rec[i] = (line[i] + pred) % 256
+                out[y] = rec
+            return "png", out.astype(_np.uint8).reshape(h, w, 3)
+        raise NotImplementedError(
+            "unsupported image container (supported: 24-bit BMP, 8-bit "
+            "truecolor PNG); real codecs (JPEG/...) are not available in "
+            "this runtime"
+        )
+
+    return pixels
+
+
+def _make_media_decoder():
+    """Pure-Python BMP/PNG/WAV decoder, built as a NESTED closure so
+    cloudpickle ships it by value into mapInPandas stages (workers never
+    import this package). Stdlib ``struct``/``zlib`` + numpy only — no
+    codec dependency.
+
+    Image containers (BMP, PNG) decode through ``_make_pixel_decoder``
+    (shipped by value inside this closure); WAV is a RIFF chunk walk ->
+    ``fmt `` (16-bit PCM) + ``data`` — sample decode via one vectorized
+    int16 view, duration derived from the PARSED sample rate.
+
+    Returns a dict: kind, width, height, duration_us, n_units (pixels or
+    samples), content_sum (sum of pixel bytes / sample values),
+    payload_bytes. Anything else (JPEG, MP3, ...) raises
+    NotImplementedError — real codecs are out of scope for this runtime.
+    """
+    pixels = _make_pixel_decoder()
+
+    def decode(payload: bytes) -> dict:
+        import struct as _struct
+
+        import numpy as _np
+
+        p = bytes(payload)
+        if p[:2] == b"BM" or p[:8] == b"\x89PNG\r\n\x1a\n":
+            kind, px = pixels(p)
+            h, w = int(px.shape[0]), int(px.shape[1])
             return {
-                "kind": "bmp",
+                "kind": kind,
                 "width": w,
                 "height": h,
                 "duration_us": None,
                 "n_units": w * h,
-                "content_sum": int(rows.astype(_np.int64).sum()),
+                "content_sum": int(px.astype(_np.int64).sum()),
                 "payload_bytes": len(p),
             }
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
@@ -122,19 +224,20 @@ def _make_media_decoder():
                 "payload_bytes": len(p),
             }
         raise NotImplementedError(
-            "unsupported media container (supported: 24-bit BMP, 16-bit "
-            "PCM WAV); real codecs (PNG/JPEG/MP3/...) are not available "
-            "in this runtime"
+            "unsupported media container (supported: 24-bit BMP, 8-bit "
+            "truecolor PNG, 16-bit PCM WAV); real codecs (JPEG/MP3/...) "
+            "are not available in this runtime"
         )
 
     return decode
 
 
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
-    """Decode a media payload — REAL for 24-bit BMP and 16-bit PCM WAV
-    (pure-Python header + content parse, see ``_make_media_decoder``);
-    other containers raise NotImplementedError. ``kind`` is advisory —
-    dispatch is on magic bytes."""
+    """Decode a media payload — REAL for 24-bit BMP, 8-bit truecolor
+    PNG, and 16-bit PCM WAV (pure-Python header/chunk + content parse,
+    see ``_make_media_decoder``); other containers raise
+    NotImplementedError. ``kind`` is advisory — dispatch is on magic
+    bytes."""
     return _make_media_decoder()(payload)
 
 
@@ -377,13 +480,20 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     """(doc_id) -> (doc_id, kind, payload): deterministic REAL media
-    files — even doc_ids become 24-bit BMPs, odd ones 16-bit PCM WAVs.
+    files — even doc_ids become images (doc_id%4==0: 24-bit BMP,
+    doc_id%4==2: 8-bit truecolor PNG), odd ones 16-bit PCM WAVs.
     Dimensions and content derive only from doc_id, so an SQL oracle can
     predict exactly what the decoder must recover:
 
-    - BMP: width = doc_id%16+1, height = doc_id%8+1, channel byte at
-      (x, y, c) = (x + y + c + doc_id) % 256, rows bottom-up with 4-byte
-      stride padding (padding NOT part of the content sum);
+    - images: width = doc_id%16+1, height = doc_id%8+1, channel byte at
+      (x, y, c) = (x + y + c + doc_id) % 256 — the SAME grid for both
+      containers, so the perceptual-hash pipeline (mm6/mm8/mm9) is
+      container-agnostic by construction. BMP stores rows bottom-up
+      with 4-byte stride padding (padding NOT part of the content sum);
+      PNG stores top-down scanlines FILTERED with type y%5 (all five
+      spec filters exercised) inside a level-0 (stored-block) zlib
+      stream — a real inflate + defilter path with a closed-form
+      container size: payload = h*(1+3w) + 68 bytes;
     - WAV: n = doc_id%50+10 samples at 8 kHz mono, sample i =
       (doc_id*31 + i*7) % 65536 - 32768.
 
@@ -392,26 +502,85 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
+        import zlib as _zlib
 
         import numpy as _np
         import pandas as _pd
 
-        def _bmp(doc_id: int) -> bytes:
+        def _grid(doc_id: int):
             w, h = doc_id % 16 + 1, doc_id % 8 + 1
+            x = _np.arange(w)[None, :, None]
+            y = _np.arange(h)[:, None, None]
+            c = _np.arange(3)[None, None, :]
+            return w, h, ((x + y + c + doc_id) % 256).astype(_np.uint8)
+
+        def _bmp(doc_id: int) -> bytes:
+            w, h, px = _grid(doc_id)
             stride = ((3 * w + 3) // 4) * 4
             size = 54 + stride * h
             hdr = _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + _struct.pack(
                 "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
             )
-            # pixel grid: value (x + y + c + doc_id) % 256; stored rows
-            # bottom-up (y = h-1 first) with zero padding to the stride
-            x = _np.arange(w)[None, :, None]
-            y = _np.arange(h)[:, None, None]
-            c = _np.arange(3)[None, None, :]
-            px = ((x + y + c + doc_id) % 256).astype(_np.uint8)  # (h, w, 3)
+            # stored rows bottom-up (y = h-1 first), zero-padded to stride
             rows = _np.zeros((h, stride), _np.uint8)
             rows[:, : 3 * w] = px.reshape(h, 3 * w)
             return hdr + rows[::-1].tobytes()
+
+        def _png(doc_id: int) -> bytes:
+            w, h, px = _grid(doc_id)
+            rows = px.reshape(h, 3 * w).astype(_np.int64)
+            raw = bytearray()
+            for y in range(h):
+                ft = y % 5  # exercise every spec filter type
+                row = rows[y]
+                prev = rows[y - 1] if y else _np.zeros(3 * w, _np.int64)
+                if ft == 0:
+                    f = row
+                elif ft == 2:
+                    f = (row - prev) % 256
+                else:
+                    f = _np.zeros(3 * w, _np.int64)
+                    for i in range(3 * w):
+                        a = int(row[i - 3]) if i >= 3 else 0
+                        b = int(prev[i])
+                        if ft == 1:
+                            pred = a
+                        elif ft == 3:
+                            pred = (a + b) // 2
+                        else:  # Paeth
+                            c = int(prev[i - 3]) if i >= 3 else 0
+                            pa, pb, pc = (
+                                abs(b - c),
+                                abs(a - c),
+                                abs(a + b - 2 * c),
+                            )
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        f[i] = (row[i] - pred) % 256
+                raw.append(ft)
+                raw += f.astype(_np.uint8).tobytes()
+            # level 0 => stored deflate blocks: REAL zlib stream, but the
+            # container size stays closed-form for the SQL oracle
+            idat = _zlib.compress(bytes(raw), 0)
+
+            def chunk(typ: bytes, body: bytes) -> bytes:
+                return (
+                    _struct.pack(">I", len(body))
+                    + typ
+                    + body
+                    + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b"")
+            )
 
         def _wav(doc_id: int) -> bytes:
             n, rate = doc_id % 50 + 10, 8000
@@ -427,15 +596,21 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 + data
             )
 
+        def _make(d: int) -> tuple[str, bytes]:
+            if d % 2 == 1:
+                return "wav", _wav(d)
+            if d % 4 == 0:
+                return "bmp", _bmp(d)
+            return "png", _png(d)
+
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(_np.int64)
+            made = [_make(int(d)) for d in ids]
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "kind": ["bmp" if d % 2 == 0 else "wav" for d in ids],
-                    "payload": [
-                        _bmp(int(d)) if d % 2 == 0 else _wav(int(d)) for d in ids
-                    ],
+                    "kind": [k for k, _ in made],
+                    "payload": [p for _, p in made],
                 }
             )
 
@@ -448,18 +623,18 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     "mm5_decoded_media_metadata",
     oracle="""
     WITH d AS (SELECT doc_id FROM documents),
-    bmp AS (
+    img AS (
       SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
       FROM d WHERE doc_id % 2 = 0
     ),
-    bmp_k AS (
-      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS k FROM bmp
+    img_k AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS k FROM img
     ),
-    bmp_sum AS (
+    img_sum AS (
       SELECT doc_id,
              SUM(((k % 3) + ((k // 3) % w) + (k // (3 * w)) + doc_id) % 256)
                  AS s
-      FROM bmp_k GROUP BY doc_id
+      FROM img_k GROUP BY doc_id
     ),
     wav AS (
       SELECT doc_id, doc_id % 50 + 10 AS n FROM d WHERE doc_id % 2 = 1
@@ -469,14 +644,18 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
       SELECT doc_id, SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS s
       FROM wav_i GROUP BY doc_id
     )
-    SELECT b.doc_id, 'bmp' AS kind,
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS kind,
            CAST(b.w AS BIGINT) AS width,
            CAST(b.h AS BIGINT) AS height,
            CAST(NULL AS BIGINT) AS duration_us,
            CAST(b.w * b.h AS BIGINT) AS n_units,
            CAST(bs.s AS BIGINT) AS content_sum,
-           CAST(54 + ((3 * b.w + 3) // 4) * 4 * b.h AS BIGINT) AS payload_bytes
-    FROM bmp b JOIN bmp_sum bs ON bs.doc_id = b.doc_id
+           CAST(CASE WHEN b.doc_id % 4 = 0
+                     THEN 54 + ((3 * b.w + 3) // 4) * 4 * b.h
+                     ELSE b.h * (1 + 3 * b.w) + 68
+                END AS BIGINT) AS payload_bytes
+    FROM img b JOIN img_sum bs ON bs.doc_id = b.doc_id
     UNION ALL
     SELECT w.doc_id, 'wav',
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
@@ -488,13 +667,18 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     """,
 )
 def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end: synthesize actual BMP/WAV files
-    (container headers, stride padding, chunk alignment), then recover
-    width/height/duration/content through ``_make_media_decoder`` —
-    every output value comes from PARSING the binary payload, never from
-    the generation parameters. The oracle recomputes the same metadata
-    from the closed-form content definition, so a header-math or
-    stride/chunk-walk bug shows up as a value mismatch.
+    """REAL media decode end-to-end: synthesize actual BMP/PNG/WAV files
+    (container headers, stride padding, zlib-deflated filtered
+    scanlines, chunk alignment), then recover width/height/duration/
+    content through ``_make_media_decoder`` — every output value comes
+    from PARSING the binary payload (for PNG: CRC-checked chunk walk,
+    stdlib-zlib inflate, and reversal of all five scanline filter
+    types), never from the generation parameters. The oracle recomputes
+    the same metadata from the closed-form content definition — the
+    PNG container size is closed-form because the fixture deflates at
+    level 0 (stored blocks: h*(1+3w) + 68 bytes) — so a header-math,
+    stride/chunk-walk, or filter-reconstruction bug shows up as a value
+    mismatch.
 
     Plan shape: scan -> mapInPandas(encode) -> mapInPandas(decode),
     partition-preserving (zero shuffles); both stages are self-contained
@@ -587,11 +771,13 @@ MM6_ORACLE = """
 def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Internal: the per-image aHash BIT STRING frame (doc_id, width,
     height, n_above, bits) mm6 publishes (md5-condensed) and mm9 bands
-    for hamming near-dups. One decode pass, no shuffle."""
+    for hamming near-dups. Container-agnostic: pixels come from
+    ``_make_pixel_decoder`` (BMP header walk OR PNG inflate+defilter),
+    so mixed-container corpora hash identically when the pixels agree.
+    One decode pass, no shuffle."""
+    pixels = _make_pixel_decoder()
 
     def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
         import numpy as _np
         import pandas as _pd
 
@@ -599,17 +785,9 @@ def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "width": [], "height": [], "n_above": [],
                    "bits": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(payload)
-                off = _struct.unpack_from("<I", p, 10)[0]
-                w = _struct.unpack_from("<i", p, 18)[0]
-                h = _struct.unpack_from("<i", p, 22)[0]
-                stride = ((3 * w + 3) // 4) * 4
-                grid = _np.frombuffer(
-                    p, _np.uint8, stride * h, off
-                ).reshape(h, stride)
-                # stored bottom-up: flip to top-down, drop stride padding
-                px = grid[::-1, : 3 * w].reshape(h, w, 3).astype(_np.int64)
-                g3 = px.sum(axis=2)
+                _kind, px = pixels(bytes(payload))
+                h, w = int(px.shape[0]), int(px.shape[1])
+                g3 = px.astype(_np.int64).sum(axis=2)
                 total, npix = int(g3.sum()), w * h
                 above = (g3 * npix) > total
                 out["doc_id"].append(int(doc_id))
@@ -622,7 +800,9 @@ def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    imgs = synthesize_media_payloads(docs).filter(F.col("kind") == "bmp")
+    imgs = synthesize_media_payloads(docs).filter(
+        F.col("kind").isin("bmp", "png")
+    )
     return imgs.select("doc_id", "payload").mapInPandas(
         _ahash,
         schema="doc_id long, width long, height long, n_above long, bits string",
@@ -632,9 +812,10 @@ def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm6_image_ahash", oracle=MM6_ORACLE)
 def mm6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCEPTUAL image hashing (average-hash) over REAL decoded pixels:
-    parse the BMP container (header offsets, bottom-up rows, stride
-    padding — the same byte layout ``_make_media_decoder`` walks),
-    grayscale each pixel (channel sum — order-free), and emit one bit
+    decode the container (BMP header walk or PNG inflate + scanline
+    defilter — ``_make_pixel_decoder``, the same pixels
+    ``_make_media_decoder`` sums), grayscale each pixel (channel sum —
+    order-free), and emit one bit
     per pixel for gray > image mean; md5 of the bit string is the
     portable fixed-width hash id. The compare is integer-exact
     (``g3 * n_pixels > total``), so the hash is bit-identical in any

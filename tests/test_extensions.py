@@ -227,11 +227,115 @@ def test_byte_histogram_deterministic():
 
 def test_decode_stub_is_gated():
     """Codec-requiring formats still raise — the honest-incompleteness
-    gate survives the real BMP/WAV decoder."""
+    gate survives the real BMP/PNG/WAV decoder."""
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "image/jpeg")
     with pytest.raises(NotImplementedError):
         decode_media(b"RIFF\x00\x00\x00\x00AVI ", "video/avi")
+
+
+def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False):
+    """Test-side PNG writer: px is (h, w, 3) uint8, ``filters`` gives
+    the per-row filter type (the encoder applies it; the decoder under
+    test must reverse it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    rows = px.reshape(h, 3 * w).astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        row = rows[y]
+        prev = rows[y - 1] if y else np.zeros(3 * w, np.int64)
+        if ft == 0:
+            f = row
+        elif ft == 2:
+            f = (row - prev) % 256
+        else:
+            f = np.zeros(3 * w, np.int64)
+            for i in range(3 * w):
+                a = int(row[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - 3]) if i >= 3 else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f[i] = (row[i] - pred) % 256
+        raw.append(ft)
+        raw += f.astype(np.uint8).tobytes()
+
+    def chunk(t, b):
+        crc = zlib.crc32(t + b) & 0xFFFFFFFF
+        if corrupt_crc and t == b"IDAT":
+            crc ^= 1
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_real_png():
+    """PNG decode is REAL: zlib inflate + per-scanline filter
+    reconstruction recovers exact pixels for every filter type, CRCs
+    are verified, and out-of-scope variants stay loudly gated."""
+    import numpy as np
+
+    px = (np.arange(5 * 4 * 3, dtype=np.int64) * 37 % 256).reshape(5, 4, 3)
+    px = px.astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        meta = decode_media(_mk_png(px, filters))
+        assert (meta["kind"], meta["width"], meta["height"]) == ("png", 4, 5)
+        assert meta["n_units"] == 20
+        assert meta["content_sum"] == int(px.astype(np.int64).sum())
+    with pytest.raises(NotImplementedError):
+        decode_media(_mk_png(px, [0], color_type=0))  # grayscale
+    with pytest.raises(NotImplementedError):
+        decode_media(_mk_png(px, [0], interlace=1))  # Adam7
+    with pytest.raises(ValueError):
+        decode_media(_mk_png(px, [0], corrupt_crc=True))
+
+
+def test_decode_media_png_property_roundtrip():
+    """Property: ANY pixel content under ANY per-row filter mix decodes
+    back to the exact pixel array (filter reconstruction is the inverse
+    of filtering, byte for byte)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+        _make_pixel_decoder,
+    )
+
+    pixels = _make_pixel_decoder()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = [int(f) for f in rng.randint(0, 5, size=h)]
+        kind, got = pixels(_mk_png(px, filters))
+        assert kind == "png"
+        assert (got == px).all()
+
+    check()
 
 
 def test_decode_media_real_bmp_and_wav():

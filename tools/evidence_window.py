@@ -44,6 +44,10 @@ CHANGED_SINCE_GREEN = [
     "dd11_softdedup_weights",  # r9: consumes dd7 over dd4's changed pairs plan
     "dd13_cluster_size_histogram",  # r9: consumes dd7 over dd4's changed pairs plan
     "px12_neardup_decontamination",  # r9: reads the changed shingle memo (n column)
+    "mm5_decoded_media_metadata",  # r9: PNG decode (zlib inflate + defilter), mixed fixtures
+    "mm6_image_ahash",  # r9: container-agnostic pixel decode (BMP+PNG)
+    "mm8_image_dup_groups",  # r9: groups over mixed-container ahash
+    "mm9_image_neardup_pairs",  # r9: near-dup pairs over mixed-container ahash
 ]
 
 

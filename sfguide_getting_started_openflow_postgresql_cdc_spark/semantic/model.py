@@ -20,7 +20,7 @@ dict so it can ship as a sidecar file like the reference's stage upload
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +116,42 @@ class TemplateRoute:
     filters: tuple = ()
     # time-bucket grain for the *_by_time_bucket families
     bucket: str | None = None
+    # measure-threshold slot (r8 verdict task 5): (op, value) applied to
+    # the AGGREGATED output column — the HAVING clause ('doctors with
+    # revenue over 1000'); op in {'>', '>=', '<', '<='}
+    having: tuple | None = None
+    # date-range slot: (table, time_dimension, start_iso, end_iso) —
+    # an inclusive WHERE on the anchor table's first-declared
+    # time_dimension ('appointments between 2025-03-01 and 2025-05-31')
+    date_range: tuple | None = None
+
+
+# date-range qualifier: ISO dates only — free-text dates would need a
+# locale parser, and a wrong guess silently changes the answer
+_RANGE_RE = (
+    r"\b(?:between|from)\s+(\d{4}-\d{2}-\d{2})\s+"
+    r"(?:and|to|through)\s+(\d{4}-\d{2}-\d{2})\b"
+)
+# measure-threshold qualifier: comparator word(s) + a literal number;
+# longest comparators first so 'more than' never half-matches
+_CMP_OPS = (
+    ("greater than or equal to", ">="),
+    ("less than or equal to", "<="),
+    ("greater than", ">"),
+    ("less than", "<"),
+    ("more than", ">"),
+    ("at least", ">="),
+    ("at most", "<="),
+    ("over", ">"),
+    ("above", ">"),
+    ("under", "<"),
+    ("below", "<"),
+)
+_THRESH_RE = (
+    r"\b(?:having\s+|whose\s+)?("
+    + "|".join(w for w, _ in _CMP_OPS)
+    + r")\s+(\d+(?:\.\d+)?)\b"
+)
 
 
 class SemanticModel:
@@ -357,12 +393,39 @@ class SemanticModel:
           foreign key to that table (the relationship's subject-side
           column) — no join needed, the key IS the dimension.
 
+        Two SLOT QUALIFIERS compose with every family (r8 verdict task
+        5 — the refusals most common after the r8 combined slots):
+
+        - measure-threshold ('doctors with revenue over 1000'): a
+          comparator word + literal number becomes a HAVING on the
+          aggregated output column; without a by-clause, an
+          <entity> + <measure> question groups the measure on its
+          declared FK to the entity (the threshold is inexpressible in
+          the blessed catalog, so the template must win);
+        - date-range ('appointments between 2025-03-01 and
+          2025-05-31'): two ISO dates become an inclusive WHERE on the
+          anchor (fact/subject) table's first-declared time_dimension;
+          a question carrying the qualifier refuses when that table
+          declares no time_dimension.
+
         Measures/dimensions resolve through the model's declared column
         names and synonyms only; unresolvable questions raise KeyError —
         refuse, never guess."""
         import re
 
         q = question.lower()
+        # slot qualifiers are CONSUMED from the question text before any
+        # token math, so the family grammars below never see them
+        date_range = None
+        drm = re.search(_RANGE_RE, q)
+        if drm:
+            date_range = (drm.group(1), drm.group(2))
+            q = q[: drm.start()] + " " + q[drm.end():]
+        having = None
+        thm = re.search(_THRESH_RE, q)
+        if thm:
+            having = (dict(_CMP_OPS)[thm.group(1)], float(thm.group(2)))
+            q = q[: thm.start()] + " " + q[thm.end():]
         filters = tuple(self._match_enum_filters(q))
         ftoks: frozenset = (
             frozenset().union(
@@ -373,6 +436,9 @@ class SemanticModel:
         )
 
         def _check_filters(route: TemplateRoute) -> TemplateRoute:
+            """Every return path funnels through here: validates the
+            enum-filter slot and ATTACHES the threshold/date-range
+            slots (anchored on the route's fact/subject table)."""
             for ft, _, _ in route.filters:
                 if ft not in route.tables:
                     raise KeyError(
@@ -380,6 +446,18 @@ class SemanticModel:
                         f"this question reads ({route.tables}) — refusing "
                         f"rather than dropping the qualifier: {question!r}"
                     )
+            if date_range is not None:
+                anchor = route.measure_table or route.tables[0]
+                route = replace(
+                    route,
+                    date_range=(
+                        anchor,
+                        _first_time_dim(anchor),  # KeyError -> refusal
+                        *date_range,
+                    ),
+                )
+            if having is not None:
+                route = replace(route, having=having)
             return route
 
         def _table_toks(name: str) -> set:
@@ -535,12 +613,15 @@ class SemanticModel:
                 # what the catalog covers, and falls through to the
                 # verified router (the catalog-first contract the r5
                 # routing tests pin).
-                # (a top-N slot also unlocks the branch: LIMIT is
-                # inexpressible in the blessed catalog, same rationale
-                # as the filter gate)
+                # (a top-N, threshold, or date-range slot also unlocks
+                # the branch: LIMIT/HAVING/date-WHERE are inexpressible
+                # in the blessed catalog, same rationale as the filter
+                # gate)
                 group_tabs = self._resolve_tables(rt)
-                if (filters or top) and len(group_tabs) == 1 and not (
-                    rt - _table_toks(group_tabs[0])
+                if (
+                    (filters or top or having or date_range)
+                    and len(group_tabs) == 1
+                    and not (rt - _table_toks(group_tabs[0]))
                 ):
                     gt = group_tabs[0]
                     meas = self._resolve_column(
@@ -578,7 +659,46 @@ class SemanticModel:
                                 ak, st, filters=filters,
                             )
                         )
-        qt = _toks(q) - ftoks
+        # 'having'/'whose' introduce the threshold phrase; they are not
+        # stopwords (blessed-question token sets must not change), so
+        # consume them locally when the slot fired
+        qt = _toks(q) - ftoks - ({"having", "whose"} if having else set())
+        if having is not None:
+            # no-by-clause entity+measure grouping ('doctors with
+            # revenue over 1000'): group the measure on its declared FK
+            # to the named entity table, threshold on the aggregate.
+            # Precision gate: the entity, the measure's name tokens and
+            # count/avg words must explain EVERY remaining token.
+            meas = self._resolve_column(
+                qt - _AVG_WORDS - _COUNT_WORDS, kinds={"fact"}
+            )
+            tabs = self._resolve_tables(qt)
+            if meas is not None and len(tabs) == 1:
+                mt, mcol = meas
+                gt = tabs[0]
+                mtoks = set().union(
+                    *(
+                        _toks(cand)
+                        for c in self.tables[mt].columns
+                        if c.name == mcol
+                        for cand in (c.name, *c.synonyms)
+                        if _toks(cand) <= qt
+                    )
+                )
+                leftover = (
+                    qt - _AVG_WORDS - _COUNT_WORDS - _table_toks(gt) - mtoks
+                )
+                if mt != gt and not leftover:
+                    ak, _bk = self._rel_between(mt, gt)
+                    fam = (
+                        "avg_measure_by_dimension"
+                        if qt & _AVG_WORDS
+                        else "measure_by_dimension"
+                    )
+                    return _check_filters(
+                        TemplateRoute(fam, (mt,), mcol, mt, ak, mt,
+                                      filters=filters)
+                    )
         if qt & _COUNT_WORDS:
             tabs = self._resolve_tables(qt)
             if len(tabs) == 1:
@@ -619,7 +739,24 @@ class SemanticModel:
             for ft, fc, fv in route.filters:
                 if ft == t:
                     df = df.filter(F.col(fc) == F.lit(fv))
+            if route.date_range is not None and route.date_range[0] == t:
+                _, c, lo, hi = route.date_range
+                d = F.to_date(F.col(c))
+                df = df.filter(
+                    (d >= F.lit(lo).cast("date")) & (d <= F.lit(hi).cast("date"))
+                )
             return df
+
+        def having(df: DataFrame, colname: str) -> DataFrame:
+            """The measure-threshold slot: a post-aggregation filter on
+            the named output column (the HAVING clause)."""
+            if route.having is None:
+                return df
+            op, v = route.having
+            c = F.col(colname)
+            return df.filter(
+                {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+            )
 
         if route.family in (
             "count_by_time_bucket",
@@ -638,7 +775,7 @@ class SemanticModel:
             )
             grouped = live(t).groupBy(bucket_col.alias(route.bucket))
             if route.family == "count_by_time_bucket":
-                out = grouped.agg(F.count("*").alias("n"))
+                out = having(grouped.agg(F.count("*").alias("n")), "n")
             else:
                 fn = (
                     F.avg
@@ -649,14 +786,15 @@ class SemanticModel:
                     "avg" if route.family == "avg_measure_by_time_bucket"
                     else "total"
                 )
-                out = grouped.agg(
-                    fn(route.measure).alias(f"{prefix}_{route.measure}")
-                )
+                name = f"{prefix}_{route.measure}"
+                out = having(grouped.agg(fn(route.measure).alias(name)), name)
             return out.orderBy(route.bucket)
 
         if route.family == "count_table":
             t = route.tables[0]
-            return live(t).agg(F.count("*").alias(f"total_{t}"))
+            return having(
+                live(t).agg(F.count("*").alias(f"total_{t}")), f"total_{t}"
+            )
         if route.family == "count_by_dimension":
             subject, dt = route.tables[0], route.dimension_table
             if subject != dt:
@@ -665,22 +803,22 @@ class SemanticModel:
                 # dimension side — entity tables are the small side)
                 ak, bk = self._rel_between(subject, dt)
                 s_side, d_side = live(subject).alias("m"), live(dt).alias("d")
-                return (
+                return having(
                     s_side.join(
                         F.broadcast(d_side), F.col(f"m.{ak}") == F.col(f"d.{bk}")
                     )
                     .groupBy(
                         F.col(f"d.{route.dimension}").alias(route.dimension)
                     )
-                    .agg(F.count("*").alias("n"))
-                    .orderBy(F.col("n").desc(), route.dimension)
-                )
-            return (
+                    .agg(F.count("*").alias("n")),
+                    "n",
+                ).orderBy(F.col("n").desc(), route.dimension)
+            return having(
                 live(route.dimension_table)
                 .groupBy(route.dimension)
-                .agg(F.count("*").alias("n"))
-                .orderBy(F.col("n").desc(), route.dimension)
-            )
+                .agg(F.count("*").alias("n")),
+                "n",
+            ).orderBy(F.col("n").desc(), route.dimension)
         mt, dt = route.measure_table, route.dimension_table
         is_avg = route.family == "avg_measure_by_dimension"
         agg_fn = F.avg if is_avg else F.sum
@@ -700,7 +838,7 @@ class SemanticModel:
                 .groupBy(F.col(f"d.{route.dimension}").alias(route.dimension))
                 .agg(agg_fn(F.col(f"m.{route.measure}")).alias(out_measure))
             )
-        out = grouped.orderBy(
+        out = having(grouped, out_measure).orderBy(
             F.col(out_measure).desc_nulls_last(), route.dimension
         )
         if route.family == "top_dimension_by_measure":
@@ -736,6 +874,19 @@ class SemanticModel:
         try:
             return ("template", self.route_template(question))
         except KeyError:
+            import re
+
+            # a threshold/date-range qualifier no template could bind
+            # must NOT fall through to the similarity-matched catalog:
+            # a blessed query cannot express it, so the answer would
+            # silently drop the qualifier — refuse instead
+            ql = question.lower()
+            if re.search(_RANGE_RE, ql) or re.search(_THRESH_RE, ql):
+                raise KeyError(
+                    "question carries a threshold/date-range qualifier "
+                    "no template can bind — refusing rather than "
+                    f"dropping it: {question!r}"
+                )
             return ("verified", self.route_question(question))
 
     def ask(
@@ -781,6 +932,16 @@ class SemanticModel:
             "limit": target.limit,
             "filters": [f"{t}.{c} = '{v}'" for t, c, v in target.filters],
             "bucket": target.bucket,
+            "having": (
+                f"{target.having[0]} {target.having[1]}"
+                if target.having
+                else None
+            ),
+            "date_range": (
+                "{}.{} between {} and {}".format(*target.date_range)
+                if target.date_range
+                else None
+            ),
             "tables": list(target.tables),
         }
 

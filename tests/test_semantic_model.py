@@ -508,3 +508,141 @@ def test_template_combined_slots(spark, model, replicas):
     assert model.route("billed amount per physician") == (
         "verified", "revenue_by_doctor",
     )
+
+
+def test_template_threshold_slot(spark, model, replicas):
+    """r9 (VERDICT r8 task 5): a comparator word + literal number
+    becomes a HAVING on the aggregated output — including the
+    no-by-clause '<entity> with <measure> over N' grammar the r8 router
+    refused — composing with the existing families under the same
+    precision gate and refusal discipline."""
+    # the verdict's canonical refusal: 'doctors with revenue over 1000'
+    kind, t = model.route("doctors with revenue over 1900")
+    assert kind == "template" and t.family == "measure_by_dimension"
+    assert (t.measure_table, t.measure) == ("visits", "total_charge")
+    assert (t.dimension_table, t.dimension) == ("visits", "doctor_id")
+    assert t.having == (">", 1900.0)
+    got = {r["doctor_id"]: r["total_total_charge"]
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {r["doctor_id"]: r["s"]
+            for r in replicas["visits"]
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy("doctor_id").agg(F.sum("total_charge").alias("s"))
+            .filter(F.col("s") > 1900).collect()}
+    assert got == want and got
+    # and it is a PROPER subset: the threshold really cut someone
+    all_docs = replicas["visits"].filter(
+        ~F.col(schemas.META_DELETED)
+    ).select("doctor_id").distinct().count()
+    assert 0 < len(got) < all_docs
+
+    # comparator synonyms map to the right operators
+    assert model.route_template(
+        "doctors with revenue at least 1000"
+    ).having == (">=", 1000.0)
+    assert model.route_template(
+        "doctors with revenue under 500"
+    ).having == ("<", 500.0)
+
+    # composes with the by-grammar ('revenue by doctor over 1000' —
+    # HAVING unlocks the FK branch exactly like a filter does)
+    kind, t2 = model.route("revenue by doctor over 1900")
+    assert kind == "template" and t2.having == (">", 1900.0)
+    assert {r["doctor_id"] for r in
+            model.run_template(t2, spark, replicas).collect()} == set(got)
+
+    # composes with counts and enum filters: doctors with more than N
+    # completed appointments
+    kind, t3 = model.route("completed appointments by doctor over 10")
+    assert kind == "template" and t3.family == "count_by_dimension"
+    assert t3.filters == (("appointments", "status", "completed"),)
+    assert t3.having == (">", 10.0)
+    rows = model.run_template(t3, spark, replicas).collect()
+    want3 = (replicas["appointments"]
+             .filter((F.col("status") == "completed")
+                     & (~F.col(schemas.META_DELETED)))
+             .groupBy("doctor_id").agg(F.count("*").alias("n"))
+             .filter(F.col("n") > 10).collect())
+    assert {(r["doctor_id"], r["n"]) for r in rows} == {
+        (r["doctor_id"], r["n"]) for r in want3
+    }
+
+    # audit surface carries the slot
+    ex = model.explain_route("doctors with revenue over 1000")
+    assert ex["kind"] == "template" and ex["having"] == "> 1000.0"
+
+    # refusal discipline: an unbindable threshold must NOT fall through
+    # to a similarity-matched catalog answer that would drop it
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="threshold/date-range"):
+        model.route("doctors with shoe size over 10")
+    # same-table entity+measure is ambiguous (row filter vs HAVING) —
+    # refuse, never guess
+    with _pytest.raises(KeyError):
+        model.route("doctors with experience over 10")
+
+    # catalog-first precedence intact for unqualified questions
+    assert model.route("billed amount per physician") == (
+        "verified", "revenue_by_doctor",
+    )
+
+
+def test_template_date_range_slot(spark, model, replicas):
+    """r9 (VERDICT r8 task 5): 'between <iso> and <iso>' becomes an
+    inclusive WHERE on the anchor table's first-declared time_dimension,
+    composing with counts, measures, buckets, filters and thresholds."""
+    lo, hi = "2024-05-01", "2024-06-30"
+    kind, t = model.route(f"how many appointments between {lo} and {hi}")
+    assert kind == "template" and t.family == "count_table"
+    assert t.date_range == ("appointments", "appointment_date", lo, hi)
+    n = model.run_template(t, spark, replicas).collect()[0]["total_appointments"]
+    base = replicas["appointments"].filter(~F.col(schemas.META_DELETED))
+    want = base.filter(
+        (F.to_date("appointment_date") >= F.lit(lo))
+        & (F.to_date("appointment_date") <= F.lit(hi))
+    ).count()
+    assert n == want
+    # non-vacuous: the range cut something and kept something
+    assert 0 < n < base.count()
+
+    # measure + FK entity + range ('from X to Y' spelling)
+    kind, t2 = model.route(f"revenue by doctor from {lo} to {hi}")
+    assert kind == "template" and t2.family == "measure_by_dimension"
+    assert t2.date_range == ("visits", "visit_date", lo, hi)
+    got = {r["doctor_id"]: r["total_total_charge"]
+           for r in model.run_template(t2, spark, replicas).collect()}
+    want2 = {r["doctor_id"]: r["s"]
+             for r in replicas["visits"]
+             .filter(~F.col(schemas.META_DELETED))
+             .filter((F.to_date("visit_date") >= F.lit(lo))
+                     & (F.to_date("visit_date") <= F.lit(hi)))
+             .groupBy("doctor_id").agg(F.sum("total_charge").alias("s"))
+             .collect()}
+    assert got == want2 and got
+
+    # composes with bucket + enum filter
+    kind, t3 = model.route(
+        f"completed appointments by month between {lo} and {hi}"
+    )
+    assert kind == "template" and t3.family == "count_by_time_bucket"
+    assert t3.filters == (("appointments", "status", "completed"),)
+    assert t3.date_range == ("appointments", "appointment_date", lo, hi)
+
+    # threshold + range compose on one route
+    kind, t4 = model.route(
+        f"doctors with revenue over 100 between {lo} and {hi}"
+    )
+    assert t4.having == (">", 100.0)
+    assert t4.date_range == ("visits", "visit_date", lo, hi)
+
+    # audit surface
+    ex = model.explain_route(f"how many appointments between {lo} and {hi}")
+    assert ex["date_range"] == f"appointments.appointment_date between {lo} and {hi}"
+
+    # refusals: anchor table declares no time_dimension; and a range no
+    # template can bind never falls through to the catalog
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template(f"how many doctors between {lo} and {hi}")
+    with _pytest.raises(KeyError, match="threshold/date-range"):
+        model.route(f"insurance blended rate between {lo} and {hi}")

@@ -164,6 +164,53 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> float:
     return min(elapsed)
 
 
+def _bench_incremental_manifest(spark, sf_dir: str) -> tuple[float, float]:
+    """Per-dump cost of the maintained curation manifest
+    (streaming/curation.py) vs the px11 full rescan it replaces: build
+    the manifest over the benchmark slice + 90% of the training docs
+    (setup, untimed), then time (a) ingesting the remaining 10% dump
+    and (b) one fresh px11 compute over the full table — the recorded
+    pair IS the delta-vs-rescan ratio (r8 verdict task 6). px11's
+    rescan runs with the session's shingle memo warm (headline dd4
+    built it), so the comparison favors the rescan — the honest
+    direction."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        px11_training_manifest,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        IncrementalCurationManifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 100 < 2)
+    train = docs.filter(F.col("doc_id") % 100 >= 2)
+    b = train.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) * 9 // 10
+    base = train.filter(F.col("doc_id") <= cut)
+    delta = train.filter(F.col("doc_id") > cut)
+    ingest_s, rescan_s = [], []
+    for i in range(2):  # min-of-2 (fresh state each pass — ingest mutates)
+        mf = IncrementalCurationManifest(
+            spark, tempfile.mkdtemp(prefix=f"px16_bench_{i}_")
+        )
+        mf.initialize(bench_docs)
+        mf.ingest(base, collect_metrics=False)
+        t0 = time.perf_counter()
+        mf.ingest(delta, collect_metrics=False)
+        ingest_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        px11_training_manifest(spark, sf_dir).collect()
+        rescan_s.append(time.perf_counter() - t0)
+    return min(ingest_s), min(rescan_s)
+
+
 def run_with_retry(run_once_fn, max_retries: int = 2) -> dict:
     """Re-run the whole timed pass while its own contention sentinel
     trips (r8 verdict: the recorded BENCH_r08 artifact was self-flagged
@@ -221,6 +268,9 @@ def _run_once(spark, sf_dir: str) -> dict:
     timings["dd15_ingest_10pct_delta"] = round(
         _bench_incremental_dedup(spark, sf_dir), 3
     )
+    mi, mr = _bench_incremental_manifest(spark, sf_dir)
+    timings["manifest_ingest_10pct_delta"] = round(mi, 3)
+    timings["px11_manifest_rescan"] = round(mr, 3)
 
     sentinel_end = _flagship_once()
     hi, lo = max(sentinel_start, sentinel_end), min(sentinel_start, sentinel_end)

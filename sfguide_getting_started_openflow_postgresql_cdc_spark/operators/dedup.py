@@ -1640,6 +1640,57 @@ def px11_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PX16_MEMO: dict = {}
+
+
+@query("px16_incremental_manifest")
+def px16_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the MAINTAINED curation
+    manifest (streaming/curation.py): freeze the benchmark slice
+    (doc_id % 100 < 2) at initialize, then ingest the training docs as
+    THREE doc_id-ordered dumps — by the maintenance invariant the
+    resulting manifest equals fresh px11 over the full table, so it
+    shares px11's DuckDB oracle verbatim (the driver re-derives the
+    equality every round; the dd15 pattern applied to curation state).
+    Memoized per (session, sf_dir) like dd15 — the manifest rows are
+    group-cardinality, never corpus-proportional. bench.py times the
+    per-dump DELTA cost via ``_bench_incremental_manifest``, not this
+    replay wrapper."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        IncrementalCurationManifest,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PX16_MEMO.get(key)
+    if hit is not None:
+        rows, schema = hit
+        return spark.createDataFrame(rows, schema)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 < 2)
+    train = docs.filter(F.col("doc_id") % 100 >= 2)
+    b = train.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    c1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    c2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+    tmp = _tempfile.mkdtemp(prefix="px16_mf_")
+    try:
+        mf = IncrementalCurationManifest(spark, tmp)
+        mf.initialize(bench)
+        mf.ingest(train.filter(F.col("doc_id") <= c1))
+        mf.ingest(
+            train.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+        )
+        mf.ingest(train.filter(F.col("doc_id") > c2))
+        out = mf.manifest()
+        rows = out.collect()
+        _PX16_MEMO[key] = (rows, out.schema)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _dd13_oracle() -> str:
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
         ORACLES,
@@ -2111,3 +2162,12 @@ def px15_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# px16's oracle IS px11's oracle — the curation-manifest maintenance
+# contract (streaming/curation.py), same pattern as dd15 -> dd4.
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (  # noqa: E402
+    ORACLES as _ORACLES,
+)
+
+_ORACLES["px16_incremental_manifest"] = _ORACLES["px11_training_manifest"]

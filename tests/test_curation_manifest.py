@@ -1,0 +1,203 @@
+"""Incrementally-maintained curation manifest (streaming/curation.py,
+r8 verdict task 6): after any sequence of doc_id-ordered dumps the
+maintained manifest equals a fresh px11_training_manifest over
+benchmark ∪ dumps — including cross-dump keep-first dedup, duplicates
+of benchmark content in both id directions, frozen-benchmark
+decontamination, and shard packing continuing across dump boundaries.
+The replay wrapper px16_incremental_manifest is additionally
+driver-checked against px11's own DuckDB oracle."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+    px11_training_manifest,
+)
+from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import DOCUMENTS
+from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+    IncrementalCurationManifest,
+)
+
+
+def _doc(i, text, lang="en", source="web"):
+    return (i, text, lang, source, len(text))
+
+
+def _write_sf_dir(spark, docs, path):
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(docs, DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "documents.parquet"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# long benchmark text: >= 20% gram overlap marks a train doc contaminated
+_BENCH0 = "alpha beta gamma delta epsilon zeta eta theta"
+_BENCH1 = "one two three four five six seven eight nine ten"
+
+
+def _synthetic_corpus():
+    bench = [
+        _doc(0, _BENCH0),
+        _doc(1, _BENCH1),
+        # CASE variant: the fingerprint (case-normalizing) matches doc
+        # 50 below, but the case-sensitive 3-grams do NOT — so doc 50
+        # exercises the min-id fingerprint rule WITHOUT being
+        # gram-contaminated by this benchmark entry
+        _doc(101, "Shared High Id Benchmark Text Body Here"),
+    ]
+    dump1 = [
+        _doc(5, "red orange yellow green blue indigo violet", "en", "web"),
+        _doc(7, "un deux trois quatre cinq six sept huit", "fr", "books"),
+        # duplicate (same fingerprint) of a HIGHER-id benchmark doc:
+        # fresh keep-first keeps THIS one (min id), so it must stay
+        _doc(50, "shared high id benchmark text body here", "en", "web"),
+        # contaminated: quotes most of _BENCH0
+        _doc(60, "alpha beta gamma delta epsilon zeta intro words", "en", "cc"),
+        _doc(111, "mary had a little lamb whose fleece was white", "en", "books"),
+    ]
+    dump2 = [
+        # cross-dump duplicate of doc 5: must be dropped by the stored
+        # fingerprint log, exactly like fresh keep-first would
+        _doc(205, "red orange yellow green blue indigo violet", "en", "cc"),
+        # duplicate of a LOWER-id benchmark doc: must be dropped
+        _doc(207, _BENCH0, "en", "web"),
+        _doc(211, "eins zwei drei vier funf sechs sieben acht", "de", "web"),
+        _doc(260, "pack my box with five dozen liquor jugs", "en", "cc"),
+    ]
+    return bench, dump1, dump2
+
+
+def test_incremental_manifest_equals_fresh_px11(spark, tmp_path):
+    bench, dump1, dump2 = _synthetic_corpus()
+    union_dir = str(tmp_path / "union")
+    _write_sf_dir(spark, bench + dump1 + dump2, union_dir)
+    fresh = _rows(px11_training_manifest(spark, union_dir))
+
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    m1 = mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    m2 = mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    assert _rows(mf.manifest()) == fresh and fresh
+
+    # the interesting events actually happened (non-vacuous corpus):
+    # dump1 keeps all 5 (the bench dup at id 50 has the LOWER id);
+    # dump2 drops the cross-dump dup and the bench dup, keeps 2
+    assert m1["kept_docs"] == 4  # doc 60 contaminated, 50 kept
+    assert m2["kept_docs"] == 2
+
+    # px7/px10-style statistics agree with the (oracle-checked) manifest
+    by_lang = {r["lang"]: (r["n_docs"], r["n_tokens"])
+               for r in mf.stats_by_lang().collect()}
+    want_lang = {r["lang"]: (r["nd"], r["nt"])
+                 for r in mf.manifest().groupBy("lang").agg(
+                     F.sum("n_docs").alias("nd"),
+                     F.sum("shard_tokens").alias("nt")).collect()}
+    assert by_lang == want_lang and len(by_lang) >= 3
+    # source stats cover the same corpus (totals line up across keys)
+    src = mf.stats_by_source().agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_tokens").alias("nt")
+    ).first()
+    lang_tot = mf.stats_by_lang().agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_tokens").alias("nt")
+    ).first()
+    assert (src["nd"], src["nt"]) == (lang_tot["nd"], lang_tot["nt"])
+
+
+def test_stats_merge_is_dump_count_invariant(spark, tmp_path):
+    """The additive merge algebra: 2 dumps == 1 dump of the union, for
+    the manifest AND both statistics tables."""
+    bench, dump1, dump2 = _synthetic_corpus()
+    one = IncrementalCurationManifest(spark, str(tmp_path / "one"))
+    one.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    one.ingest(spark.createDataFrame(dump1 + dump2, DOCUMENTS))
+    two = IncrementalCurationManifest(spark, str(tmp_path / "two"))
+    two.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    two.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    two.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    assert _rows(one.manifest()) == _rows(two.manifest())
+    assert _rows(one.stats_by_lang()) == _rows(two.stats_by_lang())
+    assert _rows(one.stats_by_source()) == _rows(two.stats_by_source())
+
+
+def test_order_and_replay_guards(spark, tmp_path):
+    bench, dump1, dump2 = _synthetic_corpus()
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    with pytest.raises(ValueError, match="initialize"):
+        mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    with pytest.raises(ValueError, match="already initialized"):
+        mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    # out-of-order dump (ids below the watermark) must refuse — silent
+    # acceptance would corrupt keep-first dedup and shard packing
+    with pytest.raises(ValueError, match="doc_id order"):
+        mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    # replaying the applied dump also refuses (no double-count)
+    with pytest.raises(ValueError, match="doc_id order"):
+        mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+
+
+def test_crashed_ingest_retry_does_not_double_merge(spark, tmp_path):
+    """Commit-last versioned tables: a crash AFTER the table writes but
+    BEFORE the meta commit leaves the previous state readable, and a
+    retry of the same dump produces exactly the clean-run result — the
+    additive merges never see their own partial output."""
+    bench, dump1, dump2 = _synthetic_corpus()
+    ref = IncrementalCurationManifest(spark, str(tmp_path / "ref"))
+    ref.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    ref.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    ref.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    state_before = _rows(mf.manifest())
+    real = mf._commit_meta
+    mf._commit_meta = lambda m: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError):
+        mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    mf._commit_meta = real
+    # crash left the previous state visible
+    assert _rows(mf.manifest()) == state_before
+    # retry applies the dump exactly once
+    mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(ref.manifest())
+    assert _rows(mf.stats_by_lang()) == _rows(ref.stats_by_lang())
+
+
+def test_shard_packing_continues_across_dumps(spark, tmp_path):
+    """A (split, lang) group whose token budget fills mid-stream must
+    keep packing into the SAME shard sequence across dump boundaries —
+    the stored cumulative totals make the per-dump running sums equal
+    the fresh global window."""
+    # small budget so a handful of docs cross shard boundaries
+    body = " ".join(f"w{i}" for i in range(40))  # 40 tokens per doc
+    bench = [_doc(0, _BENCH0)]
+    docs = [_doc(100 + i, f"{body} pad{i}") for i in range(12)]  # 41 tokens
+    mf = IncrementalCurationManifest(
+        spark, str(tmp_path / "mf"), token_budget=100
+    )
+    mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    mf.ingest(spark.createDataFrame(docs[:5], DOCUMENTS))
+    mf.ingest(spark.createDataFrame(docs[5:], DOCUMENTS))
+    got = mf.manifest().collect()
+    # multiple shards exist and every shard id is contiguous from 0
+    by_grp: dict = {}
+    for r in got:
+        by_grp.setdefault((r["split"], r["lang"]), []).append(r["shard_id"])
+    assert any(len(v) > 1 for v in by_grp.values())
+    for ids in by_grp.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # equality against a 1-dump build with the same budget
+    one = IncrementalCurationManifest(
+        spark, str(tmp_path / "one"), token_budget=100
+    )
+    one.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    one.ingest(spark.createDataFrame(docs, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(one.manifest())

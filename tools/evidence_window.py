@@ -48,6 +48,7 @@ CHANGED_SINCE_GREEN = [
     "mm6_image_ahash",  # r9: container-agnostic pixel decode (BMP+PNG)
     "mm8_image_dup_groups",  # r9: groups over mixed-container ahash
     "mm9_image_neardup_pairs",  # r9: near-dup pairs over mixed-container ahash
+    "px16_incremental_manifest",  # r9: NEW (maintained curation manifest replay)
 ]
 
 

@@ -159,6 +159,19 @@ def main() -> None:
         result.setdefault("dd15_ingest_10pct_delta", {})[sf_tag] = round(
             t_ing, 3
         )
+        # r9: maintained curation-manifest delta ingest vs px11 rescan
+        # at 10x corpus — the pair whose RATIO demonstrates the delta
+        # contract (at sf0.1 the per-job scheduling floor dominates the
+        # delta side, exactly like dd15; the rescan grows with the
+        # corpus while the delta ingest tracks the dump)
+        clear_dedup_cache()
+        t_mi, t_mr = bench._bench_incremental_manifest(spark, sf_dir)
+        result.setdefault("manifest_ingest_10pct_delta", {})[sf_tag] = round(
+            t_mi, 3
+        )
+        result.setdefault("px11_manifest_rescan", {})[sf_tag] = round(
+            t_mr, 3
+        )
     for name, r in result.items():
         r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
     print(json.dumps({"metric": "sf1_over_sf01_ratios", "queries": result}))

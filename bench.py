@@ -115,21 +115,27 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         .withColumn("event_ts", F.lit("2001-09-01 00:01:00").cast("timestamp_ntz"))
     )
     events.persist().count()  # pre-materialize: time the MERGE, not the gen
+    import shutil
+
     elapsed = []
     for i in range(2):  # min-of-2 (fresh replica each pass — merges mutate)
-        eng = CdcEngine(
-            ReplicaStore(tempfile.mkdtemp(prefix=f"cdc_bench_{i}_")),
-            tables={"orders": schema},
-            primary_keys={"orders": "o_orderkey"},
-        )
-        eng.bootstrap(
-            spark, {"orders": orders}, "2001-09-01 00:00:00", journal_snapshot=False
-        )
-        t0 = time.perf_counter()
-        eng.merge_batch(spark, "orders", events, sync_ts="2001-09-01 00:01:00")
-        elapsed.append(time.perf_counter() - t0)
-        merged = eng.store.read(spark, "orders").count()
-        assert merged > n, "merge produced no inserts"
+        rep_dir = tempfile.mkdtemp(prefix=f"cdc_bench_{i}_")
+        try:
+            eng = CdcEngine(
+                ReplicaStore(rep_dir),
+                tables={"orders": schema},
+                primary_keys={"orders": "o_orderkey"},
+            )
+            eng.bootstrap(
+                spark, {"orders": orders}, "2001-09-01 00:00:00", journal_snapshot=False
+            )
+            t0 = time.perf_counter()
+            eng.merge_batch(spark, "orders", events, sync_ts="2001-09-01 00:01:00")
+            elapsed.append(time.perf_counter() - t0)
+            merged = eng.store.read(spark, "orders").count()
+            assert merged > n, "merge produced no inserts"
+        finally:
+            shutil.rmtree(rep_dir, ignore_errors=True)
     events.unpersist()
     return min(elapsed)
 
@@ -154,13 +160,19 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> float:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    import shutil
+
     elapsed = []
     for i in range(2):  # min-of-2 (fresh index each pass — ingest mutates)
-        idx = MinHashLshIndex(spark, tempfile.mkdtemp(prefix=f"dd15_bench_{i}_"))
-        idx.ingest(base, collect_metrics=False)
-        t0 = time.perf_counter()
-        idx.ingest(delta, collect_metrics=False)
-        elapsed.append(time.perf_counter() - t0)
+        idx_dir = tempfile.mkdtemp(prefix=f"dd15_bench_{i}_")
+        try:
+            idx = MinHashLshIndex(spark, idx_dir)
+            idx.ingest(base, collect_metrics=False)
+            t0 = time.perf_counter()
+            idx.ingest(delta, collect_metrics=False)
+            elapsed.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
     return min(elapsed)
 
 
@@ -174,6 +186,7 @@ def _bench_incremental_manifest(spark, sf_dir: str) -> tuple[float, float]:
     rescan runs with the session's shingle memo warm (headline dd4
     built it), so the comparison favors the rescan — the honest
     direction."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -197,14 +210,16 @@ def _bench_incremental_manifest(spark, sf_dir: str) -> tuple[float, float]:
     delta = train.filter(F.col("doc_id") > cut)
     ingest_s, rescan_s = [], []
     for i in range(2):  # min-of-2 (fresh state each pass — ingest mutates)
-        mf = IncrementalCurationManifest(
-            spark, tempfile.mkdtemp(prefix=f"px16_bench_{i}_")
-        )
-        mf.initialize(bench_docs)
-        mf.ingest(base, collect_metrics=False)
-        t0 = time.perf_counter()
-        mf.ingest(delta, collect_metrics=False)
-        ingest_s.append(time.perf_counter() - t0)
+        state_dir = tempfile.mkdtemp(prefix=f"px16_bench_{i}_")
+        try:
+            mf = IncrementalCurationManifest(spark, state_dir)
+            mf.initialize(bench_docs)
+            mf.ingest(base, collect_metrics=False)
+            t0 = time.perf_counter()
+            mf.ingest(delta, collect_metrics=False)
+            ingest_s.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
         t0 = time.perf_counter()
         px11_training_manifest(spark, sf_dir).collect()
         rescan_s.append(time.perf_counter() - t0)

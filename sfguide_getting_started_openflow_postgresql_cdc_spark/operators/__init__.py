@@ -65,6 +65,7 @@ _NEEDS_EVIDENCE_FIRST = [
     "mm8_image_dup_groups",  # changed/new this round
     "mm9_image_neardup_pairs",  # changed/new this round
     "px16_incremental_manifest",  # changed/new this round
+    "c7_anti_join",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
@@ -98,7 +99,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "g2_data_quality_nulls",  # latest green r5
     "g3_intersect",  # latest green r5
     "g4_except",  # latest green r5
-    "h12_to_char_month",  # latest green r5
 ]
 
 

@@ -400,8 +400,8 @@ def c17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.rev AS DOUBLE) AS part_revenue,
            CAST(p.rev AS DOUBLE) / CAST(tot.t AS DOUBLE) AS revenue_share
     FROM per_part p, tot
-    WHERE CAST(p.rev * 100 AS HUGEINT) * (tot.np * 4)
-          > CAST(tot.t * 100 AS HUGEINT) * 5
+    WHERE CAST(p.rev * 10000 AS HUGEINT) * (tot.np * 4)
+          > CAST(tot.t * 10000 AS HUGEINT) * 5
     """,
 )
 def c18_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,10 +417,14 @@ def c18_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are driver-collected scalars (two exact values — the c16
     bounded-reduction pattern; the alternative scalar subquery is a
     single-row broadcast nested loop the plan gate forbids). The
-    comparison multiplies through instead of dividing — integer CENTS
-    x integer counts on both engines (HUGEINT in DuckDB,
-    decimal(38,0) in Spark), so borderline parts cannot flip on
-    rounding. One fact shuffle: the per-part pre-aggregation."""
+    comparison multiplies through instead of dividing — integers on
+    both engines (HUGEINT in DuckDB, decimal(38,0) in Spark), scaled
+    by 10^4 because the discounted-price product has FOUR decimal
+    places (decimal(18,2) x decimal(4,2)); scaling by 100 would make
+    Spark's int() TRUNCATE where DuckDB's HUGEINT cast rounds, shifting
+    the threshold by up to 5 scaled units — the rounding-tie class the
+    project conventions forbid. So borderline parts cannot flip. One
+    fact shuffle: the per-part pre-aggregation."""
     import decimal
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -429,13 +433,15 @@ def c18_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("np"),
     ).first()
     total, np = row["t"], row["np"]
-    # rev * 100 is integral (2-decimal money), so the decimal(38,0)
-    # cast is exact; rev*np*4 > t*5 <=> rev > (t/np)*1.25
-    thr = decimal.Decimal(int(total * 100) * 5)
+    # rev * 10000 is integral (scale-4 decimal), so the decimal(38,0)
+    # cast and the int() below are EXACT; rev*np*4 > t*5 <=> rev >
+    # (t/np)*1.25
+    assert int(total * 10000) == total * 10000
+    thr = decimal.Decimal(int(total * 10000) * 5)
     per_part = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev"))
-    rev_cents = (F.col("rev") * F.lit(100)).cast("decimal(38,0)")
+    rev_scaled = (F.col("rev") * F.lit(10000)).cast("decimal(38,0)")
     return per_part.filter(
-        rev_cents * F.lit(int(np) * 4) > F.lit(thr)
+        rev_scaled * F.lit(int(np) * 4) > F.lit(thr)
     ).select(
         "l_partkey",
         F.col("rev").cast("double").alias("part_revenue"),

@@ -339,7 +339,10 @@ def _dd4_pairs_cache(spark: SparkSession, sf_dir: str):
 
 
 def clear_dedup_cache() -> None:
-    """Release every frame the dedup memos persisted this session."""
+    """Release every frame the dedup memos persisted this session —
+    including the dd15/px16 REPLAY memos (collected rows, not persisted
+    frames): `MinHashLshIndex.retract` calls this so no consumer can
+    serve pre-retraction state (r8 verdict task 7)."""
     for sh, capped in _DD4_CACHE.values():
         capped.unpersist()
         sh.unpersist()
@@ -347,6 +350,12 @@ def clear_dedup_cache() -> None:
     for pairs in _DD4_PAIRS_CACHE.values():
         pairs.unpersist()
     _DD4_PAIRS_CACHE.clear()
+    _PX16_MEMO.clear()
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
+        dedup_index as _di,
+    )
+
+    _di._DD15_MEMO.clear()
 
 
 @query(

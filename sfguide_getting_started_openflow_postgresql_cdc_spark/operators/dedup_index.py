@@ -1018,14 +1018,14 @@ class MinHashLshIndex:
                 f.unpersist()
         self._retire_cow_versions()
         # retraction invalidates the SESSION-LEVEL dedup memos (shared
-        # shingle sets, dd4 pairs, dd15 replay): downstream consumers
-        # (dd7 groups, px6 curation, px15 splits) recomputed after a
-        # CDC soft-delete sync must see the surviving corpus, not a
-        # persisted pre-retraction snapshot (r8 verdict task 7). The
-        # memos rebuild lazily on next use; deletes are rare
-        # (takedowns), so the rebuild cost is the correct trade.
+        # shingle sets, dd4 pairs, dd15/px16 replays — clear_dedup_cache
+        # clears them ALL): downstream consumers (dd7 groups, px6
+        # curation, px15 splits) recomputed after a CDC soft-delete sync
+        # must see the surviving corpus, not a persisted pre-retraction
+        # snapshot (r8 verdict task 7). The memos rebuild lazily on next
+        # use; deletes are rare (takedowns), so the rebuild cost is the
+        # correct trade.
         clear_dedup_cache()
-        _DD15_MEMO.clear()
         return metrics
 
 

@@ -221,15 +221,27 @@ def c6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def c7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS -> left-anti join. Not in the reference's surface
-    (SURVEY.md §2.C 'not present') but free via Catalyst and required by
-    the CDC merge internals; exposed as a first-class operator."""
+    """NOT EXISTS -> left-anti join (customers with no URGENT orders).
+    Not in the reference's surface (SURVEY.md §2.C 'not present') but
+    free via Catalyst and required by the CDC merge internals; exposed
+    as a first-class operator. The correlated subquery is FILTERED
+    (urgent orders only) because in the synthetic corpus every customer
+    has at least one order — the unfiltered anti join returned 0 rows
+    at every scale, a VACUOUS oracle match (r9 non-empty gate; ~13% of
+    customers qualify at sf0.001/0.01/0.1). The filter lands below the
+    anti join's right side, so the scan prunes before the shuffle."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     )

@@ -150,8 +150,17 @@ _CMP_OPS = (
 _THRESH_RE = (
     r"\b(?:having\s+|whose\s+)?("
     + "|".join(w for w, _ in _CMP_OPS)
-    + r")\s+(\d+(?:\.\d+)?)\b"
+    + r")\s+(\d+(?:\.\d+)?)(?![,.\-]?\d)"
 )
+# LOOSE detectors for the refusal guard: a comparator-plus-number or a
+# between-ISO-dates phrase that the STRICT slot regexes could not bind
+# ('over 1,000', 'above 2024-01-01') must refuse, never fall through to
+# a catalog answer that drops it — the strict regex alone would treat
+# the malformed number as invisible
+_THRESH_DETECT = (
+    r"\b(?:" + "|".join(w for w, _ in _CMP_OPS) + r")\s+\d"
+)
+_RANGE_DETECT = r"\b(?:between|from)\s+\d{4}-\d{2}-\d{2}\b"
 
 
 class SemanticModel:
@@ -879,9 +888,11 @@ class SemanticModel:
             # a threshold/date-range qualifier no template could bind
             # must NOT fall through to the similarity-matched catalog:
             # a blessed query cannot express it, so the answer would
-            # silently drop the qualifier — refuse instead
+            # silently drop the qualifier — refuse instead. The LOOSE
+            # detectors also catch qualifiers the strict slot regexes
+            # rejected as malformed ('over 1,000', 'above 2024-01-01')
             ql = question.lower()
-            if re.search(_RANGE_RE, ql) or re.search(_THRESH_RE, ql):
+            if re.search(_RANGE_DETECT, ql) or re.search(_THRESH_DETECT, ql):
                 raise KeyError(
                     "question carries a threshold/date-range qualifier "
                     "no template can bind — refusing rather than "

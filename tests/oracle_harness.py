@@ -67,12 +67,32 @@ def rows_to_canonical(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
-# Queries allowed to return an EMPTY result at small scale factors —
-# every other registered query must be non-empty, or its oracle match is
-# VACUOUS (0 rows == 0 rows proves nothing about the query logic; the r8
-# verdict caught c18 shipping exactly that). Add a name here only for a
-# legitimately-empty report, with a comment saying why.
-LEGITIMATELY_EMPTY: frozenset = frozenset()
+# Queries allowed to return an EMPTY result, per scale-factor tag —
+# every other (name, sf) must be non-empty, or its oracle match is
+# VACUOUS (0 rows == 0 rows proves nothing about the query logic; the
+# r8 verdict caught c18 shipping exactly that, and this gate then
+# caught c7). Name -> sf-dir basenames where empty is allowed. The
+# entries below are similarity/threshold ops whose sf0.001 slice
+# genuinely contains no qualifying pairs (embeddings are near-random
+# at 500 vectors; the 50-token exact-substring quote doesn't occur);
+# all are non-empty at sf0.01 — the driver's grading scale — where NO
+# query may be empty.
+LEGITIMATELY_EMPTY: dict = {
+    "c14_nation_trade_flows": {"sf0.001"},
+    "dd16_embedding_dups_auto": {"sf0.001"},
+    "dd6_embedding_cosine_dups": {"sf0.001"},
+    "dd6_embedding_cosine_dups_scaled": {"sf0.001"},
+    "dd8_semantic_dedup_groups": {"sf0.001"},
+    "px14_exact_substring_decontamination": {"sf0.001"},
+}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def empty_allowed(name: str, sf_dir: str) -> bool:
+    return _sf_tag(sf_dir) in LEGITIMATELY_EMPTY.get(name, ())
 
 
 def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str):
@@ -94,10 +114,10 @@ def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str):
     s = rows_to_canonical(spark_cols, spark_rows)
     d = rows_to_canonical(duck_cols, duck_rows)
     assert len(s) == len(d), f"{name}: row count spark={len(s)} duck={len(d)}"
-    assert s or name in LEGITIMATELY_EMPTY, (
+    assert s or empty_allowed(name, sf_dir), (
         f"{name}: VACUOUS oracle match — both sides returned 0 rows at "
         f"{sf_dir}; re-anchor the query's thresholds to the corpus "
-        "distribution or whitelist it in LEGITIMATELY_EMPTY"
+        "distribution or whitelist (name, sf) in LEGITIMATELY_EMPTY"
     )
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s, d)) if a != b

@@ -23,11 +23,11 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
-    from tests.oracle_harness import LEGITIMATELY_EMPTY
+    from tests.oracle_harness import empty_allowed
 
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
-    assert n > 0 or name in LEGITIMATELY_EMPTY, (
+    assert n > 0 or empty_allowed(name, sf_dir), (
         f"{name}: empty result at {sf_dir} — a rows-only driver check "
         "on an empty frame is vacuous"
     )

@@ -576,6 +576,17 @@ def test_template_threshold_slot(spark, model, replicas):
     import pytest as _pytest
     with _pytest.raises(KeyError, match="threshold/date-range"):
         model.route("doctors with shoe size over 10")
+    # malformed numbers never HALF-bind (r9 review: 'over 1,000' must
+    # not become having > 1.0 with the ',000' silently dropped; a
+    # date-like comparand must not bind its year)
+    with _pytest.raises(KeyError, match="threshold/date-range"):
+        model.route("doctors with revenue over 1,000")
+    with _pytest.raises(KeyError, match="threshold/date-range"):
+        model.route("revenue by doctor above 2024-01-01")
+    # ...while a sentence-final period still binds cleanly
+    assert model.route_template(
+        "doctors with revenue over 1900."
+    ).having == (">", 1900.0)
     # same-table entity+measure is ambiguous (row filter vs HAVING) —
     # refuse, never guess
     with _pytest.raises(KeyError):

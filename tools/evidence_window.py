@@ -49,6 +49,7 @@ CHANGED_SINCE_GREEN = [
     "mm8_image_dup_groups",  # r9: groups over mixed-container ahash
     "mm9_image_neardup_pairs",  # r9: near-dup pairs over mixed-container ahash
     "px16_incremental_manifest",  # r9: NEW (maintained curation manifest replay)
+    "c7_anti_join",  # r9: de-vacuated — anti join vs URGENT orders (was 0 rows at every sf)
 ]
 
 

@@ -470,3 +470,74 @@ class IncrementalCurationManifest:
         return self._read(
             "stats_source", "source string, n_docs long, n_tokens long"
         )
+
+
+def ingest_or_skip(mf: IncrementalCurationManifest, dump: DataFrame) -> dict:
+    """At-least-once ingest step for streaming delivery: apply the dump
+    unless the doc_id watermark proves it was ALREADY applied (a
+    replayed epoch after a crash between the manifest commit and the
+    sink/checkpoint commit). Skipping keys on the watermark alone
+    because ``ingest`` commits atomically (meta flips last): a crashed
+    attempt leaves the watermark unchanged, so its retry passes the
+    guard and overwrites the orphan version dirs. A dump STRADDLING the
+    watermark (min below, max above) is genuinely out-of-order and
+    still raises."""
+    bounds = dump.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return {"skipped": True, "reason": "empty"}
+    wm = mf._meta().get("max_doc_id")
+    if wm is not None and bounds["hi"] <= wm:
+        return {"skipped": True, "reason": "replay", "watermark": wm}
+    return {**mf.ingest(dump, collect_metrics=False), "skipped": False}
+
+
+def start_streaming_manifest(
+    spark: SparkSession,
+    source_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    benchmark_docs: DataFrame | None = None,
+    query_name: str = "curation_manifest",
+    available_now: bool = True,
+    **manifest_kwargs,
+):
+    """Maintain the curation manifest FROM A STREAM of document dumps —
+    the Structured Streaming face of :class:`IncrementalCurationManifest`
+    (each arriving parquet file is one dump; ``maxFilesPerTrigger=1``
+    preserves the writer's doc_id ordering, which the manifest's
+    watermark enforces). ``benchmark_docs`` freezes the eval set on
+    first start; reopening an initialized manifest ignores it. Replayed
+    epochs are skipped by :func:`ingest_or_skip` — at-least-once
+    foreachBatch composes with the manifest's commit-last atomicity to
+    give exactly-once state."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import (
+        DOCUMENTS,
+    )
+
+    mf = IncrementalCurationManifest(spark, manifest_dir, **manifest_kwargs)
+    if not mf._meta()["initialized"]:
+        if benchmark_docs is None:
+            raise ValueError(
+                "first start needs benchmark_docs to freeze the eval set"
+            )
+        mf.initialize(benchmark_docs)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        ingest_or_skip(mf, batch)
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -201,3 +201,64 @@ def test_shard_packing_continues_across_dumps(spark, tmp_path):
     one.initialize(spark.createDataFrame(bench, DOCUMENTS))
     one.ingest(spark.createDataFrame(docs, DOCUMENTS))
     assert _rows(mf.manifest()) == _rows(one.manifest())
+
+
+def test_streaming_manifest_matches_batch_and_skips_replays(spark, tmp_path):
+    """start_streaming_manifest: dumps delivered as a file stream give
+    the SAME manifest as batch ingest (incl. across a query restart with
+    the same checkpoint), and at-least-once replays are skipped by the
+    doc_id watermark instead of double-merging; a straddling dump still
+    refuses."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        ingest_or_skip,
+        start_streaming_manifest,
+    )
+
+    bench, dump1, dump2 = _synthetic_corpus()
+    src = tmp_path / "src"
+    src.mkdir()
+    bench_df = spark.createDataFrame(bench, DOCUMENTS)
+
+    def write_dump(name, rows):
+        spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    # dump 1 arrives; first start freezes the benchmark
+    write_dump("d1", dump1)
+    q = start_streaming_manifest(
+        spark, str(src / "d1"), str(tmp_path / "mf"), str(tmp_path / "ck1"),
+        benchmark_docs=bench_df,
+    )
+    q.awaitTermination(120)
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    ref = IncrementalCurationManifest(spark, str(tmp_path / "ref"))
+    ref.initialize(bench_df)
+    ref.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(ref.manifest())
+
+    # dump 2 arrives later (separate query + checkpoint, SAME manifest
+    # state => restart survives); reopening ignores benchmark_docs
+    write_dump("d2", dump2)
+    q2 = start_streaming_manifest(
+        spark, str(src / "d2"), str(tmp_path / "mf"), str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    ref.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(ref.manifest())
+    assert _rows(mf.stats_by_lang()) == _rows(ref.stats_by_lang())
+
+    # at-least-once replay of an APPLIED dump: watermark skip, no change
+    before = _rows(mf.manifest())
+    out = ingest_or_skip(mf, spark.createDataFrame(dump2, DOCUMENTS))
+    assert out == {"skipped": True, "reason": "replay",
+                   "watermark": max(d[0] for d in dump2)}
+    assert _rows(mf.manifest()) == before
+    # a STRADDLING dump (min below the watermark, max above) refuses
+    straddle = [dump2[0], _doc(9_000_001, "brand new words entirely here")]
+    with pytest.raises(ValueError, match="doc_id order"):
+        ingest_or_skip(mf, spark.createDataFrame(straddle, DOCUMENTS))
+    # and an empty dump is a no-op skip
+    assert ingest_or_skip(
+        mf, spark.createDataFrame([], DOCUMENTS)
+    ) == {"skipped": True, "reason": "empty"}

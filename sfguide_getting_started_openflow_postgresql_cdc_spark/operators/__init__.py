@@ -66,6 +66,8 @@ _NEEDS_EVIDENCE_FIRST = [
     "mm9_image_neardup_pairs",  # changed/new this round
     "px16_incremental_manifest",  # changed/new this round
     "c7_anti_join",  # changed/new this round
+    "px17_incremental_lang_stats",  # changed/new this round
+    "px18_incremental_source_stats",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
@@ -97,8 +99,6 @@ _NEEDS_EVIDENCE_FIRST = [
     "f7_pagination",  # latest green r5
     "g1_union_all_rowcounts",  # latest green r5
     "g2_data_quality_nulls",  # latest green r5
-    "g3_intersect",  # latest green r5
-    "g4_except",  # latest green r5
 ]
 
 

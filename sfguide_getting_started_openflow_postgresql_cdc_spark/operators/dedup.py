@@ -1504,14 +1504,16 @@ def dd12_keepfirst_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _px11_oracle() -> str:
+def _px11_corpus_ctes() -> str:
+    """The px11 preprocessing DAG up to the curated ``corpus`` CTE —
+    shared by px11's manifest oracle and the px17/px18 maintained-stats
+    oracles (same dedup/decontamination/split semantics by
+    construction)."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
-        SHARD_TOKEN_BUDGET,
         _md5_mod_sql,
     )
 
-    return rf"""
-    WITH {_SH_SQL},
+    return rf"""{_SH_SQL},
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
     train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 >= 2),
     contam AS (
@@ -1523,17 +1525,17 @@ def _px11_oracle() -> str:
       ) WHERE CAST(n_overlap AS DOUBLE) / n_grams >= {DECONTAM_OVERLAP}
     ),
     fp AS (
-      SELECT doc_id, lang, text,
+      SELECT doc_id, lang, source, text,
              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
       FROM documents
     ),
     kept AS (
-      SELECT doc_id, lang, text FROM (
+      SELECT doc_id, lang, source, text FROM (
         SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS canon FROM fp
       ) WHERE doc_id = canon
     ),
     corpus AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, source,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END
                  AS n_tokens,
@@ -1541,7 +1543,16 @@ def _px11_oracle() -> str:
       FROM kept
       WHERE doc_id % 100 >= 2
         AND doc_id NOT IN (SELECT doc_id FROM contam)
-    ),
+    )"""
+
+
+def _px11_oracle() -> str:
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.analytics_ext import (
+        SHARD_TOKEN_BUDGET,
+    )
+
+    return rf"""
+    WITH {_px11_corpus_ctes()},
     sharded AS (
       SELECT split, lang, n_tokens,
              CAST((SUM(n_tokens) OVER (PARTITION BY split, lang
@@ -1652,19 +1663,15 @@ def px11_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PX16_MEMO: dict = {}
 
 
-@query("px16_incremental_manifest")
-def px16_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the documents table through the MAINTAINED curation
-    manifest (streaming/curation.py): freeze the benchmark slice
-    (doc_id % 100 < 2) at initialize, then ingest the training docs as
-    THREE doc_id-ordered dumps — by the maintenance invariant the
-    resulting manifest equals fresh px11 over the full table, so it
-    shares px11's DuckDB oracle verbatim (the driver re-derives the
-    equality every round; the dd15 pattern applied to curation state).
-    Memoized per (session, sf_dir) like dd15 — the manifest rows are
-    group-cardinality, never corpus-proportional. bench.py times the
-    per-dump DELTA cost via ``_bench_incremental_manifest``, not this
-    replay wrapper."""
+def _manifest_replay(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized 3-dump replay of the documents table through the
+    MAINTAINED curation manifest (streaming/curation.py): freeze the
+    benchmark slice (doc_id % 100 < 2) at initialize, then ingest the
+    training docs as THREE doc_id-ordered dumps, and collect ALL the
+    maintained views (manifest + per-lang + per-source stats) before
+    the temp state dir vanishes. One replay serves px16/px17/px18 —
+    every view is group-cardinality, never corpus-proportional. The
+    memo is cleared by ``clear_dedup_cache`` (retraction guard)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -1675,8 +1682,7 @@ def px16_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PX16_MEMO.get(key)
     if hit is not None:
-        rows, schema = hit
-        return spark.createDataFrame(rows, schema)
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 100 < 2)
     train = docs.filter(F.col("doc_id") % 100 >= 2)
@@ -1692,12 +1698,69 @@ def px16_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             train.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
         )
         mf.ingest(train.filter(F.col("doc_id") > c2))
-        out = mf.manifest()
-        rows = out.collect()
-        _PX16_MEMO[key] = (rows, out.schema)
-        return spark.createDataFrame(rows, out.schema)
+        hit = {}
+        for name, view in (
+            ("manifest", mf.manifest()),
+            ("lang", mf.stats_by_lang()),
+            ("source", mf.stats_by_source()),
+        ):
+            hit[name] = (view.collect(), view.schema)
+        _PX16_MEMO[key] = hit
+        return hit
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("px16_incremental_manifest")
+def px16_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED training manifest after a 3-dump replay
+    (``_manifest_replay``) — by the maintenance invariant this equals
+    fresh px11 over the full table, so it shares px11's DuckDB oracle
+    verbatim (the driver re-derives the equality every round; the dd15
+    pattern applied to curation state). bench.py times the per-dump
+    DELTA cost via ``_bench_incremental_manifest``, not this replay
+    wrapper."""
+    rows, schema = _manifest_replay(spark, sf_dir)["manifest"]
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "px17_incremental_lang_stats",
+    oracle=rf"""
+    WITH {_px11_corpus_ctes()}
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM corpus GROUP BY lang
+    """,
+)
+def px17_incremental_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained PER-LANGUAGE curated-corpus statistics (px7's
+    input) after the 3-dump replay — additively merged per dump by
+    ``IncrementalCurationManifest``, so they must equal a fresh
+    aggregate over the px11 curated corpus (the oracle reuses px11's
+    own CTEs up to ``corpus``); the driver check therefore pins the
+    stats tables to the same dedup/decontamination/split semantics the
+    manifest is graded on."""
+    rows, schema = _manifest_replay(spark, sf_dir)["lang"]
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "px18_incremental_source_stats",
+    oracle=rf"""
+    WITH {_px11_corpus_ctes()}
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM corpus GROUP BY source
+    """,
+)
+def px18_incremental_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained PER-SOURCE curated-corpus statistics (px10's
+    mixture-weight input) after the 3-dump replay — same maintenance
+    algebra and oracle construction as px17, keyed on the source
+    column."""
+    rows, schema = _manifest_replay(spark, sf_dir)["source"]
+    return spark.createDataFrame(rows, schema)
 
 
 def _dd13_oracle() -> str:

@@ -50,6 +50,8 @@ CHANGED_SINCE_GREEN = [
     "mm9_image_neardup_pairs",  # r9: near-dup pairs over mixed-container ahash
     "px16_incremental_manifest",  # r9: NEW (maintained curation manifest replay)
     "c7_anti_join",  # r9: de-vacuated — anti join vs URGENT orders (was 0 rows at every sf)
+    "px17_incremental_lang_stats",  # r9: NEW (maintained per-lang curation stats)
+    "px18_incremental_source_stats",  # r9: NEW (maintained per-source curation stats)
 ]
 
 

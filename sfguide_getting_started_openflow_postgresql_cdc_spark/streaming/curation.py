@@ -231,14 +231,32 @@ class IncrementalCurationManifest:
             }
         )
 
-    def ingest(self, docs: DataFrame, collect_metrics: bool = True) -> dict:
+    def ingest(
+        self,
+        docs: DataFrame,
+        collect_metrics: bool = True,
+        on_replay: str = "raise",
+    ) -> dict:
         """Append one dump of (doc_id, text, lang, source, ...) rows.
         Dumps must arrive in doc_id order (min id strictly above every
         previously ingested id) — that is what keeps keep-first dedup
-        and shard packing incremental; out-of-order dumps raise. The
-        five independent state writes submit concurrently (the
+        and shard packing incremental.
+
+        Below-watermark dumps split into TWO cases, decided against the
+        recorded ``applied_ranges`` (one (lo, hi) id-range per committed
+        ingest — doc_ids are unique, so an exact range match identifies
+        the dump): a REPLAY of an applied dump (at-least-once streaming
+        delivery after a crash between the manifest commit and the sink/
+        checkpoint commit) raises by default or is skipped under
+        ``on_replay='skip'``; a NEVER-APPLIED out-of-order dump (its
+        range matches no applied ingest) ALWAYS raises — silently
+        skipping it would be permanent data loss, not idempotence.
+
+        The five independent state writes submit concurrently (the
         dedup-index pattern): per-dump wall time is dominated by
         per-job scheduling floors at toy scale, not data."""
+        if on_replay not in ("raise", "skip"):
+            raise ValueError(f"on_replay must be 'raise' or 'skip', got {on_replay!r}")
         spark = self.spark
         meta = self._meta()
         if not meta["initialized"]:
@@ -253,13 +271,34 @@ class IncrementalCurationManifest:
                 F.count("*").alias("n"),
             ).first()
             if bounds["n"] == 0:
-                return {"version": meta["version"], "ingested_docs": 0}
+                return {
+                    "version": meta["version"],
+                    "ingested_docs": 0,
+                    "skipped": True,
+                    "reason": "empty",
+                }
             if meta["max_doc_id"] is not None and bounds["lo"] <= meta["max_doc_id"]:
+                rng = [int(bounds["lo"]), int(bounds["hi"])]
+                if rng in meta.get("applied_ranges", []):
+                    if on_replay == "skip":
+                        return {
+                            "version": meta["version"],
+                            "ingested_docs": 0,
+                            "skipped": True,
+                            "reason": "replay",
+                            "watermark": meta["max_doc_id"],
+                        }
+                    raise ValueError(
+                        f"dump id range {rng} was already applied "
+                        f"(watermark {meta['max_doc_id']}): replay of an "
+                        "applied dump"
+                    )
                 raise ValueError(
                     f"dump min doc_id {bounds['lo']} <= watermark "
-                    f"{meta['max_doc_id']}: dumps must arrive in doc_id "
-                    "order (replay of an applied dump, or out-of-order "
-                    "delivery)"
+                    f"{meta['max_doc_id']} and its id range {rng} matches "
+                    "no applied ingest: dumps must arrive in doc_id "
+                    "order (out-of-order delivery — refusing, a silent "
+                    "skip would lose these documents)"
                 )
 
             # 1. keep-first fingerprint dedup: in-dump keep-first, then
@@ -443,6 +482,12 @@ class IncrementalCurationManifest:
                 "max_doc_id": int(bounds["hi"]),
                 "version": new_version,
                 "tables": tables,
+                # one (lo, hi) per committed ingest: the replay-vs-
+                # out-of-order discriminator (doc_ids are unique, so an
+                # exact range match identifies the dump); grows one tiny
+                # entry per dump
+                "applied_ranges": meta.get("applied_ranges", [])
+                + [[int(bounds["lo"]), int(bounds["hi"])]],
             }
             self._commit_meta(new_meta)
             self._retire_versions(new_meta)
@@ -473,24 +518,18 @@ class IncrementalCurationManifest:
 
 
 def ingest_or_skip(mf: IncrementalCurationManifest, dump: DataFrame) -> dict:
-    """At-least-once ingest step for streaming delivery: apply the dump
-    unless the doc_id watermark proves it was ALREADY applied (a
-    replayed epoch after a crash between the manifest commit and the
-    sink/checkpoint commit). Skipping keys on the watermark alone
-    because ``ingest`` commits atomically (meta flips last): a crashed
-    attempt leaves the watermark unchanged, so its retry passes the
-    guard and overwrites the orphan version dirs. A dump STRADDLING the
-    watermark (min below, max above) is genuinely out-of-order and
-    still raises."""
-    bounds = dump.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        return {"skipped": True, "reason": "empty"}
-    wm = mf._meta().get("max_doc_id")
-    if wm is not None and bounds["hi"] <= wm:
-        return {"skipped": True, "reason": "replay", "watermark": wm}
-    return {**mf.ingest(dump, collect_metrics=False), "skipped": False}
+    """At-least-once ingest step for streaming delivery: apply the
+    dump, skipping only a REPLAY of an ALREADY-APPLIED dump (its exact
+    id range is in the manifest's ``applied_ranges`` — recorded by the
+    same commit that moves the watermark, so a crashed attempt's retry
+    still applies). A never-applied out-of-order dump (below the
+    watermark but matching no applied range — e.g. file-source mtime
+    ordering inverted by preserved timestamps or writer clock skew)
+    RAISES loudly: silently skipping it would permanently lose its
+    documents. Thin delegation — ``ingest`` owns the bounds logic."""
+    out = mf.ingest(dump, collect_metrics=False, on_replay="skip")
+    out.setdefault("skipped", False)
+    return out
 
 
 def start_streaming_manifest(
@@ -523,6 +562,15 @@ def start_streaming_manifest(
                 "first start needs benchmark_docs to freeze the eval set"
             )
         mf.initialize(benchmark_docs)
+    elif benchmark_docs is not None:
+        # the benchmark FROZE at first start; accepting a new one here
+        # would silently decontaminate future dumps against a different
+        # eval set than the already-packed corpus — refuse loudly
+        raise ValueError(
+            f"manifest at {manifest_dir} already froze its benchmark; "
+            "restart without benchmark_docs (or build a new manifest to "
+            "re-curate against a changed eval set)"
+        )
 
     stream = (
         spark.readStream.schema(DOCUMENTS)

@@ -134,13 +134,24 @@ def test_order_and_replay_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="already initialized"):
         mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
     mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
-    # out-of-order dump (ids below the watermark) must refuse — silent
-    # acceptance would corrupt keep-first dedup and shard packing
+    # out-of-order NEVER-APPLIED dump (ids below the watermark, range
+    # matching no applied ingest) must refuse — silent acceptance would
+    # corrupt keep-first dedup and shard packing; a silent skip would
+    # lose the documents
     with pytest.raises(ValueError, match="doc_id order"):
         mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
-    # replaying the applied dump also refuses (no double-count)
-    with pytest.raises(ValueError, match="doc_id order"):
+    # replaying the APPLIED dump also refuses by default (no
+    # double-count) — with the replay-specific message
+    with pytest.raises(ValueError, match="already applied"):
         mf.ingest(spark.createDataFrame(dump2, DOCUMENTS))
+    # ...and under on_replay='skip' it is a no-op skip, while the
+    # never-applied late dump STILL raises (no silent data loss)
+    out = mf.ingest(
+        spark.createDataFrame(dump2, DOCUMENTS), on_replay="skip"
+    )
+    assert out["skipped"] and out["reason"] == "replay"
+    with pytest.raises(ValueError, match="doc_id order"):
+        mf.ingest(spark.createDataFrame(dump1, DOCUMENTS), on_replay="skip")
 
 
 def test_crashed_ingest_retry_does_not_double_merge(spark, tmp_path):
@@ -206,9 +217,10 @@ def test_shard_packing_continues_across_dumps(spark, tmp_path):
 def test_streaming_manifest_matches_batch_and_skips_replays(spark, tmp_path):
     """start_streaming_manifest: dumps delivered as a file stream give
     the SAME manifest as batch ingest (incl. across a query restart with
-    the same checkpoint), and at-least-once replays are skipped by the
-    doc_id watermark instead of double-merging; a straddling dump still
-    refuses."""
+    the same checkpoint); at-least-once replays of APPLIED dumps are
+    skipped via the recorded applied-range log — while a never-applied
+    late dump and a straddling dump still refuse (silent skip = data
+    loss), and re-freezing the benchmark on a restart refuses."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
         ingest_or_skip,
         start_streaming_manifest,
@@ -248,17 +260,29 @@ def test_streaming_manifest_matches_batch_and_skips_replays(spark, tmp_path):
     assert _rows(mf.manifest()) == _rows(ref.manifest())
     assert _rows(mf.stats_by_lang()) == _rows(ref.stats_by_lang())
 
-    # at-least-once replay of an APPLIED dump: watermark skip, no change
+    # at-least-once replay of an APPLIED dump: applied-range skip
     before = _rows(mf.manifest())
     out = ingest_or_skip(mf, spark.createDataFrame(dump2, DOCUMENTS))
-    assert out == {"skipped": True, "reason": "replay",
-                   "watermark": max(d[0] for d in dump2)}
+    assert out["skipped"] and out["reason"] == "replay"
+    assert out["watermark"] == max(d[0] for d in dump2)
     assert _rows(mf.manifest()) == before
+    # a NEVER-APPLIED late dump (below the watermark, range matches no
+    # applied ingest) refuses instead of silently skipping — the r9
+    # review's data-loss case (file-source mtime ordering inverted)
+    late = [_doc(150, "completely new late arrival words", "en", "web")]
+    with pytest.raises(ValueError, match="doc_id order"):
+        ingest_or_skip(mf, spark.createDataFrame(late, DOCUMENTS))
     # a STRADDLING dump (min below the watermark, max above) refuses
     straddle = [dump2[0], _doc(9_000_001, "brand new words entirely here")]
     with pytest.raises(ValueError, match="doc_id order"):
         ingest_or_skip(mf, spark.createDataFrame(straddle, DOCUMENTS))
-    # and an empty dump is a no-op skip
-    assert ingest_or_skip(
-        mf, spark.createDataFrame([], DOCUMENTS)
-    ) == {"skipped": True, "reason": "empty"}
+    # an empty dump is a no-op skip
+    out = ingest_or_skip(mf, spark.createDataFrame([], DOCUMENTS))
+    assert out["skipped"] and out["reason"] == "empty"
+    # re-freezing the benchmark on an initialized manifest refuses
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        start_streaming_manifest as _ssm,
+    )
+    with pytest.raises(ValueError, match="already froze"):
+        _ssm(spark, str(src / "d2"), str(tmp_path / "mf"),
+             str(tmp_path / "ck3"), benchmark_docs=bench_df)

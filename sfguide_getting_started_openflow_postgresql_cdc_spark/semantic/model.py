@@ -120,6 +120,12 @@ class TemplateRoute:
     # the AGGREGATED output column — the HAVING clause ('doctors with
     # revenue over 1000'); op in {'>', '>=', '<', '<='}
     having: tuple | None = None
+    # second measure for the two_measures_by_entity family ('revenue
+    # and experience by doctor') — each measure aggregates in its own
+    # table and the per-entity aggregates full-outer join on the
+    # entity key (route.dimension carries the OUTPUT key name)
+    measure2: str | None = None
+    measure2_table: str | None = None
     # date-range slot: (table, time_dimension, start_iso, end_iso) —
     # an inclusive WHERE on the anchor table's first-declared
     # time_dimension ('appointments between 2025-03-01 and 2025-05-31')
@@ -347,6 +353,25 @@ class SemanticModel:
                             best = (key, t.name, c.name)
         return (best[1], best[2]) if best else None
 
+    def _resolve_columns_all(self, text_toks: frozenset, kinds: set[str]):
+        """EVERY (table, column, consumed_tokens) whose name-or-synonym
+        tokens are fully contained in ``text_toks`` — the multi-measure
+        twin of ``_resolve_column`` (which picks the single best match).
+        Deterministic (table, column) order."""
+        out = []
+        for tname in sorted(self.tables):
+            for c in sorted(self.tables[tname].columns, key=lambda c: c.name):
+                if c.kind not in kinds:
+                    continue
+                consumed: set = set()
+                for cand in (c.name, *c.synonyms):
+                    ct = _toks(cand)
+                    if ct and ct <= text_toks:
+                        consumed |= ct
+                if consumed:
+                    out.append((tname, c.name, frozenset(consumed)))
+        return out
+
     def _resolve_tables(self, text_toks: frozenset) -> list[str]:
         hits = []
         for name in sorted(self.tables):
@@ -416,6 +441,13 @@ class SemanticModel:
           anchor (fact/subject) table's first-declared time_dimension;
           a question carrying the qualifier refuses when that table
           declares no time_dimension.
+
+        And a TWO-MEASURE family ('revenue and experience by doctor' —
+        the last r8 refusal gap): exactly two distinct fact columns
+        resolving alongside an entity by-clause aggregate each in their
+        own table and full-outer join per entity; avg-words and
+        threshold/date-range qualifiers are ambiguous over two measures
+        and refuse.
 
         Measures/dimensions resolve through the model's declared column
         names and synonyms only; unresolvable questions raise KeyError —
@@ -627,6 +659,55 @@ class SemanticModel:
                 # in the blessed catalog, same rationale as the filter
                 # gate)
                 group_tabs = self._resolve_tables(rt)
+                # TWO-measure entity grouping ('revenue and experience
+                # by doctor' — the r8 'two-measure ask refuses' gap):
+                # exactly two DISTINCT fact columns resolve and together
+                # with the entity explain every token. Each measure
+                # aggregates in its own table; the per-entity aggregates
+                # full-outer join on the entity key at run time. A
+                # two-measure ask is inexpressible in the blessed
+                # catalog, so the template fires ungated; a threshold /
+                # date-range qualifier has an AMBIGUOUS target here and
+                # refuses rather than guessing which measure it binds.
+                if len(group_tabs) == 1 and not (
+                    rt - _table_toks(group_tabs[0])
+                ):
+                    facts = self._resolve_columns_all(
+                        lt - _AVG_WORDS - {"top"}, kinds={"fact"}
+                    )
+                    consumed = frozenset().union(
+                        *(c for _, _, c in facts)
+                    ) if facts else frozenset()
+                    if (
+                        len(facts) == 2
+                        and not (lt - _AVG_WORDS - {"top"} - consumed)
+                    ):
+                        if having is not None or date_range is not None:
+                            raise KeyError(
+                                "a threshold/date-range qualifier is "
+                                "ambiguous over two measures — refusing "
+                                f"rather than guessing: {question!r}"
+                            )
+                        if lt & _AVG_WORDS:
+                            raise KeyError(
+                                "avg-words are ambiguous over two "
+                                f"measures — refusing: {question!r}"
+                            )
+                        gt = group_tabs[0]
+                        (m1t, m1c, _), (m2t, m2c, _) = facts
+                        for mt in (m1t, m2t):
+                            if mt != gt:
+                                self._rel_between(mt, gt)  # joinable
+                        return _check_filters(
+                            TemplateRoute(
+                                "two_measures_by_entity",
+                                tuple(sorted({m1t, m2t, gt})),
+                                m1c, m1t,
+                                self.tables[gt].primary_key, gt,
+                                filters=filters,
+                                measure2=m2c, measure2_table=m2t,
+                            )
+                        )
                 if (
                     (filters or top or having or date_range)
                     and len(group_tabs) == 1
@@ -828,6 +909,29 @@ class SemanticModel:
                 .agg(F.count("*").alias("n")),
                 "n",
             ).orderBy(F.col("n").desc(), route.dimension)
+        if route.family == "two_measures_by_entity":
+            gt, key_out = route.dimension_table, route.dimension
+            sides = []
+            for mt, mcol in (
+                (route.measure_table, route.measure),
+                (route.measure2_table, route.measure2),
+            ):
+                k = (
+                    self.tables[gt].primary_key
+                    if mt == gt
+                    else self._rel_between(mt, gt)[0]
+                )
+                sides.append(
+                    live(mt)
+                    .groupBy(F.col(k).alias(key_out))
+                    .agg(F.sum(mcol).alias(f"total_{mcol}"))
+                )
+            # per-entity aggregates are entity-cardinality (tiny) —
+            # full outer keeps entities present on either side
+            return sides[0].join(sides[1], key_out, "full_outer").orderBy(
+                key_out
+            )
+
         mt, dt = route.measure_table, route.dimension_table
         is_avg = route.family == "avg_measure_by_dimension"
         agg_fn = F.avg if is_avg else F.sum
@@ -933,6 +1037,11 @@ class SemanticModel:
             "measure": (
                 f"{target.measure_table}.{target.measure}"
                 if target.measure
+                else None
+            ),
+            "measure2": (
+                f"{target.measure2_table}.{target.measure2}"
+                if target.measure2
                 else None
             ),
             "dimension": (

@@ -657,3 +657,55 @@ def test_template_date_range_slot(spark, model, replicas):
         model.route_template(f"how many doctors between {lo} and {hi}")
     with _pytest.raises(KeyError, match="threshold/date-range"):
         model.route(f"insurance blended rate between {lo} and {hi}")
+
+
+def test_template_two_measure_family(spark, model, replicas):
+    """r9 (closes the last r8 'What's missing' refusal): a two-measure
+    entity ask aggregates each measure in ITS OWN table and full-outer
+    joins the per-entity aggregates on the entity key; ambiguous
+    qualifiers (avg words, thresholds, date ranges over two measures)
+    refuse rather than guess; single-measure catalog precedence is
+    untouched."""
+    kind, t = model.route("revenue and experience by doctor")
+    assert kind == "template" and t.family == "two_measures_by_entity"
+    assert {(t.measure_table, t.measure), (t.measure2_table, t.measure2)} == {
+        ("visits", "total_charge"), ("doctors", "years_of_experience"),
+    }
+    assert (t.dimension_table, t.dimension) == ("doctors", "doctor_id")
+    rows = {r["doctor_id"]: (r["total_total_charge"],
+                             r["total_years_of_experience"])
+            for r in model.run_template(t, spark, replicas).collect()}
+    live_v = replicas["visits"].filter(~F.col(schemas.META_DELETED))
+    live_d = replicas["doctors"].filter(~F.col(schemas.META_DELETED))
+    want_rev = {r["doctor_id"]: r["s"] for r in live_v.groupBy("doctor_id")
+                .agg(F.sum("total_charge").alias("s")).collect()}
+    want_exp = {r["doctor_id"]: r["s"] for r in live_d.groupBy("doctor_id")
+                .agg(F.sum("years_of_experience").alias("s")).collect()}
+    assert set(rows) == set(want_rev) | set(want_exp) and rows
+    for k, (rev, exp) in rows.items():
+        assert rev == want_rev.get(k) and exp == want_exp.get(k)
+
+    # 'completed' is an enum value on appointments, a table this route
+    # does not read -> the filter-table check refuses the TEMPLATE
+    # rather than dropping the qualifier
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        model.route_template(
+            "revenue and experience by doctor for completed appointments"
+        )
+
+    # ambiguous qualifiers refuse
+    with _pytest.raises(KeyError, match="ambiguous over two measures"):
+        model.route_template("revenue and experience by doctor over 1000")
+    with _pytest.raises(KeyError, match="avg-words are ambiguous"):
+        model.route_template("average revenue and experience by doctor")
+    # unresolvable second measure refuses
+    with _pytest.raises(KeyError):
+        model.route_template("revenue and shoe size by doctor")
+    # audit surface carries both measures
+    ex = model.explain_route("revenue and experience by doctor")
+    assert ex["measure2"] is not None and ex["kind"] == "template"
+    # catalog-first precedence intact for the single-measure question
+    assert model.route("billed amount per physician") == (
+        "verified", "revenue_by_doctor",
+    )

@@ -698,10 +698,16 @@ class SemanticModel:
                         for mt in (m1t, m2t):
                             if mt != gt:
                                 self._rel_between(mt, gt)  # joinable
+                        # tables = what run_template actually READS (the
+                        # measure tables; the entity contributes only
+                        # its key NAME via each side's FK) — so a filter
+                        # on an unread entity table refuses in
+                        # _check_filters instead of silently not
+                        # applying
                         return _check_filters(
                             TemplateRoute(
                                 "two_measures_by_entity",
-                                tuple(sorted({m1t, m2t, gt})),
+                                tuple(sorted({m1t, m2t})),
                                 m1c, m1t,
                                 self.tables[gt].primary_key, gt,
                                 filters=filters,

@@ -45,14 +45,12 @@ HEADLINE = [
     "dd5_simhash",
     "sim1_knn_cosine_bruteforce",
     "sim2_knn_lsh_bucketed",
-    "dd6_embedding_cosine_dups",
     "mm1_media_features",
     # r5 additions: the round-3/4 heavy operators join the headline so
     # regressions in them are caught by the recorded baseline
     "d26_grouping_sets",
     "tx10_tfidf_top_terms",
     "mm5_decoded_media_metadata",
-    "sim6_knn_graph",
     "dd7_dedup_groups",
     "px6_neardup_aware_curation",
     # r6 additions: distributed global-rank report, k-means assignment,
@@ -73,6 +71,13 @@ HEADLINE = [
     "sim12_knn_pq",
     "mm9_image_neardup_pairs",
     "c24_local_supplier_volume",
+    # r10: sim6_knn_graph / dd6_embedding_cosine_dups DEMOTED from the
+    # headline (r9 verdict item 6): they are documented-quadratic pinned
+    # oracle anchors whose docstrings route users to sim11/dd16 — the
+    # graded adaptive twins above. They stay registered, oracle-checked,
+    # and tracked by tools/scale_check.py as anchors; the legacy-23
+    # subset (BENCH_r01) never contained them, so the baseline gate is
+    # unchanged. Basis change recorded in BASELINE.md round-10 section.
 ]
 
 
@@ -226,6 +231,69 @@ def _bench_incremental_manifest(spark, sf_dir: str) -> tuple[float, float]:
     return min(ingest_s), min(rescan_s)
 
 
+def _bench_manifest_catchup(spark, sf_dir: str) -> tuple[float, float]:
+    """Backlog catch-up cost (r9 verdict task 4): build the manifest
+    over the benchmark slice + 70% of the training docs (setup,
+    untimed), snapshot the state directory, then apply the remaining
+    30% as THREE consecutive dumps two ways — (a) serially (three
+    ingest commits) and (b) batched (one ingest_many commit). The pair
+    records what a restart-after-backlog pays per strategy; at toy
+    scale the difference IS the per-commit overhead the batched path
+    amortizes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        IncrementalCurationManifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 100 < 2)
+    train = docs.filter(F.col("doc_id") % 100 >= 2)
+    b = train.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    span = b["hi"] - b["lo"]
+    cut = b["lo"] + span * 7 // 10
+    base = train.filter(F.col("doc_id") <= cut)
+    cut2 = b["lo"] + span * 8 // 10
+    cut3 = b["lo"] + span * 9 // 10
+    dumps = [
+        train.filter((F.col("doc_id") > cut) & (F.col("doc_id") <= cut2)),
+        train.filter((F.col("doc_id") > cut2) & (F.col("doc_id") <= cut3)),
+        train.filter(F.col("doc_id") > cut3),
+    ]
+    setup_dir = tempfile.mkdtemp(prefix="catchup_setup_")
+    serial_dir = tempfile.mkdtemp(prefix="catchup_serial_")
+    batched_dir = tempfile.mkdtemp(prefix="catchup_batched_")
+    try:
+        mf = IncrementalCurationManifest(spark, setup_dir)
+        mf.initialize(bench_docs)
+        mf.ingest(base, collect_metrics=False)
+        for d in (serial_dir, batched_dir):
+            shutil.rmtree(d)
+            shutil.copytree(setup_dir, d)
+        t0 = time.perf_counter()
+        ms = IncrementalCurationManifest(spark, serial_dir)
+        for d in dumps:
+            ms.ingest(d, collect_metrics=False)
+        serial_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mb = IncrementalCurationManifest(spark, batched_dir)
+        out = mb.ingest_many(dumps, collect_metrics=False)
+        batched_s = time.perf_counter() - t0
+        assert out["n_dumps_applied"] == 3, out
+        # cheap state-equality guard (full equality is property-tested)
+        assert ms.manifest().count() == mb.manifest().count()
+    finally:
+        for d in (setup_dir, serial_dir, batched_dir):
+            shutil.rmtree(d, ignore_errors=True)
+    return serial_s, batched_s
+
+
 def run_with_retry(run_once_fn, max_retries: int = 2) -> dict:
     """Re-run the whole timed pass while its own contention sentinel
     trips (r8 verdict: the recorded BENCH_r08 artifact was self-flagged
@@ -286,6 +354,9 @@ def _run_once(spark, sf_dir: str) -> dict:
     mi, mr = _bench_incremental_manifest(spark, sf_dir)
     timings["manifest_ingest_10pct_delta"] = round(mi, 3)
     timings["px11_manifest_rescan"] = round(mr, 3)
+    cs, cb = _bench_manifest_catchup(spark, sf_dir)
+    timings["manifest_catchup_3dumps_serial"] = round(cs, 3)
+    timings["manifest_catchup_3dumps_batched"] = round(cb, 3)
 
     sentinel_end = _flagship_once()
     hi, lo = max(sentinel_start, sentinel_end), min(sentinel_start, sentinel_end)

@@ -155,7 +155,11 @@ class Engine:
         specialization') for the breadth beyond it, loud refusal when
         neither resolves (see SemanticModel.route)."""
         self._use_compute()
-        kind, target = self.model.route(question)
+        # relative/named dates ('today', 'last month', 'between March
+        # and May') resolve against the engine's pinned as_of — the same
+        # determinism anchor the verified catalog's modified-today query
+        # uses via _as_of_date
+        kind, target = self.model.route(question, as_of=healthcare.AS_OF)
         if kind == "verified":
             return self.verified(target)
         return self.model.run_template(target, self.spark, self._model_dfs())
@@ -316,7 +320,9 @@ class RoleReader:
         then enforce the routed query's grant surface — an ungranted
         role is refused even when the router finds a match."""
         self._engine._use_compute()
-        kind, target = self._engine.model.route(question)
+        kind, target = self._engine.model.route(
+            question, as_of=healthcare.AS_OF
+        )
         if kind == "verified":
             return self.verified(target)
         for t in target.tables:

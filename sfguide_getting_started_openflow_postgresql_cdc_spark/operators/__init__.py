@@ -47,58 +47,59 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 ]
 _NEEDS_EVIDENCE_FIRST = [
-    "c18_important_parts",  # changed/new this round
-    "dd4_minhash_lsh_pairs",  # changed/new this round
-    "dd3_ngram_jaccard_pairs",  # changed/new this round
-    "dd10_containment_pairs",  # changed/new this round
-    "dd15_incremental_minhash_pairs",  # changed/new this round
-    "dd7_dedup_groups",  # changed/new this round
-    "px6_neardup_aware_curation",  # changed/new this round
-    "px15_cluster_safe_split",  # changed/new this round
-    "dd11_softdedup_weights",  # changed/new this round
-    "dd13_cluster_size_histogram",  # changed/new this round
-    "px12_neardup_decontamination",  # changed/new this round
+    "h28_array_agg_semistructured",  # changed/new this round
     "mm5_decoded_media_metadata",  # changed/new this round
     "mm6_image_ahash",  # changed/new this round
     "mm8_image_dup_groups",  # changed/new this round
     "mm9_image_neardup_pairs",  # changed/new this round
     "px16_incremental_manifest",  # changed/new this round
-    "c7_anti_join",  # changed/new this round
     "px17_incremental_lang_stats",  # changed/new this round
     "px18_incremental_source_stats",  # changed/new this round
+    "sim12_knn_pq",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
-    "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
-    "dd1_exact_dedup",  # latest green r4
-    "dd6_embedding_cosine_dups",  # latest green r4
-    "e10_range_interval_frame",  # latest green r4
-    "e1_pct_of_total",  # latest green r4
-    "e2_nested_agg_window",  # latest green r4
-    "e3_partitioned_window",  # latest green r4
-    "e4_listagg_distinct",  # latest green r4
-    "e5_lag_lead",  # latest green r4
-    "flagship_revenue_by_nation",  # latest green r4
-    "h11_timestampdiff_minute",  # latest green r4
-    "h14_date_trunc_hour",  # latest green r4
-    "h21_regexp_extract",  # latest green r4
-    "h28_array_functions",  # latest green r4
-    "h2_h3_round_nullif",  # latest green r4
-    "a5_generate_series",  # latest green r5
-    "b1_project_filter",  # latest green r5
-    "c10_salted_skew_join",  # latest green r5
-    "d25_top_percent",  # latest green r5
-    "dd8_semantic_dedup_groups",  # latest green r5
-    "e6_moving_frame",  # latest green r5
-    "e7_rank_functions",  # latest green r5
-    "e8_running_total",  # latest green r5
-    "f4_topk_global",  # latest green r5
-    "f6_topk_per_group",  # latest green r5
-    "f7_pagination",  # latest green r5
-    "g1_union_all_rowcounts",  # latest green r5
-    "g2_data_quality_nulls",  # latest green r5
+    "g3_intersect",  # latest green r5
+    "g4_except",  # latest green r5
+    "h12_to_char_month",  # latest green r5
+    "h13_compose_timestamp",  # latest green r5
+    "h15_dayname_dayofweek",  # latest green r5
+    "h16_modulo",  # latest green r5
+    "h1_string_concat",  # latest green r5
+    "h20_like_patterns",  # latest green r5
+    "h22_array_functions",  # latest green r5
+    "h29_time_arithmetic",  # latest green r5
+    "h30_edit_distance",  # latest green r5
+    "h4_case_bucket",  # latest green r5
+    "h5_simple_case",  # latest green r5
+    "h6_cast_to_date",  # latest green r5
+    "h8_date_arithmetic",  # latest green r5
+    "i10_asof_join",  # latest green r5
+    "i11_range_join",  # latest green r5
+    "px1_corpus_curation",  # latest green r5
+    "px7_language_balanced_cap",  # latest green r5
+    "px8_ngram_decontamination",  # latest green r5
+    "px9_quality_curriculum",  # latest green r5
+    "sim3_pairwise_label_centroids",  # latest green r5
+    "sim5_range_search",  # latest green r5
+    "tx11_repetition_stats",  # latest green r5
+    "tx6_bpe_token_count",  # latest green r5
+    "tx7_vocab_topk",  # latest green r5
+    "c11_dense_grid_report",  # latest green r6
+    "c3_left_join_count",  # latest green r6
+    "c4_left_join_residual_on",  # latest green r6
+    "d14_exact_percentiles",  # latest green r6
+    "d16_pivot",  # latest green r6
+    "d22_multi_distinct",  # latest green r6
+    "d23_unpivot",  # latest green r6
+    "d24_value_histogram",  # latest green r6
+    "dd12_keepfirst_manifest",  # latest green r6
+    "dd14_simhash_hamming_pairs",  # latest green r6
+    "dd2_fingerprint_stats",  # latest green r6
+    "e11_rank_distributions",  # latest green r6
 ]
 
 

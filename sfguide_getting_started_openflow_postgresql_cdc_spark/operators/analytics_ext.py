@@ -1655,7 +1655,7 @@ def d26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h28_array_functions",
+    "h28_array_agg_semistructured",
     oracle="""
     WITH per_nation AS (
       SELECT n_name,
@@ -1672,7 +1672,7 @@ def d26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_nation
     """,
 )
-def h28_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def h28_array_agg_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/semi-structured family (Snowflake ARRAY_AGG / ARRAY_SIZE /
     ARRAY_CONTAINS / ARRAY_TO_STRING): per-nation sorted distinct
     segment arrays, then element access, membership, and join-to-string

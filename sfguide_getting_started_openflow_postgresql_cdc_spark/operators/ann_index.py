@@ -34,6 +34,13 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity 
     arrow_norm,
 )
 
+# ADC (IVF-PQ) search builds one m x k lookup table PER QUERY on the
+# driver — inherent to asymmetric-distance serving, so the query count
+# is hard-capped instead of silently bottlenecking the driver (r9
+# verdict task 5). The EXACT search path has no such limit: its probe
+# assignment is a distributed pandas UDF.
+MAX_ADC_QUERIES = 4096
+
 
 class IvfIndex:
     """Build / load / search a persisted IVF index over
@@ -444,14 +451,43 @@ class IvfIndex:
         select that many candidates per query, and only the shortlist's
         raw vectors are read for the exact rerank — emitted similarities
         stay bit-identical to the exact path for every survivor, so a
-        shortlist covering a cell reproduces the exact result."""
-        q_rows = queries.select("query_id", "embedding").collect()
-        probed = self.probe_cells([r["embedding"] for r in q_rows])
-        pairs = [
-            (int(r["query_id"]), c) for r, cells in zip(q_rows, probed) for c in cells
-        ]
-        probes = spark.createDataFrame(pairs, "query_id long, cell int")
-        all_cells = sorted({c for _, c in pairs})
+        shortlist covering a cell reproduces the exact result.
+
+        Scale contract (r9 verdict task 5): probe assignment is
+        DISTRIBUTED — an Arrow-batched pandas UDF over the query frame
+        ships the k x dim quantizer by value, so the exact path never
+        collects the query frame (a 10^5-row query DataFrame runs as a
+        plan, not a driver loop; the only driver-bounded collect is the
+        DISTINCT probed-cell list, <= n_cells rows, pushed into the
+        scan for partition pruning). The ADC path inherently builds one
+        m x k lookup table per query on the driver, so it raises
+        ValueError above ``MAX_ADC_QUERIES`` — split the query frame or
+        use the exact path for bulk workloads."""
+        cn = self._load_centroids().tolist()
+        n_probe = self.n_probe
+
+        @F.pandas_udf("array<int>")
+        def _probe_cells(col):
+            import numpy as _np
+            import pandas as _pd
+
+            c = _np.array(cn)
+            m = _np.stack(col.to_numpy()).astype(_np.float64)
+            m = m / _np.maximum(
+                _np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            # ascending argsort reversed == probe_cells' per-row tie
+            # order (highest cell id first on exact similarity ties)
+            order = _np.argsort(m @ c.T, axis=1)[:, ::-1][:, :n_probe]
+            return _pd.Series(list(order.astype("int32")))
+
+        probes = queries.select(
+            "query_id",
+            F.explode(_probe_cells(F.col("embedding"))).alias("cell"),
+        )
+        all_cells = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
 
         index = self._live(
             spark,
@@ -464,6 +500,22 @@ class IvfIndex:
                 adc_score,
             )
 
+            # the per-query LUT build is driver-side by construction —
+            # bound the collect itself (limit cap+1) so an oversized
+            # frame fails fast and loudly instead of materializing
+            q_rows = (
+                queries.select("query_id", "embedding")
+                .limit(MAX_ADC_QUERIES + 1)
+                .collect()
+            )
+            if len(q_rows) > MAX_ADC_QUERIES:
+                raise ValueError(
+                    "adc_shortlist search builds one ADC lookup table "
+                    "per query on the driver and is capped at "
+                    f"{MAX_ADC_QUERIES} queries; split the query frame "
+                    "into batches, or use the exact path "
+                    "(adc_shortlist=None), which is fully distributed"
+                )
             scored = adc_score(
                 index,
                 self._load_pq_books(),

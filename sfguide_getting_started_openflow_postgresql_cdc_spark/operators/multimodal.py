@@ -51,14 +51,19 @@ def _make_pixel_decoder():
     - BMP: 24-bit uncompressed BITMAPINFOHEADER — header parse + full
       pixel-array decode honoring the 4-byte row stride and bottom-up
       row order (padding bytes never reach the pixel array);
-    - PNG: 8-bit truecolor (color type 2), non-interlaced — chunk walk
-      with CRC verification, stdlib-zlib inflate of the concatenated
-      IDAT stream, then per-scanline FILTER RECONSTRUCTION (all five
-      filter types: None/Sub/Up/Average/Paeth, the spec's byte-exact
-      recurrences).
+    - PNG: 8-bit non-interlaced, color types 0 (grayscale — replicated
+      to RGB), 2 (truecolor), 3 (palette — PLTE lookup), and 6 (RGBA —
+      alpha dropped; callers consume RGB) — chunk walk with CRC
+      verification and explicit truncation gating, stdlib-zlib inflate
+      of the concatenated IDAT stream, then per-scanline FILTER
+      RECONSTRUCTION (all five filter types, the spec's byte-exact
+      recurrences, at the color type's byte stride). None/Up/Sub rows
+      reconstruct fully vectorized (Sub is a per-lane prefix sum);
+      Average/Paeth run the inherently-sequential left-neighbour
+      recurrence over Python ints.
 
-    Palette/gray/alpha PNGs, 16-bit depth, interlacing, and anything
-    needing a real codec (JPEG/...) raise NotImplementedError."""
+    16-bit depth, interlacing, and anything needing a real codec
+    (JPEG/...) raise NotImplementedError."""
 
     def pixels(payload: bytes):
         import struct as _struct
@@ -88,16 +93,25 @@ def _make_pixel_decoder():
                 rows = rows[::-1]
             return "bmp", rows.reshape(h, w, 3)
         if p[:8] == b"\x89PNG\r\n\x1a\n":
-            pos, ihdr, idat = 8, None, b""
+            pos, ihdr, idat, plte = 8, None, b"", None
             while pos + 8 <= len(p):
                 ln = _struct.unpack_from(">I", p, pos)[0]
                 typ = p[pos + 4 : pos + 8]
+                # ADVICE r9: a declared length running past the payload
+                # must gate as the documented ValueError (like the BMP
+                # path), not escape as struct.error from the CRC read
+                if pos + 12 + ln > len(p):
+                    raise ValueError("truncated PNG chunk")
                 body = p[pos + 8 : pos + 8 + ln]
                 crc = _struct.unpack_from(">I", p, pos + 8 + ln)[0]
                 if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
                     raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
                 if typ == b"IHDR":
                     ihdr = _struct.unpack(">IIBBBBB", body)
+                elif typ == b"PLTE":
+                    if not body or len(body) % 3:
+                        raise ValueError("bad PLTE chunk length")
+                    plte = _np.frombuffer(body, _np.uint8).reshape(-1, 3)
                 elif typ == b"IDAT":
                     idat += body
                 elif typ == b"IEND":
@@ -106,53 +120,96 @@ def _make_pixel_decoder():
             if ihdr is None:
                 raise ValueError("PNG missing IHDR")
             w, h, depth, ctype, comp, filt, interlace = ihdr
-            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+            # channel count per color type: 0 grayscale, 2 truecolor,
+            # 3 palette indices, 6 truecolor+alpha (PNG spec §11.2.2)
+            channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+            if (
+                depth != 8
+                or channels is None
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+            ):
                 raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported "
+                    "only 8-bit gray/truecolor/palette/RGBA "
+                    "non-interlaced PNG supported "
                     f"(depth={depth}, color_type={ctype}, "
                     f"interlace={interlace})"
                 )
+            if ctype == 3 and plte is None:
+                raise ValueError("palette PNG missing PLTE")
             raw = _zlib.decompress(idat)
-            bpp, stride = 3, 3 * w
+            bpp, stride = channels, channels * w
             if len(raw) != h * (1 + stride):
                 raise ValueError("PNG scanline data length mismatch")
+            arr = _np.frombuffer(raw, _np.uint8).reshape(h, 1 + stride)
+            ftypes = arr[:, 0]
+            if (ftypes > 4).any():
+                raise ValueError(
+                    f"bad PNG filter type {int(ftypes.max())}"
+                )
+            lines = arr[:, 1:].astype(_np.int64)  # copies — rows mutable
             out = _np.zeros((h, stride), _np.int64)
+            zero = _np.zeros(stride, _np.int64)
             for y in range(h):
-                ft = raw[y * (1 + stride)]
-                line = _np.frombuffer(
-                    raw, _np.uint8, stride, y * (1 + stride) + 1
-                ).astype(_np.int64)
-                prev = out[y - 1] if y else _np.zeros(stride, _np.int64)
+                ft = int(ftypes[y])
+                line = lines[y]
+                prev = out[y - 1] if y else zero
                 if ft == 0:  # None
                     rec = line
-                elif ft == 2:  # Up
+                elif ft == 2:  # Up — vectorized across the row
                     rec = (line + prev) % 256
-                else:  # Sub/Average/Paeth need the left-neighbour recurrence
-                    rec = _np.zeros(stride, _np.int64)
-                    for i in range(stride):
-                        a = rec[i - bpp] if i >= bpp else 0
-                        b = int(prev[i])
-                        if ft == 1:  # Sub
-                            pred = a
-                        elif ft == 3:  # Average
-                            pred = (a + b) // 2
-                        elif ft == 4:  # Paeth
-                            c = int(prev[i - bpp]) if i >= bpp else 0
-                            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                            pred = (
-                                a
-                                if pa <= pb and pa <= pc
-                                else (b if pb <= pc else c)
-                            )
-                        else:
-                            raise ValueError(f"bad PNG filter type {ft}")
-                        rec[i] = (line[i] + pred) % 256
+                elif ft == 1:  # Sub — a per-lane prefix sum: rec[i] =
+                    # line[i] + rec[i-bpp], i.e. cumsum down each of the
+                    # bpp byte lanes (mod commutes with the partial sums)
+                    rec = (
+                        _np.cumsum(line.reshape(w, bpp), axis=0)
+                        .reshape(stride) % 256
+                    )
+                else:  # Average/Paeth: the left-neighbour recurrence is
+                    # inherently sequential — run it over plain Python
+                    # ints (lists), ~5x faster than per-byte numpy
+                    # scalar indexing (timing note in BASELINE.md r10)
+                    ln_l = line.tolist()
+                    pv_l = prev.tolist()
+                    rec_l = [0] * stride
+                    if ft == 3:  # Average
+                        for i in range(stride):
+                            a = rec_l[i - bpp] if i >= bpp else 0
+                            rec_l[i] = (ln_l[i] + ((a + pv_l[i]) >> 1)) % 256
+                    else:  # Paeth
+                        for i in range(stride):
+                            a = rec_l[i - bpp] if i >= bpp else 0
+                            b = pv_l[i]
+                            c = pv_l[i - bpp] if i >= bpp else 0
+                            pa = abs(b - c)
+                            pb = abs(a - c)
+                            pc = abs(a + b - 2 * c)
+                            if pa <= pb and pa <= pc:
+                                pred = a
+                            elif pb <= pc:
+                                pred = b
+                            else:
+                                pred = c
+                            rec_l[i] = (ln_l[i] + pred) % 256
+                    rec = _np.asarray(rec_l, _np.int64)
                 out[y] = rec
-            return "png", out.astype(_np.uint8).reshape(h, w, 3)
+            px = out.astype(_np.uint8)
+            if ctype == 2:
+                return "png", px.reshape(h, w, 3)
+            if ctype == 6:  # drop alpha — callers consume RGB
+                return "png", px.reshape(h, w, 4)[:, :, :3]
+            if ctype == 3:  # palette lookup
+                idx = px.reshape(h, w)
+                if int(idx.max()) >= len(plte):
+                    raise ValueError("palette index out of range")
+                return "png", plte[idx]
+            # grayscale: replicate the single channel
+            return "png", _np.repeat(px.reshape(h, w, 1), 3, axis=2)
         raise NotImplementedError(
             "unsupported image container (supported: 24-bit BMP, 8-bit "
-            "truecolor PNG); real codecs (JPEG/...) are not available in "
-            "this runtime"
+            "gray/truecolor/palette/RGBA PNG); real codecs (JPEG/...) "
+            "are not available in this runtime"
         )
 
     return pixels
@@ -481,19 +538,23 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     """(doc_id) -> (doc_id, kind, payload): deterministic REAL media
     files — even doc_ids become images (doc_id%4==0: 24-bit BMP,
-    doc_id%4==2: 8-bit truecolor PNG), odd ones 16-bit PCM WAVs.
+    doc_id%4==2: 8-bit PNG in a truecolor/RGBA/palette color type
+    cycling on (doc_id//4)%3), odd ones 16-bit PCM WAVs.
     Dimensions and content derive only from doc_id, so an SQL oracle can
     predict exactly what the decoder must recover:
 
     - images: width = doc_id%16+1, height = doc_id%8+1, channel byte at
-      (x, y, c) = (x + y + c + doc_id) % 256 — the SAME grid for both
-      containers, so the perceptual-hash pipeline (mm6/mm8/mm9) is
-      container-agnostic by construction. BMP stores rows bottom-up
-      with 4-byte stride padding (padding NOT part of the content sum);
-      PNG stores top-down scanlines FILTERED with type y%5 (all five
-      spec filters exercised) inside a level-0 (stored-block) zlib
-      stream — a real inflate + defilter path with a closed-form
-      container size: payload = h*(1+3w) + 68 bytes;
+      (x, y, c) = (x + y + c + doc_id) % 256 — the SAME decoded grid
+      for every container/color type, so the perceptual-hash pipeline
+      (mm6/mm8/mm9) is container-agnostic by construction. BMP stores
+      rows bottom-up with 4-byte stride padding (padding NOT part of
+      the content sum); PNG stores top-down scanlines FILTERED with
+      type y%5 (all five spec filters exercised) inside a level-0
+      (stored-block) zlib stream, in a color type cycling on
+      (doc_id//4)%3 — truecolor (payload = h*(1+3w) + 68 bytes), RGBA
+      with alpha = the c=3 grid extension, dropped on decode
+      (h*(1+4w) + 68), or palette with PLTE[j] = (j, j+1, j+2) mod 256
+      reproducing the exact grid (h*(1+w) + 68 + 780);
     - WAV: n = doc_id%50+10 samples at 8 kHz mono, sample i =
       (doc_id*31 + i*7) % 65536 - 32768.
 
@@ -527,28 +588,55 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
             return hdr + rows[::-1].tobytes()
 
         def _png(doc_id: int) -> bytes:
+            """PNG in one of three COLOR TYPES cycling on (doc_id//4)%3
+            — 0: truecolor (2), 1: RGBA (6, alpha = the c=3 extension of
+            the same grid formula), 2: palette (3, PLTE[j] = (j, j+1,
+            j+2) mod 256 with index (x+y+doc_id)%256). All three DECODE
+            to the identical RGB grid (alpha dropped; palette entries
+            reproduce base+c mod 256), so the perceptual-hash pipeline
+            stays container-agnostic and only mm5's payload-size oracle
+            distinguishes them."""
             w, h, px = _grid(doc_id)
-            rows = px.reshape(h, 3 * w).astype(_np.int64)
+            subtype = (doc_id // 4) % 3
+            if subtype == 0:
+                ctype, bpp = 2, 3
+                rows = px.reshape(h, 3 * w).astype(_np.int64)
+            elif subtype == 1:
+                ctype, bpp = 6, 4
+                x = _np.arange(w)[None, :]
+                y4 = _np.arange(h)[:, None]
+                alpha = ((x + y4 + 3 + doc_id) % 256).astype(_np.uint8)
+                rows = (
+                    _np.concatenate([px, alpha[:, :, None]], axis=2)
+                    .reshape(h, 4 * w)
+                    .astype(_np.int64)
+                )
+            else:
+                ctype, bpp = 3, 1
+                x = _np.arange(w)[None, :]
+                y1 = _np.arange(h)[:, None]
+                rows = ((x + y1 + doc_id) % 256).astype(_np.int64)
+            stride = bpp * w
             raw = bytearray()
             for y in range(h):
                 ft = y % 5  # exercise every spec filter type
                 row = rows[y]
-                prev = rows[y - 1] if y else _np.zeros(3 * w, _np.int64)
+                prev = rows[y - 1] if y else _np.zeros(stride, _np.int64)
                 if ft == 0:
                     f = row
                 elif ft == 2:
                     f = (row - prev) % 256
                 else:
-                    f = _np.zeros(3 * w, _np.int64)
-                    for i in range(3 * w):
-                        a = int(row[i - 3]) if i >= 3 else 0
+                    f = _np.zeros(stride, _np.int64)
+                    for i in range(stride):
+                        a = int(row[i - bpp]) if i >= bpp else 0
                         b = int(prev[i])
                         if ft == 1:
                             pred = a
                         elif ft == 3:
                             pred = (a + b) // 2
                         else:  # Paeth
-                            c = int(prev[i - 3]) if i >= 3 else 0
+                            c = int(prev[i - bpp]) if i >= bpp else 0
                             pa, pb, pc = (
                                 abs(b - c),
                                 abs(a - c),
@@ -574,13 +662,17 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                     + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF)
                 )
 
-            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", idat)
-                + chunk(b"IEND", b"")
-            )
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            if ctype == 3:
+                j = _np.arange(256, dtype=_np.int64)
+                plte = (
+                    _np.stack([j, (j + 1) % 256, (j + 2) % 256], axis=1)
+                    .astype(_np.uint8)
+                    .tobytes()
+                )
+                out += chunk(b"PLTE", plte)
+            return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
         def _wav(doc_id: int) -> bytes:
             n, rate = doc_id % 50 + 10, 8000
@@ -653,7 +745,11 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
            CAST(bs.s AS BIGINT) AS content_sum,
            CAST(CASE WHEN b.doc_id % 4 = 0
                      THEN 54 + ((3 * b.w + 3) // 4) * 4 * b.h
-                     ELSE b.h * (1 + 3 * b.w) + 68
+                     WHEN (b.doc_id // 4) % 3 = 0
+                     THEN b.h * (1 + 3 * b.w) + 68
+                     WHEN (b.doc_id // 4) % 3 = 1
+                     THEN b.h * (1 + 4 * b.w) + 68
+                     ELSE b.h * (1 + b.w) + 848
                 END AS BIGINT) AS payload_bytes
     FROM img b JOIN img_sum bs ON bs.doc_id = b.doc_id
     UNION ALL
@@ -676,9 +772,10 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     types), never from the generation parameters. The oracle recomputes
     the same metadata from the closed-form content definition — the
     PNG container size is closed-form because the fixture deflates at
-    level 0 (stored blocks: h*(1+3w) + 68 bytes) — so a header-math,
-    stride/chunk-walk, or filter-reconstruction bug shows up as a value
-    mismatch.
+    level 0 (stored blocks; per-color-type size formulas in
+    ``synthesize_media_payloads``) — so a header-math,
+    stride/chunk-walk, palette-lookup, alpha-drop, or
+    filter-reconstruction bug shows up as a value mismatch.
 
     Plan shape: scan -> mapInPandas(encode) -> mapInPandas(decode),
     partition-preserving (zero shuffles); both stages are self-contained

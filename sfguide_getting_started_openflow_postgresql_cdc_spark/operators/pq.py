@@ -145,9 +145,23 @@ def adc_score(
     lookups — the corpus scan touches ONLY the codes column (plus
     ``cell`` when ``with_cell``, for IVF-PQ probe filtering downstream).
     ``q_rows``: [(query_id, embedding), ...]. Returns (query_id,
-    vec_id[, cell], approx_sim)."""
+    vec_id[, cell], approx_sim).
+
+    Driver-bounded by construction (one table per query lives on the
+    driver and ships with the closure) — capped loudly rather than
+    silently bottlenecking (r9 verdict task 5)."""
     import numpy as np
 
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        MAX_ADC_QUERIES,
+    )
+
+    if len(q_rows) > MAX_ADC_QUERIES:
+        raise ValueError(
+            f"adc_score builds one lookup table per query on the driver "
+            f"and is capped at {MAX_ADC_QUERIES} queries "
+            f"(got {len(q_rows)}); batch the query set"
+        )
     ds = codebooks.shape[2]
     luts, qids = [], []
     for qid, emb in q_rows:

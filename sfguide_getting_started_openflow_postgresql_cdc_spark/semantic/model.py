@@ -103,7 +103,9 @@ class TemplateRoute:
     # 'count_table' | 'count_by_dimension' | 'measure_by_dimension'
     # | 'avg_measure_by_dimension' | 'top_dimension_by_measure'
     # | 'count_by_time_bucket' | 'measure_by_time_bucket'
-    # | 'avg_measure_by_time_bucket'
+    # | 'avg_measure_by_time_bucket' | 'two_measures_by_entity'
+    # | 'two_measures_by_time_bucket' (measure2=None there means the
+    #   second measure is COUNT(*) of measure2_table)
     family: str
     tables: tuple[str, ...]
     measure: str | None = None
@@ -167,6 +169,139 @@ _THRESH_DETECT = (
     r"\b(?:" + "|".join(w for w, _ in _CMP_OPS) + r")\s+\d"
 )
 _RANGE_DETECT = r"\b(?:between|from)\s+\d{4}-\d{2}-\d{2}\b"
+
+# ---------------------------------------------------------------------------
+# Relative/named-date resolution (r9 verdict task 1). The reference's own
+# blessed question is relative ("Show appointments modified today via CDC",
+# semantic-models/healthcare_cdc_semantic_model.yaml:599-612) — these
+# phrases resolve DETERMINISTICALLY against the engine's pinned ``as_of``
+# date (the ``_as_of_date`` convention the verified catalog already uses),
+# never against the wall clock: the same question + the same as_of always
+# yields the same ISO bounds. Ambiguous vagueness ("recently", "lately")
+# has no deterministic resolution and always refuses.
+# ---------------------------------------------------------------------------
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        "january february march april may june july august september "
+        "october november december".split()
+    )
+}
+_MONTH_RE = "|".join(_MONTHS)
+# month-name range: 'between March and May' / 'from November to February'
+# (year-wrap: a start month AFTER the end month starts in as_of's
+# PREVIOUS year — the most recent such span ending in as_of's year)
+_MONTH_RANGE_RE = (
+    rf"\b(?:between|from)\s+({_MONTH_RE})\s+"
+    rf"(?:and|to|through)\s+({_MONTH_RE})\b"
+)
+# single named month: 'in March' — the most recent occurrence of that
+# month not after as_of (as_of's year when the month has started by
+# as_of, else the previous year). 'in' anchors the grammar so the modal
+# verb 'may' never binds as a month.
+_MONTH_IN_RE = rf"\bin\s+({_MONTH_RE})\b"
+_REL_WORD_RE = (
+    r"\b(?:today|yesterday"
+    r"|(?:this|last|next)\s+(?:week|month|quarter|year))\b"
+)
+# LOOSE detector for the refusal guard (mirrors _RANGE_DETECT): any
+# relative/named-date phrase — or an inherently ambiguous one — that the
+# strict resolution below could not bind (no pinned as_of, two ranges,
+# unparseable family) must refuse, never fall through to a catalog match
+# that silently drops or reinterprets it. The ONE escape, handled in
+# ``route``: a similarity-matched VERIFIED question whose own text
+# carries the same relative tokens (e.g. 'modified today' reaching the
+# blessed modified-today query, which resolves 'today' itself).
+_REL_DETECT = (
+    rf"(?:{_REL_WORD_RE}|{_MONTH_RANGE_RE}|{_MONTH_IN_RE}"
+    r"|\b(?:recently|lately)\b)"
+)
+
+
+def _month_end(year: int, month: int):
+    import datetime
+
+    if month == 12:
+        return datetime.date(year, 12, 31)
+    return datetime.date(year, month + 1, 1) - datetime.timedelta(days=1)
+
+
+def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
+    """Bind the FIRST relative/named-date phrase in ``q`` against the
+    pinned ``as_of`` (a ``datetime.date``): returns (q_with_phrase_
+    consumed, start_iso, end_iso), or None when no phrase matches.
+    Weeks are ISO Monday..Sunday. Raises KeyError for phrases that are
+    detectable but inherently ambiguous ('recently')."""
+    import datetime
+    import re
+
+    if re.search(r"\b(?:recently|lately)\b", q):
+        raise KeyError(
+            "'recently'/'lately' have no deterministic date bounds — "
+            "refusing rather than guessing"
+        )
+
+    def consume(m) -> str:
+        return q[: m.start()] + " " + q[m.end():]
+
+    m = re.search(_REL_WORD_RE, q)
+    if m:
+        phrase = re.sub(r"\s+", " ", m.group(0))
+        if phrase == "today":
+            lo = hi = as_of
+        elif phrase == "yesterday":
+            lo = hi = as_of - datetime.timedelta(days=1)
+        else:
+            which, unit = phrase.split(" ")
+            if unit == "week":
+                lo = as_of - datetime.timedelta(days=as_of.weekday())
+                if which == "last":
+                    lo -= datetime.timedelta(days=7)
+                elif which == "next":
+                    lo += datetime.timedelta(days=7)
+                hi = lo + datetime.timedelta(days=6)
+            elif unit == "month":
+                lo = as_of.replace(day=1)
+                if which == "last":
+                    lo = (lo - datetime.timedelta(days=1)).replace(day=1)
+                elif which == "next":
+                    lo = _month_end(lo.year, lo.month) + datetime.timedelta(
+                        days=1
+                    )
+                hi = _month_end(lo.year, lo.month)
+            elif unit == "quarter":
+                qm = 3 * ((as_of.month - 1) // 3) + 1
+                lo = datetime.date(as_of.year, qm, 1)
+                if which == "last":
+                    lo = (lo - datetime.timedelta(days=1)).replace(day=1)
+                    lo = datetime.date(lo.year, 3 * ((lo.month - 1) // 3) + 1, 1)
+                elif which == "next":
+                    lo = _month_end(lo.year, lo.month + 2) + datetime.timedelta(
+                        days=1
+                    )
+                hi = _month_end(lo.year, lo.month + 2)
+            else:  # year
+                y = as_of.year + {"last": -1, "next": 1, "this": 0}[which]
+                lo = datetime.date(y, 1, 1)
+                hi = datetime.date(y, 12, 31)
+        return consume(m), lo.isoformat(), hi.isoformat()
+
+    m = re.search(_MONTH_RANGE_RE, q)
+    if m:
+        m1, m2 = _MONTHS[m.group(1)], _MONTHS[m.group(2)]
+        y1 = as_of.year - (1 if m1 > m2 else 0)  # year-wrap: Nov..Feb
+        lo = datetime.date(y1, m1, 1)
+        hi = _month_end(as_of.year, m2)
+        return consume(m), lo.isoformat(), hi.isoformat()
+
+    m = re.search(_MONTH_IN_RE, q)
+    if m:
+        mo = _MONTHS[m.group(1)]
+        y = as_of.year - (1 if mo > as_of.month else 0)
+        lo = datetime.date(y, mo, 1)
+        return consume(m), lo.isoformat(), _month_end(y, mo).isoformat()
+
+    return None
 
 
 class SemanticModel:
@@ -393,7 +528,7 @@ class SemanticModel:
                 return r.right_key, r.left_key
         raise KeyError(f"no relationship between {a} and {b}")
 
-    def route_template(self, question: str) -> TemplateRoute:
+    def route_template(self, question: str, as_of=None) -> TemplateRoute:
         """Resolve a question into a parameterized template — the
         deterministic generalization beyond the blessed catalog:
 
@@ -440,7 +575,16 @@ class SemanticModel:
           2025-05-31'): two ISO dates become an inclusive WHERE on the
           anchor (fact/subject) table's first-declared time_dimension;
           a question carrying the qualifier refuses when that table
-          declares no time_dimension.
+          declares no time_dimension. With a pinned ``as_of``
+          (``datetime.date`` or ISO string — the ``_as_of_date``
+          convention), RELATIVE/NAMED phrases resolve into the same
+          slot deterministically: 'today', 'yesterday', 'this/last
+          week|month|quarter|year', 'between March and May' (month
+          names; a start month after the end month wraps into the
+          previous year), 'in March'. Without an as_of, or for
+          inherently ambiguous phrases ('recently'), the question
+          refuses — a wall-clock fallback would make routing
+          non-reproducible.
 
         And a TWO-MEASURE family ('revenue and experience by doctor' —
         the last r8 refusal gap): exactly two distinct fact columns
@@ -462,6 +606,26 @@ class SemanticModel:
         if drm:
             date_range = (drm.group(1), drm.group(2))
             q = q[: drm.start()] + " " + q[drm.end():]
+        if as_of is not None:
+            import datetime
+
+            if isinstance(as_of, str):
+                as_of = datetime.date.fromisoformat(as_of)
+            rel = _resolve_relative_range(q, as_of)  # KeyError -> refusal
+            if rel is not None:
+                if date_range is not None:
+                    raise KeyError(
+                        "question carries both an ISO date range and a "
+                        "relative date phrase — ambiguous, refusing: "
+                        f"{question!r}"
+                    )
+                q, lo, hi = rel
+                date_range = (lo, hi)
+                if _resolve_relative_range(q, as_of) is not None:
+                    raise KeyError(
+                        "question carries more than one relative date "
+                        f"phrase — ambiguous, refusing: {question!r}"
+                    )
         having = None
         thm = re.search(_THRESH_RE, q)
         if thm:
@@ -522,6 +686,28 @@ class SemanticModel:
             dim = self._resolve_column(rt, kinds={"dimension", "time_dimension"})
             if dim is not None:
                 dt, dcol = dim
+                # a SECOND fully-resolved fact on the measure side would
+                # be silently dropped by the single-measure route below
+                # ('revenue and experience by specialization') — refuse
+                # loudly; only the entity-table and time-bucket groupings
+                # support two measures
+                mfacts = self._resolve_columns_all(
+                    lt - _AVG_WORDS - _COUNT_WORDS, kinds={"fact"}
+                )
+                mconsumed = (
+                    frozenset().union(*(c for _, _, c in mfacts))
+                    if mfacts
+                    else frozenset()
+                )
+                if len(mfacts) >= 2 and not (
+                    lt - _AVG_WORDS - _COUNT_WORDS - mconsumed
+                ):
+                    raise KeyError(
+                        "two measures grouped by a dimension column are "
+                        "not supported (use an entity table or time "
+                        "bucket grouping) — refusing rather than "
+                        f"dropping one: {question!r}"
+                    )
                 meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
                 if meas is not None:
                     mt, mcol = meas
@@ -574,10 +760,111 @@ class SemanticModel:
                 # the filter slot ate 'completed') — anything else is a
                 # qualifier we would silently drop, so refuse below
                 rest = rt - _BUCKET_WORDS
+                base = lt - _AVG_WORDS - _COUNT_WORDS
+                bfacts = self._resolve_columns_all(base, kinds={"fact"})
+                bconsumed = (
+                    frozenset().union(*(c for _, _, c in bfacts))
+                    if bfacts
+                    else frozenset()
+                )
+                # TWO-MEASURE time bucket (r10, verdict task 7): two
+                # fact columns ('revenue and experience by month'), or
+                # one fact + an explicit count word ('revenue and visit
+                # count by month' — COUNT(*) of the fact's own table is
+                # the second measure). Ambiguous qualifiers (avg words,
+                # thresholds, date ranges) refuse exactly like the
+                # entity two-measure family; two facts whose anchor
+                # tables disagree on the time dimension refuse ('by
+                # month' would bucket each on a DIFFERENT event time
+                # without saying so).
+                two_facts = len(bfacts) == 2 and not (base - bconsumed)
+                count_second = (
+                    len(bfacts) == 1
+                    and bool(lt & {"count", "number"})
+                    and not (
+                        base - bfacts[0][2] - _table_toks(bfacts[0][0])
+                    )
+                )
+                if two_facts or count_second:
+                    if having is not None or date_range is not None:
+                        raise KeyError(
+                            "a threshold/date-range qualifier is "
+                            "ambiguous over two measures — refusing "
+                            f"rather than guessing: {question!r}"
+                        )
+                    if lt & _AVG_WORDS:
+                        raise KeyError(
+                            "avg-words are ambiguous over two measures "
+                            f"— refusing: {question!r}"
+                        )
+                    if two_facts:
+                        (m1t, m1c, c1), (m2t, m2c, c2) = bfacts
+                        # ADVICE r9: same column name => identical
+                        # total_<col> output aliases; same consumed
+                        # tokens => one ask-word matched two tables'
+                        # columns — a single AMBIGUOUS measure, not two
+                        if m1c == m2c or c1 == c2:
+                            raise KeyError(
+                                "the two resolved measures collide "
+                                f"({m1t}.{m1c} vs {m2t}.{m2c}) — "
+                                f"ambiguous, refusing: {question!r}"
+                            )
+                        td1 = _first_time_dim(m1t)  # KeyError -> refuse
+                        if m1t != m2t and td1 != _first_time_dim(m2t):
+                            raise KeyError(
+                                "the two measures' anchor tables "
+                                "disagree on the time dimension "
+                                f"({m1t}.{td1} vs {m2t}."
+                                f"{_first_time_dim(m2t)}) — 'by "
+                                f"{bucket}' is ambiguous, refusing: "
+                                f"{question!r}"
+                            )
+                        if rest - _table_toks(m1t) - _table_toks(m2t):
+                            raise KeyError(
+                                f"unexplained tokens in the by-clause: "
+                                f"{question!r}"
+                            )
+                        return _check_filters(
+                            TemplateRoute(
+                                "two_measures_by_time_bucket",
+                                tuple(sorted({m1t, m2t})),
+                                m1c, m1t, td1, m1t,
+                                filters=filters, bucket=bucket,
+                                measure2=m2c, measure2_table=m2t,
+                            )
+                        )
+                    mt, mcol, _ = bfacts[0]
+                    if not (rest - _table_toks(mt)):
+                        return _check_filters(
+                            TemplateRoute(
+                                "two_measures_by_time_bucket", (mt,),
+                                mcol, mt, _first_time_dim(mt), mt,
+                                filters=filters, bucket=bucket,
+                                measure2=None, measure2_table=mt,
+                            )
+                        )
                 meas = self._resolve_column(lt - _AVG_WORDS, kinds={"fact"})
                 if meas is not None:
                     mt, mcol = meas
-                    if not (rest - _table_toks(mt)):
+                    # left-side tokens beyond avg/count words, the
+                    # measure's own name tokens, and the measure table's
+                    # name are qualifiers the route would silently drop
+                    # — fall through to refusal instead
+                    mtoks = set().union(
+                        set(),
+                        *(
+                            _toks(cand)
+                            for c in self.tables[mt].columns
+                            if c.name == mcol
+                            for cand in (c.name, *c.synonyms)
+                            if _toks(cand) <= (lt - _AVG_WORDS)
+                        ),
+                    )
+                    leftover = (
+                        lt - _AVG_WORDS - _COUNT_WORDS - mtoks
+                        - _table_toks(mt)
+                    )
+                    if not leftover and not (rest - _table_toks(mt)):
                         fam = (
                             "avg_measure_by_time_bucket"
                             if lt & _AVG_WORDS
@@ -694,7 +981,19 @@ class SemanticModel:
                                 f"measures — refusing: {question!r}"
                             )
                         gt = group_tabs[0]
-                        (m1t, m1c, _), (m2t, m2c, _) = facts
+                        (m1t, m1c, c1), (m2t, m2c, c2) = facts
+                        # ADVICE r9: two tables declaring a fact under
+                        # the same name/synonym tokens make a SINGLE
+                        # ask-word resolve as "two measures" — and the
+                        # same column name would alias both outputs
+                        # total_<col>. Either collision is one ambiguous
+                        # measure, not two: refuse.
+                        if m1c == m2c or c1 == c2:
+                            raise KeyError(
+                                "the two resolved measures collide "
+                                f"({m1t}.{m1c} vs {m2t}.{m2c}) — "
+                                f"ambiguous, refusing: {question!r}"
+                            )
                         for mt in (m1t, m2t):
                             if mt != gt:
                                 self._rel_between(mt, gt)  # joinable
@@ -854,21 +1153,56 @@ class SemanticModel:
                 {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
             )
 
+        def _bucket_col(time_dim: str):
+            # F.trunc returns DATE for every supported grain except
+            # 'day' (identity there) — DATE output stays process-TZ-
+            # independent, unlike a raw date_trunc timestamp
+            src = F.col(time_dim)
+            return (
+                F.to_date(src)
+                if route.bucket == "day"
+                else F.trunc(src, route.bucket)
+            )
+
+        if route.family == "two_measures_by_time_bucket":
+            m1t, m1c = route.measure_table, route.measure
+            m2t, m2c = route.measure2_table, route.measure2
+            agg2 = (
+                F.count("*").alias("n")
+                if m2c is None
+                else F.sum(m2c).alias(f"total_{m2c}")
+            )
+            if m2t == m1t:
+                out = (
+                    live(m1t)
+                    .groupBy(_bucket_col(route.dimension).alias(route.bucket))
+                    .agg(F.sum(m1c).alias(f"total_{m1c}"), agg2)
+                )
+            else:
+                # each measure buckets ITS OWN table on the (same-named,
+                # router-enforced) time dimension; per-bucket aggregates
+                # are bucket-cardinality (tiny) — full outer keeps
+                # buckets present on either side
+                s1 = (
+                    live(m1t)
+                    .groupBy(_bucket_col(route.dimension).alias(route.bucket))
+                    .agg(F.sum(m1c).alias(f"total_{m1c}"))
+                )
+                s2 = (
+                    live(m2t)
+                    .groupBy(_bucket_col(route.dimension).alias(route.bucket))
+                    .agg(agg2)
+                )
+                out = s1.join(s2, route.bucket, "full_outer")
+            return out.orderBy(route.bucket)
+
         if route.family in (
             "count_by_time_bucket",
             "measure_by_time_bucket",
             "avg_measure_by_time_bucket",
         ):
-            # F.trunc returns DATE for every supported grain except
-            # 'day' (identity there) — DATE output stays process-TZ-
-            # independent, unlike a raw date_trunc timestamp
             t = route.dimension_table
-            src = F.col(route.dimension)
-            bucket_col = (
-                F.to_date(src)
-                if route.bucket == "day"
-                else F.trunc(src, route.bucket)
-            )
+            bucket_col = _bucket_col(route.dimension)
             grouped = live(t).groupBy(bucket_col.alias(route.bucket))
             if route.family == "count_by_time_bucket":
                 out = having(grouped.agg(F.count("*").alias("n")), "n")
@@ -964,9 +1298,11 @@ class SemanticModel:
             out = out.limit(route.limit)
         return out
 
-    def route(self, question: str):
+    def route(self, question: str, as_of=None):
         """Full routing decision: ('verified', name) or
-        ('template', TemplateRoute).
+        ('template', TemplateRoute). ``as_of`` (ISO string or
+        ``datetime.date``) pins the resolution point for relative date
+        phrases; without it they refuse.
 
         Precedence: (1) a verbatim match to a blessed question (same
         normalized content-token set) routes to the VERIFIED catalog —
@@ -991,7 +1327,7 @@ class SemanticModel:
             if q and q == _toks(self._verified[name][0]):
                 return ("verified", name)
         try:
-            return ("template", self.route_template(question))
+            return ("template", self.route_template(question, as_of=as_of))
         except KeyError:
             import re
 
@@ -1008,6 +1344,39 @@ class SemanticModel:
                     "no template can bind — refusing rather than "
                     f"dropping it: {question!r}"
                 )
+            # relative/named-date phrases the template could not bind
+            # (no as_of pinned, or the rest of the question did not
+            # parse) likewise refuse — with ONE escape: a similarity-
+            # matched VERIFIED question whose own text carries the same
+            # relative tokens answers the qualifier itself (the
+            # reference's blessed modified-today question is exactly
+            # this shape), so routing there drops nothing.
+            rel_toks = frozenset().union(
+                *(
+                    _toks(mm.group(0))
+                    for mm in re.finditer(_REL_DETECT, ql)
+                ),
+                frozenset(),
+            )
+            if rel_toks:
+                name = None
+                try:
+                    name = self.route_question(question)
+                except KeyError:
+                    pass
+                # EVERY relative phrase must be carried by the blessed
+                # question's own text — one covered phrase must not
+                # smuggle a second, dropped one through the escape
+                if name is not None and rel_toks <= _toks(
+                    self._verified[name][0]
+                ):
+                    return ("verified", name)
+                raise KeyError(
+                    "question carries a relative/named date phrase no "
+                    "template can bind"
+                    + ("" if as_of is not None else " (no as_of pinned)")
+                    + f" — refusing rather than dropping it: {question!r}"
+                )
             return ("verified", self.route_question(question))
 
     def ask(
@@ -1016,18 +1385,19 @@ class SemanticModel:
         """Route + run: the full question -> DataFrame path (verified
         catalog first, parameterized templates for the breadth beyond
         it, loud refusal when neither resolves)."""
-        kind, target = self.route(question)
+        kind, target = self.route(question, as_of=dfs.get("_as_of_date"))
         if kind == "verified":
             return self.run_verified(target, spark, dfs)
         return self.run_template(target, spark, dfs)
 
-    def explain_route(self, question: str) -> dict:
+    def explain_route(self, question: str, as_of=None) -> dict:
         """AUDITABLE routing decision — what an agent host logs before
         running anything: the resolved kind/target, the tables the
         answer will read (the grant surface), and for refusals the
-        reason. Never executes a query."""
+        reason (relative dates audit as their RESOLVED ISO bounds).
+        Never executes a query."""
         try:
-            kind, target = self.route(question)
+            kind, target = self.route(question, as_of=as_of)
         except KeyError as e:
             return {"kind": "refused", "reason": str(e), "tables": []}
         if kind == "verified":

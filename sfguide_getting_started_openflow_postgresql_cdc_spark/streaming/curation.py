@@ -301,6 +301,140 @@ class IncrementalCurationManifest:
                     "skip would lose these documents)"
                 )
 
+            return self._apply(
+                dump,
+                meta,
+                new_version,
+                n_docs=int(bounds["n"]),
+                hi=int(bounds["hi"]),
+                new_ranges=[[int(bounds["lo"]), int(bounds["hi"])]],
+                collect_metrics=collect_metrics,
+            )
+        finally:
+            dump.unpersist()
+
+    def ingest_many(
+        self,
+        dumps: list,
+        collect_metrics: bool = True,
+        on_replay: str = "raise",
+    ) -> dict:
+        """Batched catch-up (r10, VERDICT r9 task 4): apply k
+        consecutive dumps in ONE manifest version commit — one
+        shard-packing continuation, one stats merge, one fingerprint
+        append — instead of k full commit cycles (a restart after a
+        week of accumulated dumps used to pay ~2.7 s of commit overhead
+        PER dump at toy scale).
+
+        Equivalence with k serial ingests (property-tested): keep-first
+        fingerprint dedup under the min-doc_id rule, per-doc
+        decontamination against the frozen benchmark, per-doc
+        split/token derivation, and the doc_id-ordered running-sum
+        shard packing are all prefix-stable over an ordered
+        concatenation, so one pass over the union commutes with
+        sequential passes. ``applied_ranges`` still gains ONE ENTRY PER
+        DUMP, so a later replay of any constituent dump is recognized
+        exactly as if it had been applied on its own.
+
+        Per-dump discrimination matches ``ingest``: an exact replay of
+        an applied dump raises (or is skipped under
+        ``on_replay='skip'``); a below-watermark dump matching no
+        applied range always raises; dumps inside the batch must be
+        pairwise disjoint and are applied in doc_id order. Empty dumps
+        are skipped."""
+        if on_replay not in ("raise", "skip"):
+            raise ValueError(
+                f"on_replay must be 'raise' or 'skip', got {on_replay!r}"
+            )
+        meta = self._meta()
+        if not meta["initialized"]:
+            raise ValueError("initialize(benchmark_docs) must run first")
+        persisted = [
+            d.select("doc_id", "text", "lang", "source").persist()
+            for d in dumps
+        ]
+        try:
+            infos, skipped = [], 0
+            for d in persisted:
+                b = d.agg(
+                    F.min("doc_id").alias("lo"),
+                    F.max("doc_id").alias("hi"),
+                    F.count("*").alias("n"),
+                ).first()
+                if b["n"] == 0:
+                    skipped += 1
+                    continue
+                rng = [int(b["lo"]), int(b["hi"])]
+                wm = meta["max_doc_id"]
+                if wm is not None and rng[0] <= wm:
+                    if rng in meta.get("applied_ranges", []):
+                        if on_replay == "skip":
+                            skipped += 1
+                            continue
+                        raise ValueError(
+                            f"dump id range {rng} was already applied "
+                            f"(watermark {wm}): replay of an applied dump"
+                        )
+                    raise ValueError(
+                        f"dump min doc_id {rng[0]} <= watermark {wm} and "
+                        f"its id range {rng} matches no applied ingest: "
+                        "dumps must arrive in doc_id order (out-of-order "
+                        "delivery — refusing, a silent skip would lose "
+                        "these documents)"
+                    )
+                infos.append((rng, int(b["n"]), d))
+            if not infos:
+                return {
+                    "version": meta["version"],
+                    "ingested_docs": 0,
+                    "skipped": True,
+                    "n_dumps_applied": 0,
+                    "n_dumps_skipped": skipped,
+                }
+            infos.sort(key=lambda t: t[0][0])
+            for (r1, _, _), (r2, _, _) in zip(infos, infos[1:]):
+                if r2[0] <= r1[1]:
+                    raise ValueError(
+                        f"dumps overlap within the batch ({r1} vs {r2}) "
+                        "— doc_id ranges must be pairwise disjoint"
+                    )
+            union = infos[0][2]
+            for _, _, d in infos[1:]:
+                union = union.unionByName(d)
+            out = self._apply(
+                union,
+                meta,
+                meta["version"] + 1,
+                n_docs=sum(n for _, n, _ in infos),
+                hi=infos[-1][0][1],
+                new_ranges=[r for r, _, _ in infos],
+                collect_metrics=collect_metrics,
+            )
+            out["n_dumps_applied"] = len(infos)
+            out["n_dumps_skipped"] = skipped
+            return out
+        finally:
+            for d in persisted:
+                d.unpersist()
+
+    def _apply(
+        self,
+        dump: DataFrame,
+        meta: dict,
+        new_version: int,
+        n_docs: int,
+        hi: int,
+        new_ranges: list,
+        collect_metrics: bool,
+    ) -> dict:
+        """Shared pipeline core behind ``ingest`` (one range) and
+        ``ingest_many`` (k ranges, one commit): keep-first fingerprint
+        dedup -> decontamination -> split/token derivation -> shard
+        packing continuation -> additive merges -> commit-last
+        versioned write. The caller owns ``dump``'s persist; frames
+        persisted here release in the finally (ADVICE r9)."""
+        fpd = kept = corpus = None
+        try:
             # 1. keep-first fingerprint dedup: in-dump keep-first, then
             # drop docs whose fingerprint is stored with a LOWER id
             # (stored benchmark fingerprints can carry HIGHER ids — the
@@ -442,7 +576,7 @@ class IncrementalCurationManifest:
 
             metrics = {
                 "version": new_version,
-                "ingested_docs": int(bounds["n"]),
+                "ingested_docs": n_docs,
                 "touched_fp_buckets": len(buckets),
             }
             if collect_metrics:
@@ -479,23 +613,28 @@ class IncrementalCurationManifest:
             )
             new_meta = {
                 "initialized": True,
-                "max_doc_id": int(bounds["hi"]),
+                "max_doc_id": hi,
                 "version": new_version,
                 "tables": tables,
-                # one (lo, hi) per committed ingest: the replay-vs-
-                # out-of-order discriminator (doc_ids are unique, so an
-                # exact range match identifies the dump); grows one tiny
-                # entry per dump
+                # one (lo, hi) per committed SOURCE DUMP (k entries for
+                # an ingest_many batch): the replay-vs-out-of-order
+                # discriminator (doc_ids are unique, so an exact range
+                # match identifies the dump); grows one tiny entry per
+                # dump
                 "applied_ranges": meta.get("applied_ranges", [])
-                + [[int(bounds["lo"]), int(bounds["hi"])]],
+                + [list(r) for r in new_ranges],
             }
             self._commit_meta(new_meta)
             self._retire_versions(new_meta)
-            for f in (fpd, kept, corpus):
-                f.unpersist()
             return metrics
         finally:
-            dump.unpersist()
+            # ADVICE r9: release EVERY frame persisted this attempt even
+            # when the pipeline raises after persisting (the crash-
+            # before-commit retry path) — a success-path-only unpersist
+            # leaked the cached frames for the rest of the session
+            for f in (fpd, kept, corpus):
+                if f is not None:
+                    f.unpersist()
 
     def manifest(self) -> DataFrame:
         """(split, lang, shard_id, n_docs, shard_tokens) — equals fresh
@@ -532,6 +671,32 @@ def ingest_or_skip(mf: IncrementalCurationManifest, dump: DataFrame) -> dict:
     return out
 
 
+def ingest_batch_or_skip(
+    mf: IncrementalCurationManifest, batch: DataFrame
+) -> dict:
+    """At-least-once ingest of a micro-batch that may span SEVERAL
+    source dumps (one parquet file == one dump): split the batch back
+    into its constituent files via the ``_src_file`` column the stream
+    selected from the file source's ``_metadata`` (the metadata column
+    itself does not survive the foreachBatch boundary), and apply them
+    all in ONE manifest commit
+    (:meth:`IncrementalCurationManifest.ingest_many`) — the batched
+    catch-up path (r10). Replayed dumps inside the batch are skipped
+    per-dump; a never-applied late dump still raises (same
+    discrimination as :func:`ingest_or_skip`)."""
+    files = sorted(
+        r["_src_file"]
+        for r in batch.select("_src_file").distinct().collect()
+    )
+    dumps = [
+        batch.filter(F.col("_src_file") == f).drop("_src_file")
+        for f in files
+    ]
+    out = mf.ingest_many(dumps, collect_metrics=False, on_replay="skip")
+    out.setdefault("skipped", False)
+    return out
+
+
 def start_streaming_manifest(
     spark: SparkSession,
     source_dir: str,
@@ -540,17 +705,24 @@ def start_streaming_manifest(
     benchmark_docs: DataFrame | None = None,
     query_name: str = "curation_manifest",
     available_now: bool = True,
+    max_files_per_trigger: int = 1,
     **manifest_kwargs,
 ):
     """Maintain the curation manifest FROM A STREAM of document dumps —
     the Structured Streaming face of :class:`IncrementalCurationManifest`
-    (each arriving parquet file is one dump; ``maxFilesPerTrigger=1``
-    preserves the writer's doc_id ordering, which the manifest's
-    watermark enforces). ``benchmark_docs`` freezes the eval set on
-    first start; reopening an initialized manifest ignores it. Replayed
-    epochs are skipped by :func:`ingest_or_skip` — at-least-once
-    foreachBatch composes with the manifest's commit-last atomicity to
-    give exactly-once state."""
+    (each arriving parquet file is one dump). ``max_files_per_trigger``
+    sets the catch-up batch size: 1 (default) applies one dump per
+    trigger; larger values let a restart after N accumulated dumps
+    apply up to that many dumps PER COMMIT via
+    :meth:`IncrementalCurationManifest.ingest_many` (the r10 batched
+    catch-up — one shard-packing continuation and one stats merge per
+    trigger instead of per dump). Either way the batch is split back
+    into its constituent files, so per-dump replay/late-dump
+    discrimination is preserved. ``benchmark_docs`` freezes the eval
+    set on first start; reopening an initialized manifest ignores it.
+    Replayed dumps are skipped — at-least-once foreachBatch composes
+    with the manifest's commit-last atomicity to give exactly-once
+    state."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.schemas import (
         DOCUMENTS,
     )
@@ -574,12 +746,21 @@ def start_streaming_manifest(
 
     stream = (
         spark.readStream.schema(DOCUMENTS)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
+    if max_files_per_trigger != 1:
+        # file identity must ride INTO foreachBatch as a data column —
+        # the _metadata struct does not cross that boundary
+        stream = stream.withColumn(
+            "_src_file", F.col("_metadata.file_path")
+        )
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        ingest_or_skip(mf, batch)
+        if max_files_per_trigger == 1:
+            ingest_or_skip(mf, batch)
+        else:
+            ingest_batch_or_skip(mf, batch)
 
     writer = (
         stream.writeStream.queryName(query_name)

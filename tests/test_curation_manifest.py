@@ -286,3 +286,140 @@ def test_streaming_manifest_matches_batch_and_skips_replays(spark, tmp_path):
     with pytest.raises(ValueError, match="already froze"):
         _ssm(spark, str(src / "d2"), str(tmp_path / "mf"),
              str(tmp_path / "ck3"), benchmark_docs=bench_df)
+
+
+def test_ingest_many_batched_equals_serial_and_fresh(spark, tmp_path):
+    """r10 (VERDICT r9 task 4): ingest_many applies k dumps in ONE
+    version commit and equals BOTH the k-serial build and a fresh px11
+    over the union — manifest, stats tables, applied ranges (one entry
+    per dump), and the version counter (one bump per batch)."""
+    bench, dump1, dump2 = _synthetic_corpus()
+    dump3 = [
+        _doc(305, "sphinx of black quartz judge my vow", "en", "web"),
+        _doc(311, "cien anos de soledad gabriel garcia marquez", "es", "books"),
+    ]
+    union_dir = str(tmp_path / "union")
+    _write_sf_dir(spark, bench + dump1 + dump2 + dump3, union_dir)
+    fresh = _rows(px11_training_manifest(spark, union_dir))
+
+    serial = IncrementalCurationManifest(spark, str(tmp_path / "serial"))
+    serial.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    for d in (dump1, dump2, dump3):
+        serial.ingest(spark.createDataFrame(d, DOCUMENTS))
+
+    batched = IncrementalCurationManifest(spark, str(tmp_path / "batched"))
+    batched.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    out = batched.ingest_many(
+        [spark.createDataFrame(d, DOCUMENTS) for d in (dump1, dump2, dump3)]
+    )
+    assert out["n_dumps_applied"] == 3 and out["n_dumps_skipped"] == 0
+    assert out["ingested_docs"] == len(dump1) + len(dump2) + len(dump3)
+
+    assert _rows(batched.manifest()) == _rows(serial.manifest()) == fresh
+    assert _rows(batched.stats_by_lang()) == _rows(serial.stats_by_lang())
+    assert _rows(batched.stats_by_source()) == _rows(serial.stats_by_source())
+    # one commit for the whole batch vs three serial commits
+    assert batched._meta()["version"] == 2
+    assert serial._meta()["version"] == 4
+    # per-dump ranges recorded, so any constituent dump replays cleanly
+    assert batched._meta()["applied_ranges"] == serial._meta()["applied_ranges"]
+    replay = batched.ingest_many(
+        [spark.createDataFrame(dump2, DOCUMENTS)], on_replay="skip"
+    )
+    assert replay["skipped"] and replay["n_dumps_skipped"] == 1
+
+
+def test_ingest_many_per_dump_discrimination(spark, tmp_path):
+    """Replay/late-dump discrimination stays PER DUMP inside a batch:
+    a replayed constituent is skipped (on_replay='skip') while the new
+    dumps apply; a never-applied late dump always raises; in-batch
+    overlapping ranges refuse; a replay under the default raises."""
+    bench, dump1, dump2 = _synthetic_corpus()
+    dump3 = [_doc(305, "sphinx of black quartz judge my vow", "en", "web")]
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    mf.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    mf.ingest(spark.createDataFrame(dump1, DOCUMENTS))
+
+    # batch = [replay of dump1, new dump2, new dump3] under skip
+    out = mf.ingest_many(
+        [spark.createDataFrame(d, DOCUMENTS) for d in (dump1, dump2, dump3)],
+        on_replay="skip",
+    )
+    assert out["n_dumps_applied"] == 2 and out["n_dumps_skipped"] == 1
+    ref = IncrementalCurationManifest(spark, str(tmp_path / "ref"))
+    ref.initialize(spark.createDataFrame(bench, DOCUMENTS))
+    for d in (dump1, dump2, dump3):
+        ref.ingest(spark.createDataFrame(d, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(ref.manifest())
+
+    # default on_replay raises on the replayed constituent
+    with pytest.raises(ValueError, match="already applied"):
+        mf.ingest_many([spark.createDataFrame(dump2, DOCUMENTS)])
+    # never-applied late dump: always refuses (data loss otherwise)
+    late = [_doc(150, "completely new late arrival words", "en", "web")]
+    with pytest.raises(ValueError, match="doc_id order"):
+        mf.ingest_many(
+            [spark.createDataFrame(late, DOCUMENTS)], on_replay="skip"
+        )
+    # in-batch overlap refuses
+    a = [_doc(400, "first new words here", "en", "web"),
+         _doc(410, "second new words here", "en", "web")]
+    b = [_doc(405, "overlapping range words", "en", "web")]
+    with pytest.raises(ValueError, match="overlap"):
+        mf.ingest_many(
+            [spark.createDataFrame(a, DOCUMENTS),
+             spark.createDataFrame(b, DOCUMENTS)]
+        )
+    # all-replay batch is a clean no-op skip
+    out = mf.ingest_many(
+        [spark.createDataFrame(dump2, DOCUMENTS)], on_replay="skip"
+    )
+    assert out["skipped"] and out["n_dumps_applied"] == 0
+
+
+def test_streaming_manifest_batched_catchup(spark, tmp_path):
+    """r10: max_files_per_trigger > 1 lets a restart catch up on a
+    backlog of dumps in ONE commit per trigger — the batch splits back
+    into its constituent files (per-dump ranges recorded), and the
+    final state equals the serial build."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.streaming.curation import (
+        start_streaming_manifest,
+    )
+
+    bench, dump1, dump2 = _synthetic_corpus()
+    dump3 = [_doc(305, "sphinx of black quartz judge my vow", "en", "web")]
+    src = tmp_path / "src"
+    src.mkdir()
+    bench_df = spark.createDataFrame(bench, DOCUMENTS)
+    for i, rows in enumerate((dump1, dump2, dump3)):
+        spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
+            str(src), mode="append"
+        ) if False else spark.createDataFrame(rows, DOCUMENTS).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"d{i}"))
+
+    # one source dir holding all three dumps as separate files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil
+    for i in range(3):
+        part = glob.glob(str(src / f"d{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, str(flat / f"dump{i}.parquet"))
+
+    q = start_streaming_manifest(
+        spark, str(flat), str(tmp_path / "mf"), str(tmp_path / "ck"),
+        benchmark_docs=bench_df, max_files_per_trigger=8,
+    )
+    q.awaitTermination(120)
+    mf = IncrementalCurationManifest(spark, str(tmp_path / "mf"))
+    ref = IncrementalCurationManifest(spark, str(tmp_path / "ref"))
+    ref.initialize(bench_df)
+    for d in (dump1, dump2, dump3):
+        ref.ingest(spark.createDataFrame(d, DOCUMENTS))
+    assert _rows(mf.manifest()) == _rows(ref.manifest())
+    assert _rows(mf.stats_by_lang()) == _rows(ref.stats_by_lang())
+    # the whole backlog landed in ONE version bump (2 = init + batch)
+    assert mf._meta()["version"] == 2
+    # and per-dump ranges were recorded for future replay discrimination
+    assert mf._meta()["applied_ranges"] == ref._meta()["applied_ranges"]

@@ -234,37 +234,44 @@ def test_decode_stub_is_gated():
         decode_media(b"RIFF\x00\x00\x00\x00AVI ", "video/avi")
 
 
-def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False):
-    """Test-side PNG writer: px is (h, w, 3) uint8, ``filters`` gives
-    the per-row filter type (the encoder applies it; the decoder under
-    test must reverse it)."""
+def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False,
+            plte=None, truncate=0):
+    """Test-side PNG writer. ``px`` carries the CHANNEL bytes for the
+    color type — (h, w, 3) for truecolor, (h, w, 4) for RGBA, (h, w)
+    for grayscale or palette indices (``plte`` = (n, 3) palette).
+    ``filters`` gives the per-row filter type (the encoder applies it;
+    the decoder under test must reverse it at the color type's byte
+    stride). ``truncate`` drops that many TRAILING bytes (truncated-
+    chunk gating)."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w = px.shape[:2]
-    rows = px.reshape(h, 3 * w).astype(np.int64)
+    bpp = 1 if px.ndim == 2 else px.shape[2]
+    stride = bpp * w
+    rows = px.reshape(h, stride).astype(np.int64)
     raw = bytearray()
     for y in range(h):
         ft = filters[y % len(filters)]
         row = rows[y]
-        prev = rows[y - 1] if y else np.zeros(3 * w, np.int64)
+        prev = rows[y - 1] if y else np.zeros(stride, np.int64)
         if ft == 0:
             f = row
         elif ft == 2:
             f = (row - prev) % 256
         else:
-            f = np.zeros(3 * w, np.int64)
-            for i in range(3 * w):
-                a = int(row[i - 3]) if i >= 3 else 0
+            f = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
                 if ft == 1:
                     pred = a
                 elif ft == 3:
                     pred = (a + b) // 2
                 else:
-                    c = int(prev[i - 3]) if i >= 3 else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 f[i] = (row[i] - pred) % 256
@@ -278,12 +285,11 @@ def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False):
         return struct.pack(">I", len(b)) + t + b + struct.pack(">I", crc)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out[: len(out) - truncate] if truncate else out
 
 
 def test_decode_media_real_png():
@@ -299,18 +305,34 @@ def test_decode_media_real_png():
         assert (meta["kind"], meta["width"], meta["height"]) == ("png", 4, 5)
         assert meta["n_units"] == 20
         assert meta["content_sum"] == int(px.astype(np.int64).sum())
+    # r10: grayscale decodes (replicated to RGB — content sum = 3x)
+    gray = px[:, :, 0]
+    meta = decode_media(_mk_png(gray, [0, 3, 4], color_type=0))
+    assert meta["content_sum"] == 3 * int(gray.astype(np.int64).sum())
     with pytest.raises(NotImplementedError):
-        decode_media(_mk_png(px, [0], color_type=0))  # grayscale
+        decode_media(_mk_png(px, [0], color_type=4))  # gray+alpha
     with pytest.raises(NotImplementedError):
         decode_media(_mk_png(px, [0], interlace=1))  # Adam7
     with pytest.raises(ValueError):
         decode_media(_mk_png(px, [0], corrupt_crc=True))
+    # ADVICE r9: a chunk whose declared length runs past the payload
+    # gates as the documented ValueError, not struct.error (18 trailing
+    # bytes gone = all of IEND + IDAT's CRC + 2 body bytes, leaving
+    # IDAT's 8-byte header intact so the walk reaches the length gate)
+    with pytest.raises(ValueError):
+        decode_media(_mk_png(px, [0], truncate=18))
+    # palette PNG without its PLTE chunk refuses
+    idx = (px[:, :, 0] % 4).astype(np.uint8)
+    with pytest.raises(ValueError):
+        decode_media(_mk_png(idx, [0], color_type=3))
 
 
 def test_decode_media_png_property_roundtrip():
-    """Property: ANY pixel content under ANY per-row filter mix decodes
-    back to the exact pixel array (filter reconstruction is the inverse
-    of filtering, byte for byte)."""
+    """Property: ANY pixel content under ANY per-row filter mix, in ANY
+    supported COLOR TYPE (truecolor, RGBA with its 4-byte filter
+    stride, palette, grayscale), decodes back to the exact expected RGB
+    array (filter reconstruction is the inverse of filtering, byte for
+    byte; alpha dropped; palette looked up; gray replicated)."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -321,19 +343,34 @@ def test_decode_media_png_property_roundtrip():
 
     pixels = _make_pixel_decoder()
 
-    @settings(max_examples=30, deadline=None)
+    @settings(max_examples=40, deadline=None)
     @given(
         w=st.integers(1, 12),
         h=st.integers(1, 10),
+        ctype=st.sampled_from([2, 6, 3, 0]),
         seed=st.integers(0, 2**31),
     )
-    def check(w, h, seed):
+    def check(w, h, ctype, seed):
         rng = np.random.RandomState(seed % (2**31))
-        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         filters = [int(f) for f in rng.randint(0, 5, size=h)]
-        kind, got = pixels(_mk_png(px, filters))
+        plte = None
+        if ctype == 2:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            want = px
+        elif ctype == 6:
+            px = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+            want = px[:, :, :3]
+        elif ctype == 3:
+            n = int(rng.randint(1, 257))
+            plte = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+            px = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+            want = plte[px]
+        else:  # grayscale
+            px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            want = np.repeat(px[:, :, None], 3, axis=2)
+        kind, got = pixels(_mk_png(px, filters, color_type=ctype, plte=plte))
         assert kind == "png"
-        assert (got == px).all()
+        assert (got == want).all()
 
     check()
 

@@ -709,3 +709,233 @@ def test_template_two_measure_family(spark, model, replicas):
     assert model.route("billed amount per physician") == (
         "verified", "revenue_by_doctor",
     )
+
+
+AS_OF = "2024-06-03"  # the engine's pinned as_of (a Monday)
+
+
+def test_template_relative_dates(spark, model, replicas):
+    """r10 (VERDICT r9 task 1): relative/named date phrases resolve
+    DETERMINISTICALLY against the pinned as_of into the existing
+    date-range slot — 'today', 'yesterday', 'this/last week|month|
+    quarter|year', month-name ranges incl. year-wrap, single 'in
+    <month>' — composing with every family under the same refusal
+    discipline (no as_of, 'recently', double phrases all refuse)."""
+    # resolution table (as_of 2024-06-03, a Monday)
+    for phrase, want in [
+        ("today", ("2024-06-03", "2024-06-03")),
+        ("yesterday", ("2024-06-02", "2024-06-02")),
+        ("this week", ("2024-06-03", "2024-06-09")),
+        ("last week", ("2024-05-27", "2024-06-02")),
+        ("next week", ("2024-06-10", "2024-06-16")),
+        ("this month", ("2024-06-01", "2024-06-30")),
+        ("last month", ("2024-05-01", "2024-05-31")),
+        ("last quarter", ("2024-01-01", "2024-03-31")),
+        ("this year", ("2024-01-01", "2024-12-31")),
+        ("last year", ("2023-01-01", "2023-12-31")),
+        ("between march and may", ("2024-03-01", "2024-05-31")),
+        # year-wrap: start month after end month begins the previous year
+        ("between november and february", ("2023-11-01", "2024-02-29")),
+        ("in may", ("2024-05-01", "2024-05-31")),
+        # a month that has not started by as_of = its previous occurrence
+        ("in december", ("2023-12-01", "2023-12-31")),
+    ]:
+        kind, t = model.route(f"how many appointments {phrase}", as_of=AS_OF)
+        assert kind == "template" and t.family == "count_table", phrase
+        assert t.date_range == ("appointments", "appointment_date") + want, (
+            phrase, t.date_range,
+        )
+
+    # EXECUTION equals the explicit-ISO route it resolves to
+    kind, t = model.route("revenue by doctor last month", as_of=AS_OF)
+    assert kind == "template" and t.family == "measure_by_dimension"
+    assert t.date_range == ("visits", "visit_date", "2024-05-01", "2024-05-31")
+    got = model.run_template(t, spark, replicas).collect()
+    _, t_iso = model.route(
+        "revenue by doctor from 2024-05-01 to 2024-05-31"
+    )
+    want = model.run_template(t_iso, spark, replicas).collect()
+    assert got == want and got
+
+    # composes with bucket + enum filter families
+    kind, t = model.route(
+        "completed appointments by month this year", as_of=AS_OF
+    )
+    assert t.family == "count_by_time_bucket"
+    assert t.filters == (("appointments", "status", "completed"),)
+    assert t.date_range[2:] == ("2024-01-01", "2024-12-31")
+
+    # audit surface shows the RESOLVED ISO bounds
+    ex = model.explain_route(
+        "how many appointments between march and may", as_of=AS_OF
+    )
+    assert ex["date_range"] == (
+        "appointments.appointment_date between 2024-03-01 and 2024-05-31"
+    )
+
+    # refusals: no as_of pinned; inherently ambiguous words; two
+    # phrases; ISO range + relative phrase together
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("how many appointments today")
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("revenue by doctor recently", as_of=AS_OF)
+    with pytest.raises(KeyError):
+        model.route("appointments today and yesterday", as_of=AS_OF)
+    with pytest.raises(KeyError):
+        model.route(
+            "appointments between 2024-01-01 and 2024-02-01 last week",
+            as_of=AS_OF,
+        )
+    # anchor table declares no time_dimension -> refuse, with or
+    # without as_of
+    with pytest.raises(KeyError):
+        model.route("how many doctors last month", as_of=AS_OF)
+
+    # the catalog ESCAPE: a paraphrase of the blessed modified-today
+    # question routes verified (the blessed question carries 'today'
+    # itself) — with and without as_of; but a relative phrase the
+    # catalog does NOT carry never similarity-matches its way through
+    assert model.route("Show appointments modified today via CDC") == (
+        "verified", "appointments_modified_today",
+    )
+    assert model.route(
+        "Show appointments modified today via CDC", as_of=AS_OF
+    ) == ("verified", "appointments_modified_today")
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("Show appointments modified yesterday via CDC")
+
+    # ask() resolves as_of from the _as_of_date convention end-to-end
+    dfs = dict(replicas)
+    dfs["_as_of_date"] = AS_OF
+    out = model.ask("how many appointments last year", spark, dfs).collect()
+    want_n = (
+        replicas["appointments"]
+        .filter(~F.col(schemas.META_DELETED))
+        .filter(
+            (F.to_date("appointment_date") >= F.lit("2023-01-01"))
+            & (F.to_date("appointment_date") <= F.lit("2023-12-31"))
+        )
+        .count()
+    )
+    assert out[0]["total_appointments"] == want_n
+
+
+def test_template_two_measure_time_bucket(spark, model, replicas):
+    """r10 (VERDICT r9 task 7): two measures compose with the time-
+    bucket slot — one fact + an explicit count word buckets SUM +
+    COUNT(*) in one pass; two same-table facts bucket together; facts
+    whose anchor tables disagree on the time dimension refuse; and the
+    ADVICE r9 collision guard refuses same-name/same-token fact pairs
+    in BOTH two-measure families."""
+    # one fact + count word, same table ('revenue and visit count')
+    kind, t = model.route("revenue and visit count by month")
+    assert kind == "template" and t.family == "two_measures_by_time_bucket"
+    assert (t.measure_table, t.measure) == ("visits", "total_charge")
+    assert t.measure2 is None and t.measure2_table == "visits"
+    got = {str(r["month"]): (r["total_total_charge"], r["n"])
+           for r in model.run_template(t, spark, replicas).collect()}
+    want = {str(r["m"]): (r["s"], r["n"])
+            for r in replicas["visits"]
+            .filter(~F.col(schemas.META_DELETED))
+            .groupBy(F.trunc("visit_date", "month").alias("m"))
+            .agg(F.sum("total_charge").alias("s"),
+                 F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    # two same-table facts bucket in ONE groupBy (synthetic model —
+    # the healthcare schema has one fact per time-dimensioned table)
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+        ColumnSpec, SemanticModel, TableSpec,
+    )
+    sales_model = SemanticModel(
+        "sales",
+        tables=[TableSpec("sales", "sale_id", [
+            ColumnSpec("sale_id", "dimension"),
+            ColumnSpec("sale_date", "time_dimension"),
+            ColumnSpec("amount", "fact"),
+            ColumnSpec("cost", "fact"),
+        ])],
+        relationships=[],
+    )
+    sales = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-15", 10.0 * i, 1.0 * i) for i in range(12)],
+        "sale_id long, sale_date string, amount double, cost double",
+    ).withColumn("sale_date", F.col("sale_date").cast("timestamp_ntz"))
+    kind, t2 = sales_model.route("amount and cost by month")
+    assert kind == "template" and t2.family == "two_measures_by_time_bucket"
+    assert {(t2.measure_table, t2.measure),
+            (t2.measure2_table, t2.measure2)} == {
+        ("sales", "amount"), ("sales", "cost"),
+    }
+    rows = {str(r["month"]): (r["total_amount"], r["total_cost"])
+            for r in sales_model.run_template(
+                t2, spark, {"sales": sales}).collect()}
+    want2 = {str(r["m"]): (r["a"], r["c"])
+             for r in sales.groupBy(F.trunc("sale_date", "month").alias("m"))
+             .agg(F.sum("amount").alias("a"), F.sum("cost").alias("c"))
+             .collect()}
+    assert rows == want2 and len(rows) == 3
+
+    # refusals: anchor tables disagreeing on the time dimension
+    # (doctors has none); ambiguous qualifiers over two measures
+    with pytest.raises(KeyError):
+        model.route_template("revenue and experience by month")
+    with pytest.raises(KeyError, match="ambiguous over two measures"):
+        model.route_template("revenue and visit count by month over 100")
+    with pytest.raises(KeyError, match="avg-words"):
+        model.route_template("average revenue and visit count by month")
+    # a second resolved fact NEVER silently drops in the by-dimension
+    # grammar either
+    with pytest.raises(KeyError, match="not supported"):
+        model.route_template("revenue and experience by specialization")
+
+    # ADVICE r9 collision guard: two tables declaring the same fact
+    # name make one ask-word resolve as "two measures" — refuse in the
+    # entity family AND the bucket family, never emit duplicate
+    # total_<col> columns
+    dup_model = SemanticModel(
+        "dup",
+        tables=[
+            TableSpec("alpha", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("score", "fact"),
+                ColumnSpec("team_id", "dimension"),
+            ]),
+            TableSpec("beta", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("score", "fact"),
+                ColumnSpec("team_id", "dimension"),
+            ]),
+            TableSpec("teams", "team_id", [
+                ColumnSpec("team_id", "dimension"),
+            ]),
+        ],
+        relationships=[
+            # Relationship import via the module under test
+        ],
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+        Relationship,
+    )
+    dup_model.relationships = {
+        r.name: r
+        for r in [
+            Relationship("alpha_to_teams", "alpha", "teams",
+                         "team_id", "team_id"),
+            Relationship("beta_to_teams", "beta", "teams",
+                         "team_id", "team_id"),
+        ]
+    }
+    with pytest.raises(KeyError, match="collide"):
+        dup_model.route_template("score by team")
+    with pytest.raises(KeyError, match="collide"):
+        dup_model.route_template("score by month")
+
+    # audit + catalog precedence intact
+    ex = model.explain_route("revenue and visit count by month")
+    assert ex["kind"] == "template" and ex["bucket"] == "month"
+    assert model.route("total revenue by month")[1].family == (
+        "measure_by_time_bucket"
+    )

@@ -31,27 +31,17 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r9: all r8 entries cleared (CORRECTNESS_r08: 46 green + 4
+    # r10: all r9 entries cleared (CORRECTNESS_r09: 46 green + 4
     # rows-only by design, 0 failures).
-    "c18_important_parts",  # r9: threshold re-anchored to 1.25x avg share (r8 green was 0-row vacuous)
-    "dd4_minhash_lsh_pairs",  # r9: sizes ride the verify joins (memoized window), sizes broadcast removed
-    "dd3_ngram_jaccard_pairs",  # r9: window-attached sizes, sizes joins removed
-    "dd10_containment_pairs",  # r9: memoized window sizes, sizes joins removed
-    "dd15_incremental_minhash_pairs",  # r9: retract hot-vanish fix + COW retirement keyed on manifest
-    "dd7_dedup_groups",  # r9: consumes dd4's changed pairs plan
-    "px6_neardup_aware_curation",  # r9: consumes dd4's changed pairs plan
-    "px15_cluster_safe_split",  # r9: consumes dd7 over dd4's changed pairs plan
-    "dd11_softdedup_weights",  # r9: consumes dd7 over dd4's changed pairs plan
-    "dd13_cluster_size_histogram",  # r9: consumes dd7 over dd4's changed pairs plan
-    "px12_neardup_decontamination",  # r9: reads the changed shingle memo (n column)
-    "mm5_decoded_media_metadata",  # r9: PNG decode (zlib inflate + defilter), mixed fixtures
-    "mm6_image_ahash",  # r9: container-agnostic pixel decode (BMP+PNG)
-    "mm8_image_dup_groups",  # r9: groups over mixed-container ahash
-    "mm9_image_neardup_pairs",  # r9: near-dup pairs over mixed-container ahash
-    "px16_incremental_manifest",  # r9: NEW (maintained curation manifest replay)
-    "c7_anti_join",  # r9: de-vacuated — anti join vs URGENT orders (was 0 rows at every sf)
-    "px17_incremental_lang_stats",  # r9: NEW (maintained per-lang curation stats)
-    "px18_incremental_source_stats",  # r9: NEW (maintained per-source curation stats)
+    "h28_array_agg_semistructured",  # r10: RENAMED from h28_array_functions (same plan/oracle)
+    "mm5_decoded_media_metadata",  # r10: PNG fixture mix widened to RGBA/palette; decoder rewrite; per-type size oracle
+    "mm6_image_ahash",  # r10: decodes the widened color-type mix (vectorized defilter)
+    "mm8_image_dup_groups",  # r10: groups over the widened mix
+    "mm9_image_neardup_pairs",  # r10: pairs over the widened mix
+    "px16_incremental_manifest",  # r10: ingest() core extracted into _apply (ingest_many refactor)
+    "px17_incremental_lang_stats",  # r10: rides the refactored ingest core
+    "px18_incremental_source_stats",  # r10: rides the refactored ingest core
+    "sim12_knn_pq",  # r10: adc_score gained the MAX_ADC_QUERIES guard on its path
 ]
 
 

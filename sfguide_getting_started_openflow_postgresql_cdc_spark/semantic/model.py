@@ -204,6 +204,14 @@ _REL_WORD_RE = (
     r"\b(?:today|yesterday"
     r"|(?:this|last|next)\s+(?:week|month|quarter|year))\b"
 )
+# rolling window: 'last/past N days|weeks' binds [as_of - span + 1,
+# as_of]; N months/years REFUSES (calendar-ambiguous: rolling vs
+# calendar months differ and a wrong guess silently changes the answer)
+_REL_ROLLING_RE = r"\b(?:last|past)\s+(\d+)\s+(day|week|month|year)s?\b"
+# a month name followed by an explicit 4-digit year ('in May 2024'):
+# digits never become routing tokens, so binding the month against the
+# as_of year would SILENTLY IGNORE the stated year — refuse instead
+_MONTH_YEAR_RE = rf"\b(?:{_MONTH_RE})\s+(?:of\s+)?\d{{4}}\b"
 # LOOSE detector for the refusal guard (mirrors _RANGE_DETECT): any
 # relative/named-date phrase — or an inherently ambiguous one — that the
 # strict resolution below could not bind (no pinned as_of, two ranges,
@@ -214,6 +222,7 @@ _REL_WORD_RE = (
 # blessed modified-today query, which resolves 'today' itself).
 _REL_DETECT = (
     rf"(?:{_REL_WORD_RE}|{_MONTH_RANGE_RE}|{_MONTH_IN_RE}"
+    rf"|{_REL_ROLLING_RE}"
     r"|\b(?:recently|lately)\b)"
 )
 
@@ -240,9 +249,30 @@ def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
             "'recently'/'lately' have no deterministic date bounds — "
             "refusing rather than guessing"
         )
+    if re.search(_MONTH_YEAR_RE, q):
+        raise KeyError(
+            "a month with an explicit year ('in May 2024') would bind "
+            "against the pinned as_of year and silently ignore the "
+            "stated one — use an ISO date range instead"
+        )
 
     def consume(m) -> str:
         return q[: m.start()] + " " + q[m.end():]
+
+    m = re.search(_REL_ROLLING_RE, q)
+    if m:
+        n, unit = int(m.group(1)), m.group(2)
+        if unit in ("month", "year"):
+            raise KeyError(
+                f"'last {n} {unit}s' is calendar-ambiguous (rolling vs "
+                "calendar) — use 'last month'/'last year' or an ISO "
+                "range instead"
+            )
+        span = n * (7 if unit == "week" else 1)
+        if span < 1:
+            raise KeyError(f"empty rolling window: {m.group(0)!r}")
+        lo = as_of - datetime.timedelta(days=span - 1)
+        return consume(m), lo.isoformat(), as_of.isoformat()
 
     m = re.search(_REL_WORD_RE, q)
     if m:
@@ -578,13 +608,15 @@ class SemanticModel:
           declares no time_dimension. With a pinned ``as_of``
           (``datetime.date`` or ISO string — the ``_as_of_date``
           convention), RELATIVE/NAMED phrases resolve into the same
-          slot deterministically: 'today', 'yesterday', 'this/last
-          week|month|quarter|year', 'between March and May' (month
-          names; a start month after the end month wraps into the
-          previous year), 'in March'. Without an as_of, or for
-          inherently ambiguous phrases ('recently'), the question
-          refuses — a wall-clock fallback would make routing
-          non-reproducible.
+          slot deterministically: 'today', 'yesterday', 'this/last/next
+          week|month|quarter|year', 'last/past N days|weeks' (rolling,
+          ending at as_of), 'between March and May' (month names; a
+          start month after the end month wraps into the previous
+          year), 'in March'. Without an as_of, or for inherently
+          ambiguous phrases ('recently', 'last 3 months' — rolling vs
+          calendar, a month named WITH an explicit year — the year
+          would be silently ignored), the question refuses — a
+          wall-clock fallback would make routing non-reproducible.
 
         And a TWO-MEASURE family ('revenue and experience by doctor' —
         the last r8 refusal gap): exactly two distinct fact columns

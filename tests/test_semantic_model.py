@@ -791,6 +791,25 @@ def test_template_relative_dates(spark, model, replicas):
     with pytest.raises(KeyError):
         model.route("how many doctors last month", as_of=AS_OF)
 
+    # rolling windows bind (ending at as_of); calendar-ambiguous and
+    # year-explicit phrases refuse rather than silently reinterpreting
+    kind, t = model.route("how many appointments last 7 days", as_of=AS_OF)
+    assert t.date_range[2:] == ("2024-05-28", "2024-06-03")
+    kind, t = model.route(
+        "how many appointments in the past 2 weeks", as_of=AS_OF
+    )
+    assert t.date_range[2:] == ("2024-05-21", "2024-06-03")
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("how many appointments last 3 months", as_of=AS_OF)
+    # an explicit year next to a month name would be silently ignored
+    # (digits are not routing tokens) — refuse
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("how many appointments in may 2024", as_of=AS_OF)
+    # 'last 7 days' without an as_of refuses instead of similarity-
+    # matching the catalog and dropping the qualifier
+    with pytest.raises(KeyError, match="relative/named date"):
+        model.route("how many appointments last 7 days")
+
     # the catalog ESCAPE: a paraphrase of the blessed modified-today
     # question routes verified (the blessed question carries 'today'
     # itself) — with and without as_of; but a relative phrase the
@@ -888,6 +907,48 @@ def test_template_two_measure_time_bucket(spark, model, replicas):
     # grammar either
     with pytest.raises(KeyError, match="not supported"):
         model.route_template("revenue and experience by specialization")
+
+    # cross-table two facts with the SAME-NAMED time dimension: each
+    # side buckets its own table; per-bucket aggregates full-outer join
+    xm = SemanticModel(
+        "xm",
+        tables=[
+            TableSpec("alpha", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("score", "fact"),
+            ]),
+            TableSpec("beta", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("points", "fact"),
+            ]),
+        ],
+        relationships=[],
+    )
+    alpha = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 2}-10", 2.0 * i) for i in range(6)],
+        "id long, ts string, score double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    beta = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-20", 5.0 * i) for i in range(6)],
+        "id long, ts string, points double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    kind, tx = xm.route("score and points by month")
+    assert kind == "template" and tx.family == "two_measures_by_time_bucket"
+    assert tx.measure_table != tx.measure2_table
+    got_x = {str(r["month"]): (r["total_score"], r["total_points"])
+             for r in xm.run_template(
+                 tx, spark, {"alpha": alpha, "beta": beta}).collect()}
+    a_want = {str(r["m"]): r["s"] for r in alpha.groupBy(
+        F.trunc("ts", "month").alias("m")).agg(
+        F.sum("score").alias("s")).collect()}
+    b_want = {str(r["m"]): r["s"] for r in beta.groupBy(
+        F.trunc("ts", "month").alias("m")).agg(
+        F.sum("points").alias("s")).collect()}
+    assert set(got_x) == set(a_want) | set(b_want)
+    for k, (s, p) in got_x.items():
+        assert s == a_want.get(k) and p == b_want.get(k)
 
     # ADVICE r9 collision guard: two tables declaring the same fact
     # name make one ask-word resolve as "two measures" — refuse in the

@@ -273,25 +273,27 @@ def _bench_manifest_catchup(spark, sf_dir: str) -> tuple[float, float]:
         mf = IncrementalCurationManifest(spark, setup_dir)
         mf.initialize(bench_docs)
         mf.ingest(base, collect_metrics=False)
-        for d in (serial_dir, batched_dir):
-            shutil.rmtree(d)
-            shutil.copytree(setup_dir, d)
-        t0 = time.perf_counter()
-        ms = IncrementalCurationManifest(spark, serial_dir)
-        for d in dumps:
-            ms.ingest(d, collect_metrics=False)
-        serial_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        mb = IncrementalCurationManifest(spark, batched_dir)
-        out = mb.ingest_many(dumps, collect_metrics=False)
-        batched_s = time.perf_counter() - t0
-        assert out["n_dumps_applied"] == 3, out
-        # cheap state-equality guard (full equality is property-tested)
-        assert ms.manifest().count() == mb.manifest().count()
+        serial_t, batched_t = [], []
+        for _ in range(2):  # min-of-2 (fresh state each pass — mutates)
+            for d in (serial_dir, batched_dir):
+                shutil.rmtree(d)
+                shutil.copytree(setup_dir, d)
+            t0 = time.perf_counter()
+            ms = IncrementalCurationManifest(spark, serial_dir)
+            for d in dumps:
+                ms.ingest(d, collect_metrics=False)
+            serial_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            mb = IncrementalCurationManifest(spark, batched_dir)
+            out = mb.ingest_many(dumps, collect_metrics=False)
+            batched_t.append(time.perf_counter() - t0)
+            assert out["n_dumps_applied"] == 3, out
+            # cheap state-equality guard (full equality is property-tested)
+            assert ms.manifest().count() == mb.manifest().count()
     finally:
         for d in (setup_dir, serial_dir, batched_dir):
             shutil.rmtree(d, ignore_errors=True)
-    return serial_s, batched_s
+    return min(serial_t), min(batched_t)
 
 
 def run_with_retry(run_once_fn, max_retries: int = 2) -> dict:

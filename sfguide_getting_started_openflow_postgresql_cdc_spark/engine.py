@@ -164,6 +164,14 @@ class Engine:
             return self.verified(target)
         return self.model.run_template(target, self.spark, self._model_dfs())
 
+    def explain_route(self, question: str) -> dict:
+        """Auditable routing decision for EXACTLY what :meth:`ask` would
+        run — same pinned as_of, so relative dates audit as their
+        resolved ISO bounds instead of refusing (r10 review: the bare
+        ``model.explain_route`` has no as_of and would log a refusal
+        for a question ``ask`` happily executes)."""
+        return self.model.explain_route(question, as_of=healthcare.AS_OF)
+
     def history(self, table: str) -> DataFrame:
         """SCD2 type-2 history for a table (journal-derived)."""
         return self.cdc.scd2_history(self.spark, table)

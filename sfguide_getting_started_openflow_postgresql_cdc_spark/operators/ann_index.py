@@ -424,7 +424,11 @@ class IvfIndex:
     # -- search -------------------------------------------------------------
     def probe_cells(self, query_vecs) -> list[list[int]]:
         """Nearest ``n_probe`` cells per query vector (driver math on
-        the k x dim quantizer)."""
+        the k x dim quantizer). Stable sort: on exact similarity ties
+        the HIGHER cell id probes first — the same deterministic order
+        the distributed probe UDF in :meth:`search` produces, so both
+        paths agree on probe geometry (quicksort would leave tie order
+        unspecified and let the two paths diverge)."""
         import numpy as np
 
         c = self._load_centroids()
@@ -432,8 +436,40 @@ class IvfIndex:
         for v in query_vecs:
             q = np.asarray(v, dtype=np.float64)
             q = q / max(np.linalg.norm(q), 1e-12)
-            out.append([int(i) for i in (q @ c.T).argsort()[::-1][: self.n_probe]])
+            order = np.argsort(q @ c.T, kind="stable")[::-1]
+            out.append([int(i) for i in order[: self.n_probe]])
         return out
+
+    def _probe_cells_udf(self):
+        """Arrow-batched twin of :meth:`probe_cells`: an
+        ``array<int>``-returning pandas UDF shipping the k x dim
+        quantizer by value (plain nested lists — no package refs reach
+        the workers). Tested equal to the driver math per query; both
+        use a STABLE descending sort so exact-tie probe order agrees."""
+        cn = self._load_centroids().tolist()
+        n_probe = self.n_probe
+
+        @F.pandas_udf("array<int>")
+        def _probe_cells(col):
+            import numpy as _np
+            import pandas as _pd
+
+            c = _np.array(cn)
+            m = _np.stack(col.to_numpy()).astype(_np.float64)
+            m = m / _np.maximum(
+                _np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            # STABLE ascending argsort reversed == probe_cells' per-row
+            # tie order (highest cell id first on exact similarity
+            # ties) — quicksort's unspecified tie order could make the
+            # distributed path probe different cells than the driver
+            # path for duplicate centroids
+            order = _np.argsort(m @ c.T, axis=1, kind="stable")[
+                :, ::-1
+            ][:, :n_probe]
+            return _pd.Series(list(order.astype("int32")))
+
+        return _probe_cells
 
     def search(
         self,
@@ -463,32 +499,18 @@ class IvfIndex:
         m x k lookup table per query on the driver, so it raises
         ValueError above ``MAX_ADC_QUERIES`` — split the query frame or
         use the exact path for bulk workloads."""
-        cn = self._load_centroids().tolist()
-        n_probe = self.n_probe
-
-        @F.pandas_udf("array<int>")
-        def _probe_cells(col):
-            import numpy as _np
-            import pandas as _pd
-
-            c = _np.array(cn)
-            m = _np.stack(col.to_numpy()).astype(_np.float64)
-            m = m / _np.maximum(
-                _np.linalg.norm(m, axis=1, keepdims=True), 1e-12
-            )
-            # ascending argsort reversed == probe_cells' per-row tie
-            # order (highest cell id first on exact similarity ties)
-            order = _np.argsort(m @ c.T, axis=1)[:, ::-1][:, :n_probe]
-            return _pd.Series(list(order.astype("int32")))
-
         probes = queries.select(
             "query_id",
-            F.explode(_probe_cells(F.col("embedding"))).alias("cell"),
-        )
+            F.explode(self._probe_cells_udf()(F.col("embedding"))).alias(
+                "cell"
+            ),
+        ).persist()  # executed twice: distinct-cell pruning + the
+        # candidate join — tiny (n_queries x n_probe ints) vs re-running
+        # the quantizer UDF over the query frame; lives in the session
+        # cache (CacheManager dedups identical plans across calls)
         all_cells = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
-
         index = self._live(
             spark,
             spark.read.parquet(self._index_path()).filter(

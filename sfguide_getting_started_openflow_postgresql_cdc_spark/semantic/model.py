@@ -319,10 +319,17 @@ def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
     m = re.search(_MONTH_RANGE_RE, q)
     if m:
         m1, m2 = _MONTHS[m.group(1)], _MONTHS[m.group(2)]
-        y1 = as_of.year - (1 if m1 > m2 else 0)  # year-wrap: Nov..Feb
-        lo = datetime.date(y1, m1, 1)
-        hi = _month_end(as_of.year, m2)
-        return consume(m), lo.isoformat(), hi.isoformat()
+        wrap = 1 if m1 > m2 else 0  # year-wrap: Nov..Feb
+        lo = datetime.date(as_of.year - wrap, m1, 1)
+        hi_year = as_of.year
+        if lo > as_of:  # entirely-future range: the most recent past
+            # occurrence instead ('between july and september' asked in
+            # June means LAST summer) — same convention as 'in <month>';
+            # binding the future window would silently answer with an
+            # empty frame (r10 review)
+            lo = lo.replace(year=lo.year - 1)
+            hi_year -= 1
+        return consume(m), lo.isoformat(), _month_end(hi_year, m2).isoformat()
 
     m = re.search(_MONTH_IN_RE, q)
     if m:
@@ -724,15 +731,15 @@ class SemanticModel:
                 # loudly; only the entity-table and time-bucket groupings
                 # support two measures
                 mfacts = self._resolve_columns_all(
-                    lt - _AVG_WORDS - _COUNT_WORDS, kinds={"fact"}
+                    lt - _AVG_WORDS, kinds={"fact"}
                 )
                 mconsumed = (
                     frozenset().union(*(c for _, _, c in mfacts))
                     if mfacts
                     else frozenset()
                 )
-                if len(mfacts) >= 2 and not (
-                    lt - _AVG_WORDS - _COUNT_WORDS - mconsumed
+                if len(mfacts) >= 2 and (
+                    lt - _AVG_WORDS - mconsumed <= _COUNT_WORDS
                 ):
                     raise KeyError(
                         "two measures grouped by a dimension column are "
@@ -792,29 +799,43 @@ class SemanticModel:
                 # the filter slot ate 'completed') — anything else is a
                 # qualifier we would silently drop, so refuse below
                 rest = rt - _BUCKET_WORDS
-                base = lt - _AVG_WORDS - _COUNT_WORDS
-                bfacts = self._resolve_columns_all(base, kinds={"fact"})
+                # facts resolve over the count-word-INCLUSIVE token set
+                # — fact names themselves contain count words
+                # ('total_charge'), so excluding them first would hide
+                # a fact from the two-measure scan and silently drop
+                # its companion ask (r10 review)
+                bfacts = self._resolve_columns_all(
+                    lt - _AVG_WORDS, kinds={"fact"}
+                )
                 bconsumed = (
                     frozenset().union(*(c for _, _, c in bfacts))
                     if bfacts
                     else frozenset()
                 )
+                # rem = ask tokens no fact explains; count words inside
+                # it signal a COUNT measure, table tokens its target
+                rem = lt - _AVG_WORDS - bconsumed
                 # TWO-MEASURE time bucket (r10, verdict task 7): two
                 # fact columns ('revenue and experience by month'), or
-                # one fact + an explicit count word ('revenue and visit
-                # count by month' — COUNT(*) of the fact's own table is
-                # the second measure). Ambiguous qualifiers (avg words,
+                # one fact + a count word + the fact table's name
+                # ('revenue and visit count / total visits / how many
+                # visits by month' — COUNT(*) of the fact's own table
+                # is the second measure). The table-token requirement
+                # separates a real count ask from a count word merely
+                # modifying the measure ('total revenue by month' stays
+                # single-measure). Ambiguous qualifiers (avg words,
                 # thresholds, date ranges) refuse exactly like the
                 # entity two-measure family; two facts whose anchor
                 # tables disagree on the time dimension refuse ('by
                 # month' would bucket each on a DIFFERENT event time
                 # without saying so).
-                two_facts = len(bfacts) == 2 and not (base - bconsumed)
+                two_facts = len(bfacts) == 2 and rem <= _COUNT_WORDS
                 count_second = (
                     len(bfacts) == 1
-                    and bool(lt & {"count", "number"})
+                    and bool(rem & _COUNT_WORDS)
+                    and bool(rem - _COUNT_WORDS)
                     and not (
-                        base - bfacts[0][2] - _table_toks(bfacts[0][0])
+                        rem - _COUNT_WORDS - _table_toks(bfacts[0][0])
                     )
                 )
                 if two_facts or count_second:

@@ -300,3 +300,25 @@ def test_external_access_integration_and_secrets():
     ]
     d = ac.describe_integration("quickstart_pgcdc_access")
     assert d["allowed_network_rules"] == ["postgres_network_rule"]
+
+
+def test_engine_ask_and_explain_route_share_as_of(spark, tmp_path):
+    """r10 review: Engine.explain_route must audit EXACTLY what
+    Engine.ask runs — both pin the engine's as_of, so a relative-date
+    question audits as resolved ISO bounds and then executes, instead
+    of the audit logging a refusal for a question ask() answers."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "w"), write_partitions=1).bootstrap()
+    q = "revenue by doctor last month"
+    ex = eng.explain_route(q)
+    assert ex["kind"] == "template"
+    assert ex["date_range"] == (
+        "visits.visit_date between 2024-05-01 and 2024-05-31"
+    )
+    rows = eng.ask(q).collect()
+    assert isinstance(rows, list)  # executes under the same bounds
+    # the bare model-level audit (no as_of) refuses — the engine
+    # wrapper is what closes the audit/execution gap
+    bare = eng.model.explain_route(q)
+    assert bare["kind"] == "refused"

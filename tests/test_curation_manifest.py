@@ -392,11 +392,9 @@ def test_streaming_manifest_batched_catchup(spark, tmp_path):
     src.mkdir()
     bench_df = spark.createDataFrame(bench, DOCUMENTS)
     for i, rows in enumerate((dump1, dump2, dump3)):
-        spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.parquet(
-            str(src), mode="append"
-        ) if False else spark.createDataFrame(rows, DOCUMENTS).coalesce(
-            1
-        ).write.mode("overwrite").parquet(str(src / f"d{i}"))
+        spark.createDataFrame(rows, DOCUMENTS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"d{i}"))
 
     # one source dir holding all three dumps as separate files
     flat = tmp_path / "flat"

@@ -334,14 +334,24 @@ def test_ivf_search_large_query_frame_guarded(spark, tmp_path):
     n_queries_answered = out.select("query_id").distinct().count()
     assert n_queries_answered == 100_000
 
-    # small-frame results are unchanged vs the probe_cells driver math
-    small = big.filter(F.col("query_id") < 4)
+    # the DISTRIBUTED probe assignment agrees with the driver math
+    # per query — both stable-sorted, so tie order matches too
+    small = big.filter(F.col("query_id") < 64)
+    udf_probes = {
+        r["query_id"]: list(r["cells"])
+        for r in small.select(
+            "query_id", idx._probe_cells_udf()(F.col("embedding")).alias("cells")
+        ).collect()
+    }
+    driver_rows = small.orderBy("query_id").collect()
+    driver_probes = idx.probe_cells([r["embedding"] for r in driver_rows])
+    assert udf_probes == {
+        r["query_id"]: cells
+        for r, cells in zip(driver_rows, driver_probes)
+    }
     got = {(r["query_id"], r["neighbor_id"], r["rank"])
            for r in idx.search(spark, small, top_k=5).collect()}
-    probed = idx.probe_cells(
-        [r["embedding"] for r in small.orderBy("query_id").collect()]
-    )
-    assert len(probed) == 4 and got  # same probe geometry feeds both
+    assert got
 
     # ADC path: documented loud refusal beyond the cap
     with pytest.raises(ValueError, match=str(MAX_ADC_QUERIES)):

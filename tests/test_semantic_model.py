@@ -734,6 +734,11 @@ def test_template_relative_dates(spark, model, replicas):
         ("this year", ("2024-01-01", "2024-12-31")),
         ("last year", ("2023-01-01", "2023-12-31")),
         ("between march and may", ("2024-03-01", "2024-05-31")),
+        # entirely-future range -> most recent past occurrence (same
+        # convention as 'in <month>'; r10 review)
+        ("between july and september", ("2023-07-01", "2023-09-30")),
+        # range containing as_of stays in the current year
+        ("between june and august", ("2024-06-01", "2024-08-31")),
         # year-wrap: start month after end month begins the previous year
         ("between november and february", ("2023-11-01", "2024-02-29")),
         ("in may", ("2024-05-01", "2024-05-31")),
@@ -894,6 +899,22 @@ def test_template_two_measure_time_bucket(spark, model, replicas):
              .agg(F.sum("amount").alias("a"), F.sum("cost").alias("c"))
              .collect()}
     assert rows == want2 and len(rows) == 3
+
+    # r10 review: the count trigger covers EVERY count word once a
+    # table token names the count target — 'total visits' / 'how many
+    # visits' must not silently collapse to a single-measure route
+    for phrase in ("revenue and total visits by month",
+                   "revenue and how many visits by month"):
+        tt = model.route_template(phrase)
+        assert tt.family == "two_measures_by_time_bucket", phrase
+        assert tt.measure2 is None and tt.measure2_table == "visits"
+    # ...while a count word that merely MODIFIES the measure stays
+    # single-measure, and a cross-table count target refuses
+    assert model.route_template("total revenue by month").family == (
+        "measure_by_time_bucket"
+    )
+    with pytest.raises(KeyError):
+        model.route_template("revenue and patient count by month")
 
     # refusals: anchor tables disagreeing on the time dimension
     # (doctors has none); ambiguous qualifiers over two measures

@@ -172,6 +172,18 @@ def main() -> None:
         result.setdefault("px11_manifest_rescan", {})[sf_tag] = round(
             t_mr, 3
         )
+        # r10: batched vs serial backlog catch-up at both scales — the
+        # gap is per-commit overhead (corpus-independent), so the
+        # batched ratio should track the serial one while staying ~2.5x
+        # cheaper in absolute terms
+        clear_dedup_cache()
+        t_cs, t_cb = bench._bench_manifest_catchup(spark, sf_dir)
+        result.setdefault("manifest_catchup_3dumps_serial", {})[sf_tag] = (
+            round(t_cs, 3)
+        )
+        result.setdefault("manifest_catchup_3dumps_batched", {})[sf_tag] = (
+            round(t_cb, 3)
+        )
     for name, r in result.items():
         r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
     print(json.dumps({"metric": "sf1_over_sf01_ratios", "queries": result}))

@@ -52,8 +52,9 @@ def _make_pixel_decoder():
       pixel-array decode honoring the 4-byte row stride and bottom-up
       row order (padding bytes never reach the pixel array);
     - PNG: 8-bit non-interlaced, color types 0 (grayscale — replicated
-      to RGB), 2 (truecolor), 3 (palette — PLTE lookup), and 6 (RGBA —
-      alpha dropped; callers consume RGB) — chunk walk with CRC
+      to RGB), 2 (truecolor), 3 (palette — PLTE lookup), 4 (gray+alpha
+      — alpha dropped, gray replicated), and 6 (RGBA — alpha dropped;
+      callers consume RGB) — chunk walk with CRC
       verification and explicit truncation gating, stdlib-zlib inflate
       of the concatenated IDAT stream, then per-scanline FILTER
       RECONSTRUCTION (all five filter types, the spec's byte-exact
@@ -121,8 +122,9 @@ def _make_pixel_decoder():
                 raise ValueError("PNG missing IHDR")
             w, h, depth, ctype, comp, filt, interlace = ihdr
             # channel count per color type: 0 grayscale, 2 truecolor,
-            # 3 palette indices, 6 truecolor+alpha (PNG spec §11.2.2)
-            channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+            # 3 palette indices, 4 gray+alpha, 6 truecolor+alpha
+            # (PNG spec §11.2.2)
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if (
                 depth != 8
                 or channels is None
@@ -131,7 +133,7 @@ def _make_pixel_decoder():
                 or interlace != 0
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/truecolor/palette/RGBA "
+                    "only 8-bit gray/truecolor/palette/gray-alpha/RGBA "
                     "non-interlaced PNG supported "
                     f"(depth={depth}, color_type={ctype}, "
                     f"interlace={interlace})"
@@ -204,6 +206,9 @@ def _make_pixel_decoder():
                 if int(idx.max()) >= len(plte):
                     raise ValueError("palette index out of range")
                 return "png", plte[idx]
+            if ctype == 4:  # gray+alpha: drop alpha, replicate gray
+                g = px.reshape(h, w, 2)[:, :, :1]
+                return "png", _np.repeat(g, 3, axis=2)
             # grayscale: replicate the single channel
             return "png", _np.repeat(px.reshape(h, w, 1), 3, axis=2)
         raise NotImplementedError(

@@ -309,8 +309,13 @@ def test_decode_media_real_png():
     gray = px[:, :, 0]
     meta = decode_media(_mk_png(gray, [0, 3, 4], color_type=0))
     assert meta["content_sum"] == 3 * int(gray.astype(np.int64).sum())
+    # gray+alpha (type 4): alpha dropped, gray replicated (2-byte
+    # filter stride exercised via the mixed filter list)
+    ga = np.stack([gray, px[:, :, 1]], axis=2)
+    meta = decode_media(_mk_png(ga, [0, 1, 2, 3, 4], color_type=4))
+    assert meta["content_sum"] == 3 * int(gray.astype(np.int64).sum())
     with pytest.raises(NotImplementedError):
-        decode_media(_mk_png(px, [0], color_type=4))  # gray+alpha
+        decode_media(_mk_png(px, [0], color_type=7))  # undefined type
     with pytest.raises(NotImplementedError):
         decode_media(_mk_png(px, [0], interlace=1))  # Adam7
     with pytest.raises(ValueError):
@@ -347,7 +352,7 @@ def test_decode_media_png_property_roundtrip():
     @given(
         w=st.integers(1, 12),
         h=st.integers(1, 10),
-        ctype=st.sampled_from([2, 6, 3, 0]),
+        ctype=st.sampled_from([2, 6, 3, 4, 0]),
         seed=st.integers(0, 2**31),
     )
     def check(w, h, ctype, seed):
@@ -365,6 +370,9 @@ def test_decode_media_png_property_roundtrip():
             plte = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
             px = rng.randint(0, n, size=(h, w)).astype(np.uint8)
             want = plte[px]
+        elif ctype == 4:  # gray+alpha
+            px = rng.randint(0, 256, size=(h, w, 2), dtype=np.uint8)
+            want = np.repeat(px[:, :, :1], 3, axis=2)
         else:  # grayscale
             px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
             want = np.repeat(px[:, :, None], 3, axis=2)

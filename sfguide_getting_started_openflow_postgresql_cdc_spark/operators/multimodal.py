@@ -51,10 +51,12 @@ def _make_pixel_decoder():
     - BMP: 24-bit uncompressed BITMAPINFOHEADER — header parse + full
       pixel-array decode honoring the 4-byte row stride and bottom-up
       row order (padding bytes never reach the pixel array);
-    - PNG: 8-bit non-interlaced, color types 0 (grayscale — replicated
-      to RGB), 2 (truecolor), 3 (palette — PLTE lookup), 4 (gray+alpha
-      — alpha dropped, gray replicated), and 6 (RGBA — alpha dropped;
-      callers consume RGB) — chunk walk with CRC
+    - PNG: 8-bit AND 16-bit (high byte of each big-endian sample — the
+      output contract is 8-bit RGB) non-interlaced, color types 0
+      (grayscale — replicated to RGB), 2 (truecolor), 3 (palette —
+      PLTE lookup, 8-bit only per spec), 4 (gray+alpha — alpha
+      dropped, gray replicated), and 6 (RGBA — alpha dropped; callers
+      consume RGB) — chunk walk with CRC
       verification and explicit truncation gating, stdlib-zlib inflate
       of the concatenated IDAT stream, then per-scanline FILTER
       RECONSTRUCTION (all five filter types, the spec's byte-exact
@@ -63,8 +65,8 @@ def _make_pixel_decoder():
       Average/Paeth run the inherently-sequential left-neighbour
       recurrence over Python ints.
 
-    16-bit depth, interlacing, and anything needing a real codec
-    (JPEG/...) raise NotImplementedError."""
+    Interlacing (Adam7) and anything needing a real codec (JPEG/...)
+    raise NotImplementedError."""
 
     def pixels(payload: bytes):
         import struct as _struct
@@ -126,22 +128,28 @@ def _make_pixel_decoder():
             # (PNG spec §11.2.2)
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if (
-                depth != 8
+                depth not in (8, 16)
                 or channels is None
+                # palette depth is 1/2/4/8 by spec — never 16
+                or (depth == 16 and ctype == 3)
                 or comp != 0
                 or filt != 0
                 or interlace != 0
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/truecolor/palette/gray-alpha/RGBA "
-                    "non-interlaced PNG supported "
+                    "only 8/16-bit gray/truecolor/gray-alpha/RGBA and "
+                    "8-bit palette non-interlaced PNG supported "
                     f"(depth={depth}, color_type={ctype}, "
                     f"interlace={interlace})"
                 )
             if ctype == 3 and plte is None:
                 raise ValueError("palette PNG missing PLTE")
             raw = _zlib.decompress(idat)
-            bpp, stride = channels, channels * w
+            # filters operate on BYTES with the pixel's full byte width
+            # as the left-neighbour offset (spec: bpp rounds up to one
+            # byte minimum) — 16-bit samples just double both
+            bpp = channels * (depth // 8)
+            stride = w * bpp
             if len(raw) != h * (1 + stride):
                 raise ValueError("PNG scanline data length mismatch")
             arr = _np.frombuffer(raw, _np.uint8).reshape(h, 1 + stride)
@@ -197,6 +205,14 @@ def _make_pixel_decoder():
                     rec = _np.asarray(rec_l, _np.int64)
                 out[y] = rec
             px = out.astype(_np.uint8)
+            if depth == 16:
+                # most-significant byte of each big-endian 16-bit
+                # sample: the decoder's OUTPUT contract is 8-bit RGB,
+                # and the high byte is the standard fast 16->8
+                # downscale (floor(v/256))
+                px = _np.ascontiguousarray(
+                    px.reshape(h, w * channels, 2)[:, :, 0]
+                )
             if ctype == 2:
                 return "png", px.reshape(h, w, 3)
             if ctype == 6:  # drop alpha — callers consume RGB

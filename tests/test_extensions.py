@@ -249,9 +249,17 @@ def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False,
     import numpy as np
 
     h, w = px.shape[:2]
-    bpp = 1 if px.ndim == 2 else px.shape[2]
+    channels = 1 if px.ndim == 2 else px.shape[2]
+    if px.dtype == np.uint16:  # 16-bit: big-endian sample bytes
+        depth = 16
+        byte_px = px.reshape(h, w * channels).astype(">u2").view(np.uint8)
+        bpp = channels * 2
+    else:
+        depth = 8
+        byte_px = px.reshape(h, w * channels)
+        bpp = channels
     stride = bpp * w
-    rows = px.reshape(h, stride).astype(np.int64)
+    rows = byte_px.reshape(h, stride).astype(np.int64)
     raw = bytearray()
     for y in range(h):
         ft = filters[y % len(filters)]
@@ -284,7 +292,7 @@ def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False,
             crc ^= 1
         return struct.pack(">I", len(b)) + t + b + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         out += chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
@@ -316,6 +324,14 @@ def test_decode_media_real_png():
     assert meta["content_sum"] == 3 * int(gray.astype(np.int64).sum())
     with pytest.raises(NotImplementedError):
         decode_media(_mk_png(px, [0], color_type=7))  # undefined type
+    # 16-bit truecolor: decodes via the doubled filter stride; output
+    # is the high byte of each big-endian sample
+    px16 = (px.astype(np.uint16) << 8) | 0x2A
+    meta = decode_media(_mk_png(px16, [0, 1, 2, 3, 4]))
+    assert meta["content_sum"] == int(px.astype(np.int64).sum())
+    # 16-bit palette is invalid per spec and stays gated
+    with pytest.raises(NotImplementedError):
+        decode_media(_mk_png(px16[:, :, 0], [0], color_type=3))
     with pytest.raises(NotImplementedError):
         decode_media(_mk_png(px, [0], interlace=1))  # Adam7
     with pytest.raises(ValueError):
@@ -353,12 +369,14 @@ def test_decode_media_png_property_roundtrip():
         w=st.integers(1, 12),
         h=st.integers(1, 10),
         ctype=st.sampled_from([2, 6, 3, 4, 0]),
+        deep=st.booleans(),
         seed=st.integers(0, 2**31),
     )
-    def check(w, h, ctype, seed):
+    def check(w, h, ctype, deep, seed):
         rng = np.random.RandomState(seed % (2**31))
         filters = [int(f) for f in rng.randint(0, 5, size=h)]
         plte = None
+        deep = deep and ctype != 3  # 16-bit palette is invalid
         if ctype == 2:
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             want = px
@@ -376,6 +394,9 @@ def test_decode_media_png_property_roundtrip():
         else:  # grayscale
             px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
             want = np.repeat(px[:, :, None], 3, axis=2)
+        if deep:  # widen to 16-bit; expected output is the high byte
+            low = rng.randint(0, 256, size=px.shape, dtype=np.uint16)
+            px = (px.astype(np.uint16) << 8) | low
         kind, got = pixels(_mk_png(px, filters, color_type=ctype, plte=plte))
         assert kind == "png"
         assert (got == want).all()

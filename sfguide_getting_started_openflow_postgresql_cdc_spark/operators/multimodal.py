@@ -56,7 +56,9 @@ def _make_pixel_decoder():
       (grayscale — replicated to RGB), 2 (truecolor), 3 (palette —
       PLTE lookup, 8-bit only per spec), 4 (gray+alpha — alpha
       dropped, gray replicated), and 6 (RGBA — alpha dropped; callers
-      consume RGB) — chunk walk with CRC
+      consume RGB); both interlace methods (none and Adam7 — seven
+      independently-filtered passes scattered back on the pass grids)
+      — chunk walk with CRC
       verification and explicit truncation gating, stdlib-zlib inflate
       of the concatenated IDAT stream, then per-scanline FILTER
       RECONSTRUCTION (all five filter types, the spec's byte-exact
@@ -65,8 +67,8 @@ def _make_pixel_decoder():
       Average/Paeth run the inherently-sequential left-neighbour
       recurrence over Python ints.
 
-    Interlacing (Adam7) and anything needing a real codec (JPEG/...)
-    raise NotImplementedError."""
+    Anything needing a real codec (JPEG/...) raises
+    NotImplementedError."""
 
     def pixels(payload: bytes):
         import struct as _struct
@@ -134,11 +136,11 @@ def _make_pixel_decoder():
                 or (depth == 16 and ctype == 3)
                 or comp != 0
                 or filt != 0
-                or interlace != 0
+                or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
                     "only 8/16-bit gray/truecolor/gray-alpha/RGBA and "
-                    "8-bit palette non-interlaced PNG supported "
+                    "8-bit palette PNG supported "
                     f"(depth={depth}, color_type={ctype}, "
                     f"interlace={interlace})"
                 )
@@ -149,62 +151,104 @@ def _make_pixel_decoder():
             # as the left-neighbour offset (spec: bpp rounds up to one
             # byte minimum) — 16-bit samples just double both
             bpp = channels * (depth // 8)
-            stride = w * bpp
-            if len(raw) != h * (1 + stride):
-                raise ValueError("PNG scanline data length mismatch")
-            arr = _np.frombuffer(raw, _np.uint8).reshape(h, 1 + stride)
-            ftypes = arr[:, 0]
-            if (ftypes > 4).any():
-                raise ValueError(
-                    f"bad PNG filter type {int(ftypes.max())}"
-                )
-            lines = arr[:, 1:].astype(_np.int64)  # copies — rows mutable
-            out = _np.zeros((h, stride), _np.int64)
-            zero = _np.zeros(stride, _np.int64)
-            for y in range(h):
-                ft = int(ftypes[y])
-                line = lines[y]
-                prev = out[y - 1] if y else zero
-                if ft == 0:  # None
-                    rec = line
-                elif ft == 2:  # Up — vectorized across the row
-                    rec = (line + prev) % 256
-                elif ft == 1:  # Sub — a per-lane prefix sum: rec[i] =
-                    # line[i] + rec[i-bpp], i.e. cumsum down each of the
-                    # bpp byte lanes (mod commutes with the partial sums)
-                    rec = (
-                        _np.cumsum(line.reshape(w, bpp), axis=0)
-                        .reshape(stride) % 256
+
+            def defilter(off, wp, hp):
+                """Reverse the scanline filters of one (sub-)image of
+                ``hp`` rows x ``wp`` pixels starting at byte ``off`` of
+                the inflated stream (a whole image when non-interlaced;
+                one Adam7 pass otherwise — each pass filters
+                independently, spec §8.2)."""
+                strd = wp * bpp
+                seg = _np.frombuffer(
+                    raw, _np.uint8, hp * (1 + strd), off
+                ).reshape(hp, 1 + strd)
+                ftypes = seg[:, 0]
+                if (ftypes > 4).any():
+                    raise ValueError(
+                        f"bad PNG filter type {int(ftypes.max())}"
                     )
-                else:  # Average/Paeth: the left-neighbour recurrence is
-                    # inherently sequential — run it over plain Python
-                    # ints (lists), ~5x faster than per-byte numpy
-                    # scalar indexing (timing note in BASELINE.md r10)
-                    ln_l = line.tolist()
-                    pv_l = prev.tolist()
-                    rec_l = [0] * stride
-                    if ft == 3:  # Average
-                        for i in range(stride):
-                            a = rec_l[i - bpp] if i >= bpp else 0
-                            rec_l[i] = (ln_l[i] + ((a + pv_l[i]) >> 1)) % 256
-                    else:  # Paeth
-                        for i in range(stride):
-                            a = rec_l[i - bpp] if i >= bpp else 0
-                            b = pv_l[i]
-                            c = pv_l[i - bpp] if i >= bpp else 0
-                            pa = abs(b - c)
-                            pb = abs(a - c)
-                            pc = abs(a + b - 2 * c)
-                            if pa <= pb and pa <= pc:
-                                pred = a
-                            elif pb <= pc:
-                                pred = b
-                            else:
-                                pred = c
-                            rec_l[i] = (ln_l[i] + pred) % 256
-                    rec = _np.asarray(rec_l, _np.int64)
-                out[y] = rec
-            px = out.astype(_np.uint8)
+                lines = seg[:, 1:].astype(_np.int64)  # copies — mutable
+                out = _np.zeros((hp, strd), _np.int64)
+                zero = _np.zeros(strd, _np.int64)
+                for y in range(hp):
+                    ft = int(ftypes[y])
+                    line = lines[y]
+                    prev = out[y - 1] if y else zero
+                    if ft == 0:  # None
+                        rec = line
+                    elif ft == 2:  # Up — vectorized across the row
+                        rec = (line + prev) % 256
+                    elif ft == 1:  # Sub — a per-lane prefix sum:
+                        # rec[i] = line[i] + rec[i-bpp], i.e. cumsum
+                        # down each of the bpp byte lanes (mod commutes
+                        # with the partial sums)
+                        rec = (
+                            _np.cumsum(line.reshape(wp, bpp), axis=0)
+                            .reshape(strd) % 256
+                        )
+                    else:  # Average/Paeth: the left-neighbour
+                        # recurrence is inherently sequential — run it
+                        # over plain Python ints (lists), ~5x faster
+                        # than per-byte numpy scalar indexing (timing
+                        # note in BASELINE.md r10)
+                        ln_l = line.tolist()
+                        pv_l = prev.tolist()
+                        rec_l = [0] * strd
+                        if ft == 3:  # Average
+                            for i in range(strd):
+                                a = rec_l[i - bpp] if i >= bpp else 0
+                                rec_l[i] = (
+                                    ln_l[i] + ((a + pv_l[i]) >> 1)
+                                ) % 256
+                        else:  # Paeth
+                            for i in range(strd):
+                                a = rec_l[i - bpp] if i >= bpp else 0
+                                b = pv_l[i]
+                                c = pv_l[i - bpp] if i >= bpp else 0
+                                pa = abs(b - c)
+                                pb = abs(a - c)
+                                pc = abs(a + b - 2 * c)
+                                if pa <= pb and pa <= pc:
+                                    pred = a
+                                elif pb <= pc:
+                                    pred = b
+                                else:
+                                    pred = c
+                                rec_l[i] = (ln_l[i] + pred) % 256
+                        rec = _np.asarray(rec_l, _np.int64)
+                    out[y] = rec
+                return out.astype(_np.uint8)
+
+            if interlace == 0:
+                if len(raw) != h * (1 + w * bpp):
+                    raise ValueError("PNG scanline data length mismatch")
+                px = defilter(0, w, h)
+            else:  # Adam7: 7 independent sub-images scattered back on
+                # the pass grids (spec §8.2); empty passes carry NO
+                # bytes, not even filter bytes
+                img = _np.zeros((h, w, bpp), _np.uint8)
+                off = 0
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                    (0, 1, 1, 2),
+                ):
+                    wp = (w - x0 + dx - 1) // dx
+                    hp = (h - y0 + dy - 1) // dy
+                    if wp <= 0 or hp <= 0:
+                        continue
+                    need = hp * (1 + wp * bpp)
+                    if off + need > len(raw):
+                        raise ValueError(
+                            "PNG scanline data length mismatch"
+                        )
+                    img[y0::dy, x0::dx] = defilter(off, wp, hp).reshape(
+                        hp, wp, bpp
+                    )
+                    off += need
+                if off != len(raw):
+                    raise ValueError("PNG scanline data length mismatch")
+                px = img.reshape(h, w * bpp)
             if depth == 16:
                 # most-significant byte of each big-endian 16-bit
                 # sample: the decoder's OUTPUT contract is 8-bit RGB,

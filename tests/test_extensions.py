@@ -259,32 +259,49 @@ def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False,
         byte_px = px.reshape(h, w * channels)
         bpp = channels
     stride = bpp * w
-    rows = byte_px.reshape(h, stride).astype(np.int64)
-    raw = bytearray()
-    for y in range(h):
-        ft = filters[y % len(filters)]
-        row = rows[y]
-        prev = rows[y - 1] if y else np.zeros(stride, np.int64)
-        if ft == 0:
-            f = row
-        elif ft == 2:
-            f = (row - prev) % 256
-        else:
-            f = np.zeros(stride, np.int64)
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                f[i] = (row[i] - pred) % 256
-        raw.append(ft)
-        raw += f.astype(np.uint8).tobytes()
+
+    def filt(rows):
+        hp, strd = rows.shape
+        out = bytearray()
+        for y in range(hp):
+            ft = filters[y % len(filters)]
+            row = rows[y]
+            prev = rows[y - 1] if y else np.zeros(strd, np.int64)
+            if ft == 0:
+                f = row
+            elif ft == 2:
+                f = (row - prev) % 256
+            else:
+                f = np.zeros(strd, np.int64)
+                for i in range(strd):
+                    a = int(row[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = int(prev[i - bpp]) if i >= bpp else 0
+                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    f[i] = (row[i] - pred) % 256
+            out.append(ft)
+            out += f.astype(np.uint8).tobytes()
+        return out
+
+    if interlace == 0:
+        raw = filt(byte_px.reshape(h, stride).astype(np.int64))
+    else:  # real Adam7: each pass filtered independently
+        bp = byte_px.reshape(h, w, bpp)
+        raw = bytearray()
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = bp[y0::dy, x0::dx]
+            hp, wp = sub.shape[:2]
+            if hp == 0 or wp == 0:
+                continue
+            raw += filt(sub.reshape(hp, wp * bpp).astype(np.int64))
 
     def chunk(t, b):
         crc = zlib.crc32(t + b) & 0xFFFFFFFF
@@ -332,8 +349,9 @@ def test_decode_media_real_png():
     # 16-bit palette is invalid per spec and stays gated
     with pytest.raises(NotImplementedError):
         decode_media(_mk_png(px16[:, :, 0], [0], color_type=3))
-    with pytest.raises(NotImplementedError):
-        decode_media(_mk_png(px, [0], interlace=1))  # Adam7
+    # Adam7 interlacing round-trips (7 independently-filtered passes)
+    meta = decode_media(_mk_png(px, [0, 1, 2, 3, 4], interlace=1))
+    assert meta["content_sum"] == int(px.astype(np.int64).sum())
     with pytest.raises(ValueError):
         decode_media(_mk_png(px, [0], corrupt_crc=True))
     # ADVICE r9: a chunk whose declared length runs past the payload
@@ -353,7 +371,8 @@ def test_decode_media_png_property_roundtrip():
     supported COLOR TYPE (truecolor, RGBA with its 4-byte filter
     stride, palette, grayscale), decodes back to the exact expected RGB
     array (filter reconstruction is the inverse of filtering, byte for
-    byte; alpha dropped; palette looked up; gray replicated)."""
+    byte; alpha dropped; palette looked up; gray replicated) — at both
+    bit depths and under both interlace methods."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -370,9 +389,10 @@ def test_decode_media_png_property_roundtrip():
         h=st.integers(1, 10),
         ctype=st.sampled_from([2, 6, 3, 4, 0]),
         deep=st.booleans(),
+        adam7=st.booleans(),
         seed=st.integers(0, 2**31),
     )
-    def check(w, h, ctype, deep, seed):
+    def check(w, h, ctype, deep, adam7, seed):
         rng = np.random.RandomState(seed % (2**31))
         filters = [int(f) for f in rng.randint(0, 5, size=h)]
         plte = None
@@ -397,7 +417,8 @@ def test_decode_media_png_property_roundtrip():
         if deep:  # widen to 16-bit; expected output is the high byte
             low = rng.randint(0, 256, size=px.shape, dtype=np.uint16)
             px = (px.astype(np.uint16) << 8) | low
-        kind, got = pixels(_mk_png(px, filters, color_type=ctype, plte=plte))
+        kind, got = pixels(_mk_png(px, filters, color_type=ctype,
+                                   plte=plte, interlace=int(adam7)))
         assert kind == "png"
         assert (got == want).all()
 

@@ -208,6 +208,12 @@ _REL_WORD_RE = (
 # as_of]; N months/years REFUSES (calendar-ambiguous: rolling vs
 # calendar months differ and a wrong guess silently changes the answer)
 _REL_ROLLING_RE = r"\b(?:last|past)\s+(\d+)\s+(day|week|month|year)s?\b"
+# to-date windows: [calendar-period start, as_of] — checked BEFORE the
+# this/last grammar ('this year so far' contains 'this year')
+_REL_TO_DATE_RE = (
+    r"\b(?:(year|quarter|month|week)\s+to\s+date|(ytd|qtd|mtd|wtd)"
+    r"|this\s+(year|quarter|month|week)\s+so\s+far)\b"
+)
 # a month name followed by an explicit 4-digit year ('in May 2024'):
 # digits never become routing tokens, so binding the month against the
 # as_of year would SILENTLY IGNORE the stated year — refuse instead
@@ -222,7 +228,7 @@ _MONTH_YEAR_RE = rf"\b(?:{_MONTH_RE})\s+(?:of\s+)?\d{{4}}\b"
 # blessed modified-today query, which resolves 'today' itself).
 _REL_DETECT = (
     rf"(?:{_REL_WORD_RE}|{_MONTH_RANGE_RE}|{_MONTH_IN_RE}"
-    rf"|{_REL_ROLLING_RE}"
+    rf"|{_REL_ROLLING_RE}|{_REL_TO_DATE_RE}"
     r"|\b(?:recently|lately)\b)"
 )
 
@@ -272,6 +278,21 @@ def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
         if span < 1:
             raise KeyError(f"empty rolling window: {m.group(0)!r}")
         lo = as_of - datetime.timedelta(days=span - 1)
+        return consume(m), lo.isoformat(), as_of.isoformat()
+
+    m = re.search(_REL_TO_DATE_RE, q)
+    if m:
+        unit = (m.group(1) or m.group(3) or
+                {"ytd": "year", "qtd": "quarter",
+                 "mtd": "month", "wtd": "week"}[m.group(2)])
+        if unit == "year":
+            lo = datetime.date(as_of.year, 1, 1)
+        elif unit == "quarter":
+            lo = datetime.date(as_of.year, 3 * ((as_of.month - 1) // 3) + 1, 1)
+        elif unit == "month":
+            lo = as_of.replace(day=1)
+        else:  # week (ISO Monday)
+            lo = as_of - datetime.timedelta(days=as_of.weekday())
         return consume(m), lo.isoformat(), as_of.isoformat()
 
     m = re.search(_REL_WORD_RE, q)
@@ -617,7 +638,9 @@ class SemanticModel:
           convention), RELATIVE/NAMED phrases resolve into the same
           slot deterministically: 'today', 'yesterday', 'this/last/next
           week|month|quarter|year', 'last/past N days|weeks' (rolling,
-          ending at as_of), 'between March and May' (month names; a
+          ending at as_of), 'year/quarter/month/week to date' (and the
+          ytd/qtd/mtd/wtd abbreviations / 'this year so far'),
+          'between March and May' (month names; a
           start month after the end month wraps into the previous
           year), 'in March'. Without an as_of, or for inherently
           ambiguous phrases ('recently', 'last 3 months' — rolling vs

@@ -796,6 +796,17 @@ def test_template_relative_dates(spark, model, replicas):
     with pytest.raises(KeyError):
         model.route("how many doctors last month", as_of=AS_OF)
 
+    # to-date windows bind [period start, as_of] — incl. abbreviations
+    # and the 'so far' phrasing (which contains 'this year' and must
+    # bind BEFORE the calendar grammar)
+    for phrase, want in [("year to date", ("2024-01-01", "2024-06-03")),
+                         ("ytd", ("2024-01-01", "2024-06-03")),
+                         ("quarter to date", ("2024-04-01", "2024-06-03")),
+                         ("this month so far", ("2024-06-01", "2024-06-03")),
+                         ("week to date", ("2024-06-03", "2024-06-03"))]:
+        kind, t = model.route(f"how many appointments {phrase}", as_of=AS_OF)
+        assert t.date_range[2:] == want, (phrase, t.date_range)
+
     # rolling windows bind (ending at as_of); calendar-ambiguous and
     # year-explicit phrases refuse rather than silently reinterpreting
     kind, t = model.route("how many appointments last 7 days", as_of=AS_OF)

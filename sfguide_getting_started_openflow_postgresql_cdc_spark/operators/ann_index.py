@@ -73,6 +73,7 @@ class IvfIndex:
         self.n_probe = n_probe
         self._centroids = None  # lazily loaded normalized np matrix
         self._pq_books = None  # lazily loaded (m, k, dim/m) codebooks
+        self._search_probes = None  # last exact-path probes frame (persisted)
         if pq_m is None and os.path.exists(
             os.path.join(path, "pq_codebooks.json")
         ):
@@ -422,6 +423,17 @@ class IvfIndex:
         return out
 
     # -- search -------------------------------------------------------------
+    def release_search_cache(self) -> None:
+        """Unpersist the probes frame the last exact-path :meth:`search`
+        left in the session cache (its returned DataFrame is lazy, so
+        the frame cannot be released inside search itself). Called
+        automatically at the start of every search; call it explicitly
+        after the final search result has been consumed to return the
+        session cache to its pre-search state (ADVICE r10)."""
+        if self._search_probes is not None:
+            self._search_probes.unpersist()
+            self._search_probes = None
+
     def probe_cells(self, query_vecs) -> list[list[int]]:
         """Nearest ``n_probe`` cells per query vector (driver math on
         the k x dim quantizer). Stable sort: on exact similarity ties
@@ -459,14 +471,24 @@ class IvfIndex:
             m = m / _np.maximum(
                 _np.linalg.norm(m, axis=1, keepdims=True), 1e-12
             )
+            # Per-row gemv, NOT one batched gemm: BLAS blocking in a
+            # batched float64 gemm can differ from probe_cells' per-row
+            # products in the last ulp, so near-tied (distinct but
+            # ~equal) similarities could make the two paths probe
+            # DIFFERENT cells on some BLAS builds (ADVICE r10). A 1 x dim
+            # gemv here dispatches to the same accumulation order as the
+            # driver's `q @ c.T`, so scores — and therefore probe
+            # geometry — are bit-identical across paths. The loop is
+            # per-query Python, but each step is a dim x k gemv
+            # (microseconds); the batch stays Arrow-shipped.
             # STABLE ascending argsort reversed == probe_cells' per-row
-            # tie order (highest cell id first on exact similarity
-            # ties) — quicksort's unspecified tie order could make the
-            # distributed path probe different cells than the driver
-            # path for duplicate centroids
-            order = _np.argsort(m @ c.T, axis=1, kind="stable")[
-                :, ::-1
-            ][:, :n_probe]
+            # tie order (highest cell id first on exact similarity ties).
+            order = _np.stack(
+                [
+                    _np.argsort(row @ c.T, kind="stable")[::-1][:n_probe]
+                    for row in m
+                ]
+            )
             return _pd.Series(list(order.astype("int32")))
 
         return _probe_cells
@@ -499,6 +521,11 @@ class IvfIndex:
         m x k lookup table per query on the driver, so it raises
         ValueError above ``MAX_ADC_QUERIES`` — split the query frame or
         use the exact path for bulk workloads."""
+        # a NEW query frame would leave a new cache entry per call
+        # (CacheManager dedup only helps identical plans — ADVICE r10),
+        # so release the previous exact-path probes frame first; the ADC
+        # branch below unpersists its own probes before returning
+        self.release_search_cache()
         probes = queries.select(
             "query_id",
             F.explode(self._probe_cells_udf()(F.col("embedding"))).alias(
@@ -506,8 +533,10 @@ class IvfIndex:
             ),
         ).persist()  # executed twice: distinct-cell pruning + the
         # candidate join — tiny (n_queries x n_probe ints) vs re-running
-        # the quantizer UDF over the query frame; lives in the session
-        # cache (CacheManager dedups identical plans across calls)
+        # the quantizer UDF over the query frame
+        # track the handle IMMEDIATELY so every exit (including the ADC
+        # over-cap raise below) leaves it releasable by the next call
+        self._search_probes = probes
         all_cells = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
@@ -561,6 +590,10 @@ class IvfIndex:
                 .select("query_id", "vec_id")
                 .collect()
             )
+            # probes is fully materialized here (the collect above was
+            # its last consumer) — release it so repeated ADC searches
+            # with distinct query frames don't accumulate cache entries
+            self.release_search_cache()
             short = spark.createDataFrame(
                 [(r["query_id"], r["vec_id"]) for r in short_rows],
                 "query_id long, vec_id long",
@@ -572,6 +605,10 @@ class IvfIndex:
                 .join(F.broadcast(short), "vec_id")
             )
         else:
+            # the returned DataFrame is LAZY and still references probes
+            # — the handle stays in self._search_probes so the NEXT
+            # search (or an explicit release_search_cache()) unpersists
+            # it once the caller has executed the plan
             cand_src = (
                 index.join(F.broadcast(probes), "cell")
                 .filter(F.col("vec_id") != F.col("query_id"))

@@ -359,3 +359,58 @@ def test_ivf_search_large_query_frame_guarded(spark, tmp_path):
     # ... and still works under the cap
     ok = idx.search(spark, small, top_k=3, adc_shortlist=50)
     assert ok.count() > 0
+
+
+def test_ivf_search_releases_probe_cache(spark, tmp_path):
+    """ADVICE r10: each search call with a DISTINCT query frame persisted
+    a new probes frame that was never unpersisted (CacheManager dedup
+    only helps identical plans). Now: the ADC path releases its probes
+    as soon as the shortlist collect materializes them; the exact path
+    tracks the handle and releases it on the NEXT search (the returned
+    DataFrame is lazy) or on an explicit release_search_cache()."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex(str(tmp_path / "leak"), n_cells=8, n_probe=2, pq_m=8)
+    idx.build(spark, emb)
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def query_frame(salt):
+        # a DISTINCT plan per call — exactly the case CacheManager dedup
+        # cannot coalesce
+        return spark.range(16).select(
+            F.col("id").alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.pmod(F.col("id") * 31 + i * 7 + salt, F.lit(97)).cast(
+                        "float"
+                    )
+                    / F.lit(97.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    # exact path: 3 distinct frames; each call releases the previous one
+    for salt in (1, 2, 3):
+        idx.search(spark, query_frame(salt), top_k=3).collect()
+        assert n_cached() <= base + 1, "exact-path probes accumulated"
+    idx.release_search_cache()
+    assert n_cached() == base
+    assert idx._search_probes is None
+
+    # ADC path: probes released before search returns
+    for salt in (4, 5):
+        idx.search(spark, query_frame(salt), top_k=3, adc_shortlist=20).count()
+        assert n_cached() == base, "ADC-path probes leaked"

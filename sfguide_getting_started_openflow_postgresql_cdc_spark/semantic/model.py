@@ -214,10 +214,46 @@ _REL_TO_DATE_RE = (
     r"\b(?:(year|quarter|month|week)\s+to\s+date|(ytd|qtd|mtd|wtd)"
     r"|this\s+(year|quarter|month|week)\s+so\s+far)\b"
 )
-# a month name followed by an explicit 4-digit year ('in May 2024'):
-# digits never become routing tokens, so binding the month against the
-# as_of year would SILENTLY IGNORE the stated year — refuse instead
+# a month name followed by an explicit 4-digit year. The STRICT forms
+# below ('in May 2024', 'between March 2024 and May 2025') bind to
+# exact ISO bounds WITHOUT an as_of — an explicit year is the LEAST
+# ambiguous date form a user can type (r10 verdict task 1). Any
+# month+year the strict grammars could not consume still refuses:
+# digits never become routing tokens, so falling through would
+# SILENTLY IGNORE the stated year.
 _MONTH_YEAR_RE = rf"\b(?:{_MONTH_RE})\s+(?:of\s+)?\d{{4}}\b"
+# year-explicit month range: 'between March 2024 and May 2024' /
+# 'from November 2023 through February 2024' — BOTH years stated (a
+# year on only one side would need inference, which is exactly the
+# ambiguity the explicit form exists to avoid; those refuse via
+# _MONTH_YEAR_RE with a message asking for both years)
+_MONTH_YEAR_RANGE_RE = (
+    rf"\b(?:between|from)\s+({_MONTH_RE})\s+(?:of\s+)?(\d{{4}})\s+"
+    rf"(?:and|to|through)\s+({_MONTH_RE})\s+(?:of\s+)?(\d{{4}})\b"
+)
+# single year-explicit month: 'in May 2024' / 'in May of 2024'
+_MONTH_YEAR_IN_RE = rf"\bin\s+({_MONTH_RE})\s+(?:of\s+)?(\d{{4}})\b"
+# open-ended date phrases (r10 verdict task 4): one bound stated, the
+# other side open — 'since March', 'after 2025-01-01', 'until May
+# 2024', 'before last week'. Operand forms: ISO date, month name
+# (year-explicit or as_of-relative), or a relative phrase. 'through'
+# is deliberately NOT an open preposition (it is a CLOSED-range
+# connector: 'from March through May'); say 'until' instead.
+_OPEN_RE = (
+    r"\b(since|after|before|until|till|up\s+to)\s+"
+    r"(?:(\d{4}-\d{2}-\d{2})"
+    rf"|({_MONTH_RE})(?:\s+(?:of\s+)?(\d{{4}}))?"
+    r"|(today|yesterday|(?:this|last|next)\s+(?:week|month|quarter|year)))\b"
+)
+# LOOSE open-phrase detector: 'since/until/till' anywhere, or
+# 'after/before/up to' followed by something date-shaped, must refuse
+# when the strict grammar could not bind ('since 3pm', 'after the
+# holidays') instead of falling through to a catalog answer
+_OPEN_DETECT = (
+    r"\b(?:since|till|until)\b"
+    rf"|\b(?:after|before|up\s+to)\s+(?:\d{{4}}|{_MONTH_RE}"
+    r"|today\b|yesterday\b|this\s|last\s|next\s)"
+)
 # LOOSE detector for the refusal guard (mirrors _RANGE_DETECT): any
 # relative/named-date phrase — or an inherently ambiguous one — that the
 # strict resolution below could not bind (no pinned as_of, two ranges,
@@ -229,8 +265,24 @@ _MONTH_YEAR_RE = rf"\b(?:{_MONTH_RE})\s+(?:of\s+)?\d{{4}}\b"
 _REL_DETECT = (
     rf"(?:{_REL_WORD_RE}|{_MONTH_RANGE_RE}|{_MONTH_IN_RE}"
     rf"|{_REL_ROLLING_RE}|{_REL_TO_DATE_RE}"
+    rf"|{_MONTH_YEAR_RE}|{_OPEN_DETECT}"
     r"|\b(?:recently|lately)\b)"
 )
+# patterns that must NEVER reach the verified-catalog escape in
+# ``route`` (ADVICE r10): token comparison is digit-stripped, so
+# 'last 3 months' is token-identical to 'last month' and 'in may 2024'
+# to 'in may' — a blessed question carrying the digit-free phrase
+# would silently answer the WRONG window. These forms either bind
+# strictly (month+year) or refuse outright (rolling months/years,
+# recently/lately); the escape is reserved for phrases whose tokens
+# carry their full meaning.
+_ESCAPE_BLOCK_RE = (
+    rf"(?:{_MONTH_YEAR_RE}"
+    r"|\b(?:last|past)\s+\d+\s+(?:day|week|month|year)s?\b"
+    r"|\b(?:recently|lately)\b)"
+)
+# open lower bound for 'before/until X' — far below any real data
+_DATE_MIN = "0001-01-01"
 
 
 def _month_end(year: int, month: int):
@@ -239,6 +291,114 @@ def _month_end(year: int, month: int):
     if month == 12:
         return datetime.date(year, 12, 31)
     return datetime.date(year, month + 1, 1) - datetime.timedelta(days=1)
+
+
+def _resolve_absolute_range(q: str) -> tuple[str, str, str] | None:
+    """Bind the first YEAR-EXPLICIT date phrase in ``q`` — 'in May
+    2024', 'between March 2024 and May 2025' — to exact ISO bounds.
+    Needs NO as_of: an explicit year is fully deterministic (r10
+    verdict task 1). Returns (q_with_phrase_consumed, start_iso,
+    end_iso) or None; raises KeyError for a reversed range."""
+    import datetime
+    import re
+
+    def consume(m) -> str:
+        return q[: m.start()] + " " + q[m.end():]
+
+    m = re.search(_MONTH_YEAR_RANGE_RE, q)
+    if m:
+        m1, y1 = _MONTHS[m.group(1)], int(m.group(2))
+        m2, y2 = _MONTHS[m.group(3)], int(m.group(4))
+        lo = datetime.date(y1, m1, 1)
+        hi = _month_end(y2, m2)
+        if lo > hi:
+            raise KeyError(
+                f"reversed date range ({m.group(0)!r}) — the start month "
+                "is after the end month, refusing rather than guessing "
+                "which was meant"
+            )
+        return consume(m), lo.isoformat(), hi.isoformat()
+
+    m = re.search(_MONTH_YEAR_IN_RE, q)
+    if m:
+        mo, y = _MONTHS[m.group(1)], int(m.group(2))
+        lo = datetime.date(y, mo, 1)
+        return consume(m), lo.isoformat(), _month_end(y, mo).isoformat()
+
+    return None
+
+
+def _resolve_open_range(q: str, as_of) -> tuple[str, str, str] | None:
+    """Bind the first OPEN-ENDED date phrase in ``q`` (r10 verdict task
+    4) — one bound stated, the other side open:
+
+    - ``since X``  -> [X_start, as_of]   (inclusive of X; needs as_of)
+    - ``after X``  -> [X_end + 1 day, as_of]   (exclusive; needs as_of)
+    - ``before X`` -> [open, X_start - 1 day]  (exclusive)
+    - ``until/till/up to X`` -> [open, X_end]  (inclusive)
+
+    X is an ISO date, a month name (year-explicit, or resolved against
+    as_of for since/after under the same most-recent-past convention as
+    'in <month>'), or a relative phrase ('since last month'). The open
+    side uses ``_DATE_MIN``. before/until of a YEAR-LESS month name
+    refuses: 'until September' is direction-ambiguous (the upcoming
+    September vs the most recent past one), unlike since/after where
+    the as_of upper bound forces the past reading. ``as_of`` may be
+    None — only phrases that genuinely need it raise then. Raises
+    KeyError for unbindable or empty/future windows."""
+    import datetime
+    import re
+
+    m = re.search(_OPEN_RE, q)
+    if m is None:
+        return None
+    prep = re.sub(r"\s+", " ", m.group(1))
+    iso, month, year, rel = m.group(2), m.group(3), m.group(4), m.group(5)
+
+    def need_as_of(why: str):
+        if as_of is None:
+            raise KeyError(
+                f"{prep!r} {why} needs a pinned as_of date — refusing "
+                "rather than reading the wall clock"
+            )
+
+    if iso:
+        x_lo = x_hi = datetime.date.fromisoformat(iso)
+    elif month and year:
+        mo, y = _MONTHS[month], int(year)
+        x_lo, x_hi = datetime.date(y, mo, 1), _month_end(y, mo)
+    elif month:
+        if prep in ("before", "until", "till", "up to"):
+            raise KeyError(
+                f"'{prep} {month}' without a year is direction-ambiguous "
+                "(the upcoming one vs the most recent past one) — state "
+                f"the year ('{prep} {month} 2024') or use an ISO date"
+            )
+        need_as_of(f"of a year-less month name ({month!r})")
+        mo = _MONTHS[month]
+        y = as_of.year - (1 if mo > as_of.month else 0)
+        x_lo, x_hi = datetime.date(y, mo, 1), _month_end(y, mo)
+    else:
+        need_as_of(f"of a relative phrase ({rel!r})")
+        _, lo_s, hi_s = _resolve_relative_range(rel, as_of)
+        x_lo = datetime.date.fromisoformat(lo_s)
+        x_hi = datetime.date.fromisoformat(hi_s)
+
+    rest = q[: m.start()] + " " + q[m.end():]
+    if prep in ("since", "after"):
+        need_as_of("(the window ends at as_of)")
+        lo = x_lo if prep == "since" else x_hi + datetime.timedelta(days=1)
+        if lo > as_of:
+            raise KeyError(
+                f"{m.group(0)!r} yields an empty window (starts after "
+                "the pinned as_of) — refusing rather than answering "
+                "with an empty frame"
+            )
+        return rest, lo.isoformat(), as_of.isoformat()
+    hi = x_hi if prep in ("until", "till", "up to") else (
+        x_lo - datetime.timedelta(days=1)
+    )
+    return rest, _DATE_MIN, hi.isoformat()
 
 
 def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
@@ -256,10 +416,15 @@ def _resolve_relative_range(q: str, as_of) -> tuple[str, str, str] | None:
             "refusing rather than guessing"
         )
     if re.search(_MONTH_YEAR_RE, q):
+        # strict year-explicit forms were already consumed by
+        # _resolve_absolute_range before this runs — what remains is a
+        # month+year phrase the strict grammar could NOT parse (a year
+        # on only one side of a range, a bare 'May 2024' with no 'in')
         raise KeyError(
-            "a month with an explicit year ('in May 2024') would bind "
-            "against the pinned as_of year and silently ignore the "
-            "stated one — use an ISO date range instead"
+            "a month+year phrase did not match the year-explicit "
+            "grammar — use 'in <month> <year>' or state BOTH years "
+            "('between March 2024 and May 2024'); binding it against "
+            "the as_of year would silently ignore the stated one"
         )
 
     def consume(m) -> str:
@@ -633,7 +798,16 @@ class SemanticModel:
           2025-05-31'): two ISO dates become an inclusive WHERE on the
           anchor (fact/subject) table's first-declared time_dimension;
           a question carrying the qualifier refuses when that table
-          declares no time_dimension. With a pinned ``as_of``
+          declares no time_dimension. YEAR-EXPLICIT month forms bind
+          WITHOUT an as_of (r10 verdict task 1) — 'in May 2024',
+          'between March 2024 and May 2025' (both years stated;
+          reversed ranges refuse). OPEN-ENDED phrases bind one side
+          and leave the other open (r10 verdict task 4): 'since X' ->
+          [X start, as_of], 'after X' -> [day after X, as_of] (both
+          need as_of), 'before X' -> [open, day before X], 'until X'
+          -> [open, X end] (no as_of needed for ISO / year-explicit X;
+          a year-less month is direction-ambiguous for before/until
+          and refuses). With a pinned ``as_of``
           (``datetime.date`` or ISO string — the ``_as_of_date``
           convention), RELATIVE/NAMED phrases resolve into the same
           slot deterministically: 'today', 'yesterday', 'this/last/next
@@ -644,16 +818,20 @@ class SemanticModel:
           start month after the end month wraps into the previous
           year), 'in March'. Without an as_of, or for inherently
           ambiguous phrases ('recently', 'last 3 months' — rolling vs
-          calendar, a month named WITH an explicit year — the year
-          would be silently ignored), the question refuses — a
-          wall-clock fallback would make routing non-reproducible.
+          calendar, a month+year form the strict grammar cannot parse —
+          the year would be silently ignored), the question refuses — a
+          wall-clock fallback would make routing non-reproducible. AT
+          MOST ONE date qualifier may appear; two refuse as ambiguous.
 
         And a TWO-MEASURE family ('revenue and experience by doctor' —
         the last r8 refusal gap): exactly two distinct fact columns
         resolving alongside an entity by-clause aggregate each in their
         own table and full-outer join per entity; avg-words and
-        threshold/date-range qualifiers are ambiguous over two measures
-        and refuse.
+        threshold qualifiers are ambiguous over two measures (which
+        measure do they bind?) and refuse, while a date-range/relative
+        qualifier filters the SHARED time axis and composes (r10
+        verdict task 7) — provided every table read agrees on its
+        first-declared time dimension, else refuse.
 
         Measures/dimensions resolve through the model's declared column
         names and synonyms only; unresolvable questions raise KeyError —
@@ -662,32 +840,61 @@ class SemanticModel:
 
         q = question.lower()
         # slot qualifiers are CONSUMED from the question text before any
-        # token math, so the family grammars below never see them
+        # token math, so the family grammars below never see them.
+        # Date binding runs in four passes — ISO closed range, then
+        # year-explicit (no as_of needed), then open-ended, then
+        # relative — and AT MOST ONE may fire: a question carrying two
+        # date qualifiers is ambiguous (which one did the user mean to
+        # scope the answer by?) and refuses.
+        import datetime
+
+        if isinstance(as_of, str):
+            as_of = datetime.date.fromisoformat(as_of)
         date_range = None
+
+        def _bind(lo: str, hi: str, rest: str) -> None:
+            nonlocal date_range, q
+            if date_range is not None:
+                raise KeyError(
+                    "question carries more than one date qualifier — "
+                    f"ambiguous, refusing: {question!r}"
+                )
+            date_range = (lo, hi)
+            q = rest
+
         drm = re.search(_RANGE_RE, q)
         if drm:
-            date_range = (drm.group(1), drm.group(2))
-            q = q[: drm.start()] + " " + q[drm.end():]
+            _bind(drm.group(1), drm.group(2),
+                  q[: drm.start()] + " " + q[drm.end():])
+        ab = _resolve_absolute_range(q)  # KeyError -> refusal
+        if ab is not None:
+            rest, lo, hi = ab
+            _bind(lo, hi, rest)
+        op = _resolve_open_range(q, as_of)  # KeyError -> refusal
+        if op is not None:
+            rest, lo, hi = op
+            _bind(lo, hi, rest)
         if as_of is not None:
-            import datetime
-
-            if isinstance(as_of, str):
-                as_of = datetime.date.fromisoformat(as_of)
             rel = _resolve_relative_range(q, as_of)  # KeyError -> refusal
             if rel is not None:
-                if date_range is not None:
-                    raise KeyError(
-                        "question carries both an ISO date range and a "
-                        "relative date phrase — ambiguous, refusing: "
-                        f"{question!r}"
-                    )
-                q, lo, hi = rel
-                date_range = (lo, hi)
-                if _resolve_relative_range(q, as_of) is not None:
-                    raise KeyError(
-                        "question carries more than one relative date "
-                        f"phrase — ambiguous, refusing: {question!r}"
-                    )
+                rest, lo, hi = rel
+                _bind(lo, hi, rest)
+        if date_range is not None and (
+            re.search(_RANGE_RE, q)
+            or _resolve_absolute_range(q) is not None
+            or _resolve_open_range(q, as_of) is not None
+            or (
+                as_of is not None
+                and _resolve_relative_range(q, as_of) is not None
+            )
+        ):
+            # a SECOND phrase of the same kind the sequential passes
+            # above could not catch ('between March 2024 and May 2024
+            # and in June 2024')
+            raise KeyError(
+                "question carries more than one date qualifier — "
+                f"ambiguous, refusing: {question!r}"
+            )
         having = None
         thm = re.search(_THRESH_RE, q)
         if thm:
@@ -714,15 +921,38 @@ class SemanticModel:
                         f"rather than dropping the qualifier: {question!r}"
                     )
             if date_range is not None:
-                anchor = route.measure_table or route.tables[0]
-                route = replace(
-                    route,
-                    date_range=(
-                        anchor,
-                        _first_time_dim(anchor),  # KeyError -> refusal
-                        *date_range,
-                    ),
-                )
+                if route.family in (
+                    "two_measures_by_entity", "two_measures_by_time_bucket"
+                ):
+                    # r11 (VERDICT r10 task 7): a date range filters the
+                    # SHARED time axis, not a measure — unambiguous iff
+                    # every table read agrees on the time dimension
+                    # (by_time_bucket already enforces this; by_entity
+                    # checks here). The '*' anchor applies the WHERE to
+                    # every route table in run_template.
+                    dims = {t: _first_time_dim(t) for t in route.tables}
+                    if len(set(dims.values())) > 1:
+                        raise KeyError(
+                            "the two measures' tables disagree on the "
+                            f"time dimension ({dims}) — a date range is "
+                            f"ambiguous here, refusing: {question!r}"
+                        )
+                    route = replace(
+                        route,
+                        date_range=(
+                            "*", next(iter(dims.values())), *date_range
+                        ),
+                    )
+                else:
+                    anchor = route.measure_table or route.tables[0]
+                    route = replace(
+                        route,
+                        date_range=(
+                            anchor,
+                            _first_time_dim(anchor),  # KeyError -> refusal
+                            *date_range,
+                        ),
+                    )
             if having is not None:
                 route = replace(route, having=having)
             return route
@@ -862,9 +1092,13 @@ class SemanticModel:
                     )
                 )
                 if two_facts or count_second:
-                    if having is not None or date_range is not None:
+                    # a date range is FINE here (it filters the shared
+                    # time axis — _check_filters anchors it on every
+                    # table); a threshold stays ambiguous (which
+                    # measure does 'over 1000' bind?) and refuses
+                    if having is not None:
                         raise KeyError(
-                            "a threshold/date-range qualifier is "
+                            "a threshold qualifier is "
                             "ambiguous over two measures — refusing "
                             f"rather than guessing: {question!r}"
                         )
@@ -1045,9 +1279,9 @@ class SemanticModel:
                         len(facts) == 2
                         and not (lt - _AVG_WORDS - {"top"} - consumed)
                     ):
-                        if having is not None or date_range is not None:
+                        if having is not None:
                             raise KeyError(
-                                "a threshold/date-range qualifier is "
+                                "a threshold qualifier is "
                                 "ambiguous over two measures — refusing "
                                 f"rather than guessing: {question!r}"
                             )
@@ -1210,7 +1444,9 @@ class SemanticModel:
             for ft, fc, fv in route.filters:
                 if ft == t:
                     df = df.filter(F.col(fc) == F.lit(fv))
-            if route.date_range is not None and route.date_range[0] == t:
+            # anchor '*' = every table the route reads (two-measure
+            # families, where the range filters the shared time axis)
+            if route.date_range is not None and route.date_range[0] in (t, "*"):
                 _, c, lo, hi = route.date_range
                 d = F.to_date(F.col(c))
                 df = df.filter(
@@ -1436,10 +1672,18 @@ class SemanticModel:
             )
             if rel_toks:
                 name = None
-                try:
-                    name = self.route_question(question)
-                except KeyError:
-                    pass
+                # ADVICE r10: the token comparison below is DIGIT-
+                # stripped, so 'last 3 months' is token-identical to
+                # 'last month' and 'in may 2024' to 'in may' — a
+                # blessed question carrying the digit-free phrase would
+                # silently answer the WRONG window. Forms whose digits
+                # carry meaning (month+year, rolling N-units) and the
+                # always-refuse words never take the escape.
+                if not re.search(_ESCAPE_BLOCK_RE, ql):
+                    try:
+                        name = self.route_question(question)
+                    except KeyError:
+                        pass
                 # EVERY relative phrase must be carried by the blessed
                 # question's own text — one covered phrase must not
                 # smuggle a second, dropped one through the escape
@@ -1510,7 +1754,14 @@ class SemanticModel:
                 else None
             ),
             "date_range": (
-                "{}.{} between {} and {}".format(*target.date_range)
+                "{}.{} between {} and {}".format(
+                    # '*' anchor = every table the route reads (the
+                    # two-measure shared time axis)
+                    "&".join(target.tables)
+                    if target.date_range[0] == "*"
+                    else target.date_range[0],
+                    *target.date_range[1:],
+                )
                 if target.date_range
                 else None
             ),

@@ -817,10 +817,11 @@ def test_template_relative_dates(spark, model, replicas):
     assert t.date_range[2:] == ("2024-05-21", "2024-06-03")
     with pytest.raises(KeyError, match="relative/named date"):
         model.route("how many appointments last 3 months", as_of=AS_OF)
-    # an explicit year next to a month name would be silently ignored
-    # (digits are not routing tokens) — refuse
-    with pytest.raises(KeyError, match="relative/named date"):
-        model.route("how many appointments in may 2024", as_of=AS_OF)
+    # r11 (VERDICT r10 task 1): an explicit year is the LEAST ambiguous
+    # date form — it now binds to exact ISO bounds (see
+    # test_template_year_explicit_and_open_dates for the full matrix)
+    kind, t = model.route("how many appointments in may 2024", as_of=AS_OF)
+    assert t.date_range[2:] == ("2024-05-01", "2024-05-31")
     # 'last 7 days' without an as_of refuses instead of similarity-
     # matching the catalog and dropping the qualifier
     with pytest.raises(KeyError, match="relative/named date"):
@@ -1031,4 +1032,238 @@ def test_template_two_measure_time_bucket(spark, model, replicas):
     assert ex["kind"] == "template" and ex["bucket"] == "month"
     assert model.route("total revenue by month")[1].family == (
         "measure_by_time_bucket"
+    )
+
+
+def test_template_year_explicit_and_open_dates(spark, model, replicas):
+    """r11 (VERDICT r10 tasks 1+4): year-explicit month forms bind to
+    exact ISO bounds WITHOUT an as_of; open-ended phrases (since/after/
+    before/until) bind one side and leave the other open; at most one
+    date qualifier per question; ambiguous forms keep refusing."""
+    # -- year-explicit: binds with AND without as_of -------------------
+    for as_of in (None, AS_OF):
+        kind, t = model.route("how many appointments in may 2024",
+                              as_of=as_of)
+        assert kind == "template" and t.family == "count_table"
+        assert t.date_range == (
+            "appointments", "appointment_date", "2024-05-01", "2024-05-31",
+        ), as_of
+    for q, want in [
+        ("between march 2024 and may 2024", ("2024-03-01", "2024-05-31")),
+        # cross-year span
+        ("between march 2024 and may 2025", ("2024-03-01", "2025-05-31")),
+        ("from november 2023 through february 2024",
+         ("2023-11-01", "2024-02-29")),  # leap-aware month end
+        ("in december of 2023", ("2023-12-01", "2023-12-31")),
+    ]:
+        kind, t = model.route(f"how many appointments {q}")
+        assert t.date_range[2:] == want, (q, t.date_range)
+    # reversed / half-yeared / bare month+year forms refuse — binding
+    # would guess or silently drop the stated year
+    for q in ("between may 2024 and march 2024",
+              "between march and may 2024",
+              "between march 2024 and may",
+              "may 2024"):
+        with pytest.raises(KeyError):
+            model.route(f"how many appointments {q}", as_of=AS_OF)
+        with pytest.raises(KeyError):
+            model.route(f"how many appointments {q}")
+
+    # -- open-ended (as_of 2024-06-03) ---------------------------------
+    for q, want in [
+        # since: [X start, as_of]; year-less month uses the same
+        # most-recent-past convention as 'in <month>'
+        ("since march", ("2024-03-01", "2024-06-03")),
+        ("since december", ("2023-12-01", "2024-06-03")),
+        ("since march 2024", ("2024-03-01", "2024-06-03")),
+        ("since 2024-05-15", ("2024-05-15", "2024-06-03")),
+        ("since last month", ("2024-05-01", "2024-06-03")),
+        ("since yesterday", ("2024-06-02", "2024-06-03")),
+        # after: exclusive of X
+        ("after 2024-05-15", ("2024-05-16", "2024-06-03")),
+        ("after march 2024", ("2024-04-01", "2024-06-03")),
+        ("after last week", ("2024-06-03", "2024-06-03")),
+        # before/until: open lower bound
+        ("before 2024-05-15", ("0001-01-01", "2024-05-14")),
+        ("until 2024-05-15", ("0001-01-01", "2024-05-15")),
+        ("until may 2024", ("0001-01-01", "2024-05-31")),
+        ("before may 2024", ("0001-01-01", "2024-04-30")),
+        ("until last month", ("0001-01-01", "2024-05-31")),
+        ("before this week", ("0001-01-01", "2024-06-02")),
+        ("up to 2024-05-15", ("0001-01-01", "2024-05-15")),
+    ]:
+        kind, t = model.route(f"how many appointments {q}", as_of=AS_OF)
+        assert t.family == "count_table" and t.date_range[2:] == want, (
+            q, t.date_range,
+        )
+    # before/until of ABSOLUTE bounds need no as_of
+    kind, t = model.route("how many appointments before 2024-05-15")
+    assert t.date_range[2:] == ("0001-01-01", "2024-05-14")
+    kind, t = model.route("how many appointments until may 2024")
+    assert t.date_range[2:] == ("0001-01-01", "2024-05-31")
+
+    # refusals: since/after without as_of (window ends at as_of);
+    # year-less month for before/until (direction-ambiguous); empty or
+    # future windows; unbindable operands; double qualifiers
+    for q, as_of in [
+        ("since 2024-01-01", None),
+        ("after march 2024", None),
+        ("since march", None),
+        ("until september", AS_OF),       # upcoming vs most recent past
+        ("before september", None),
+        ("since next year", AS_OF),       # starts after as_of -> empty
+        ("after today", AS_OF),
+        ("since 3pm", AS_OF),             # not a date operand
+        ("since the holidays", AS_OF),
+        ("since march until may", AS_OF),
+        ("in may 2024 and in june 2024", AS_OF),
+        ("since march last week", AS_OF),
+        ("between 2024-01-01 and 2024-02-01 since march", AS_OF),
+    ]:
+        with pytest.raises(KeyError):
+            model.route(f"how many appointments {q}", as_of=as_of)
+
+    # EXECUTION equals the explicit-ISO route it resolves to
+    kind, t = model.route("revenue by doctor since march 2024", as_of=AS_OF)
+    got = model.run_template(t, spark, replicas).collect()
+    _, t_iso = model.route(
+        "revenue by doctor from 2024-03-01 to 2024-06-03"
+    )
+    want = model.run_template(t_iso, spark, replicas).collect()
+    assert got == want and got
+
+    # audit surface shows the RESOLVED bounds (open side included)
+    ex = model.explain_route(
+        "how many appointments before 2024-05-15"
+    )
+    assert ex["date_range"] == (
+        "appointments.appointment_date between 0001-01-01 and 2024-05-14"
+    )
+
+    # ADVICE r10: digit-carrying phrases never take the catalog escape
+    # even when the blessed question carries the digit-free tokens —
+    # 'modified today in may 2024' is NOT the blessed modified-today ask
+    with pytest.raises(KeyError):
+        model.route("Show appointments modified today in may 2024 via CDC")
+    with pytest.raises(KeyError):
+        model.route("Show appointments modified today in may 2024 via CDC",
+                    as_of=AS_OF)
+    # ...while the digit-free escape keeps working
+    assert model.route("Show appointments modified today via CDC") == (
+        "verified", "appointments_modified_today",
+    )
+
+
+def test_template_two_measure_date_composition(spark, model, replicas):
+    """r11 (VERDICT r10 task 7): a date-range/relative/open qualifier
+    filters the SHARED time axis and composes with BOTH two-measure
+    families; thresholds and avg-words keep refusing; tables that
+    disagree on (or lack) a time dimension refuse."""
+    for q in ("revenue and visit count by month since march",
+              "revenue and visit count by month in may 2024",
+              "revenue and visit count by month last quarter"):
+        kind, t = model.route(q, as_of=AS_OF)
+        assert kind == "template", q
+        assert t.family == "two_measures_by_time_bucket", q
+        assert t.date_range is not None and t.date_range[0] == "*", q
+        assert t.date_range[1] == "visit_date", q
+
+    # EXECUTION: the '*' anchor filters every table read
+    kind, t = model.route(
+        "revenue and visit count by month from 2024-01-01 to 2024-03-31"
+    )
+    got = {str(r["month"]): (r["total_total_charge"], r["n"])
+           for r in model.run_template(t, spark, replicas).collect()}
+    base = (
+        replicas["visits"]
+        .filter(~F.col(schemas.META_DELETED))
+        .filter((F.to_date("visit_date") >= F.lit("2024-01-01"))
+                & (F.to_date("visit_date") <= F.lit("2024-03-31")))
+    )
+    want = {str(r["m"]): (r["s"], r["n"])
+            for r in base.groupBy(F.trunc("visit_date", "month").alias("m"))
+            .agg(F.sum("total_charge").alias("s"),
+                 F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+    # by_entity composition over a synthetic two-table model whose
+    # tables AGREE on the time dimension (the healthcare model has no
+    # such fact pair: doctors declares no time dimension)
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+        ColumnSpec, Relationship, SemanticModel, TableSpec,
+    )
+    em = SemanticModel(
+        "em",
+        tables=[
+            TableSpec("teams", "team_id", [
+                ColumnSpec("team_id", "dimension"),
+                ColumnSpec("name", "dimension"),
+            ]),
+            TableSpec("alpha", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("score", "fact"),
+                ColumnSpec("team_id", "dimension"),
+            ]),
+            TableSpec("beta", "id", [
+                ColumnSpec("id", "dimension"),
+                ColumnSpec("ts", "time_dimension"),
+                ColumnSpec("points", "fact"),
+                ColumnSpec("team_id", "dimension"),
+            ]),
+        ],
+        relationships=[
+            Relationship("alpha_to_teams", "alpha", "teams",
+                         "team_id", "team_id"),
+            Relationship("beta_to_teams", "beta", "teams",
+                         "team_id", "team_id"),
+        ],
+    )
+    alpha = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-10", 2.0 * i, i % 2) for i in range(9)],
+        "id long, ts string, score double, team_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    beta = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-20", 5.0 * i, i % 2) for i in range(9)],
+        "id long, ts string, points double, team_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    kind, tx = em.route(
+        "score and points by team from 2024-01-01 to 2024-02-28"
+    )
+    assert kind == "template" and tx.family == "two_measures_by_entity"
+    assert tx.date_range == ("*", "ts", "2024-01-01", "2024-02-28")
+    got_e = {r["team_id"]: (r["total_score"], r["total_points"])
+             for r in em.run_template(
+                 tx, spark,
+                 {"alpha": alpha, "beta": beta, "teams": None}).collect()}
+    fa = alpha.filter(F.to_date("ts") <= "2024-02-28")
+    fb = beta.filter(F.to_date("ts") <= "2024-02-28")
+    want_e = {}
+    for r in fa.groupBy("team_id").agg(F.sum("score").alias("s")).collect():
+        want_e[r["team_id"]] = (r["s"], None)
+    for r in fb.groupBy("team_id").agg(F.sum("points").alias("p")).collect():
+        s = want_e.get(r["team_id"], (None, None))[0]
+        want_e[r["team_id"]] = (s, r["p"])
+    assert got_e == want_e and got_e
+
+    # refusals unchanged: thresholds/avg over two measures; a measure
+    # pair whose tables disagree on (or lack) the time dimension
+    with pytest.raises(KeyError, match="ambiguous over two measures"):
+        model.route_template("revenue and visit count by month over 100")
+    with pytest.raises(KeyError, match="avg-words"):
+        model.route_template("average revenue and visit count by month")
+    # doctors declares no time dimension -> by_entity + date refuses
+    with pytest.raises(KeyError):
+        model.route("revenue and experience by doctor since march",
+                    as_of=AS_OF)
+    # ...while the same ask WITHOUT the date qualifier still routes
+    kind, t0 = model.route("revenue and experience by doctor")
+    assert t0.family == "two_measures_by_entity" and t0.date_range is None
+
+    # audit surface names every filtered table for the '*' anchor
+    ex = model.explain_route(
+        "revenue and visit count by month in may 2024"
+    )
+    assert ex["date_range"] == (
+        "visits.visit_date between 2024-05-01 and 2024-05-31"
     )

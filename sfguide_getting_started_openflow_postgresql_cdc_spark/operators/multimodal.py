@@ -64,8 +64,10 @@ def _make_pixel_decoder():
       RECONSTRUCTION (all five filter types, the spec's byte-exact
       recurrences, at the color type's byte stride). None/Up/Sub rows
       reconstruct fully vectorized (Sub is a per-lane prefix sum);
-      Average/Paeth run the inherently-sequential left-neighbour
-      recurrence over Python ints.
+      runs of consecutive Average/Paeth rows vectorize as an
+      anti-diagonal WAVEFRONT (cell (y,x) depends only on its left/up/
+      up-left neighbours, so diagonal y+x=d computes at once — r10
+      verdict task 6); short runs keep the Python-int row loop.
 
     Anything needing a real codec (JPEG/...) raises
     NotImplementedError."""
@@ -152,6 +154,75 @@ def _make_pixel_decoder():
             # byte minimum) — 16-bit samples just double both
             bpp = channels * (depth // 8)
 
+            def _avg_paeth_scalar(line, prev, ft):
+                """One Average/Paeth row over plain Python ints — the
+                cheapest path for SHORT runs, where the wavefront's
+                per-diagonal numpy overhead would dominate (timing note
+                in BASELINE.md r10/r11)."""
+                strd = len(line)
+                ln_l = line.tolist()
+                pv_l = prev.tolist()
+                rec_l = [0] * strd
+                if ft == 3:  # Average
+                    for i in range(strd):
+                        a = rec_l[i - bpp] if i >= bpp else 0
+                        rec_l[i] = (ln_l[i] + ((a + pv_l[i]) >> 1)) % 256
+                else:  # Paeth
+                    for i in range(strd):
+                        a = rec_l[i - bpp] if i >= bpp else 0
+                        b = pv_l[i]
+                        c = pv_l[i - bpp] if i >= bpp else 0
+                        pa = abs(b - c)
+                        pb = abs(a - c)
+                        pc = abs(a + b - 2 * c)
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = b
+                        else:
+                            pred = c
+                        rec_l[i] = (ln_l[i] + pred) % 256
+                return _np.asarray(rec_l, _np.int64)
+
+            def _avg_paeth_wavefront(lines_run, ft_run, prev, wp):
+                """A RUN of consecutive Average/Paeth rows via
+                anti-diagonal wavefront (r10 verdict task 6): cell
+                (y, x) depends on (y, x-1), (y-1, x), (y-1, x-1) only,
+                so every cell on diagonal y+x = d is computable at once
+                from diagonals d-1/d-2 — ~(n + wp) vectorized steps of
+                ~min(n, wp)*bpp lanes instead of n*wp*bpp interpreted
+                steps. A one-cell border of context (zeros left, the
+                reconstructed row above on top) absorbs the spec's
+                boundary cases with no per-step masking."""
+                n = lines_run.shape[0]
+                # int16 is wide enough for every intermediate (|a+b-2c|
+                # <= 510, line+pred <= 510) and halves the gather traffic
+                L = lines_run.reshape(n, wp, bpp).astype(_np.int16)
+                W = _np.zeros((n + 1, wp + 1, bpp), _np.int16)
+                W[0, 1:] = prev.reshape(wp, bpp)
+                is_paeth = ft_run == 4
+                ys_all = _np.arange(n + 1)
+                for d in range(2, n + wp + 1):
+                    ys = ys_all[max(1, d - wp) : min(n, d - 1) + 1]
+                    xs = d - ys
+                    a = W[ys, xs - 1]
+                    b = W[ys - 1, xs]
+                    c = W[ys - 1, xs - 1]
+                    pa = _np.abs(b - c)
+                    pb = _np.abs(a - c)
+                    pc = _np.abs(a + b - 2 * c)
+                    pred = _np.where(
+                        is_paeth[ys - 1][:, None],
+                        _np.where(
+                            (pa <= pb) & (pa <= pc),
+                            a,
+                            _np.where(pb <= pc, b, c),
+                        ),
+                        (a + b) >> 1,  # Average
+                    )
+                    W[ys, xs] = (L[ys - 1, xs - 1] + pred) & 255
+                return W[1:, 1:].reshape(n, wp * bpp)
+
             def defilter(off, wp, hp):
                 """Reverse the scanline filters of one (sub-)image of
                 ``hp`` rows x ``wp`` pixels starting at byte ``off`` of
@@ -170,53 +241,46 @@ def _make_pixel_decoder():
                 lines = seg[:, 1:].astype(_np.int64)  # copies — mutable
                 out = _np.zeros((hp, strd), _np.int64)
                 zero = _np.zeros(strd, _np.int64)
-                for y in range(hp):
+                y = 0
+                while y < hp:
                     ft = int(ftypes[y])
                     line = lines[y]
                     prev = out[y - 1] if y else zero
                     if ft == 0:  # None
-                        rec = line
+                        out[y] = line
                     elif ft == 2:  # Up — vectorized across the row
-                        rec = (line + prev) % 256
+                        out[y] = (line + prev) % 256
                     elif ft == 1:  # Sub — a per-lane prefix sum:
                         # rec[i] = line[i] + rec[i-bpp], i.e. cumsum
                         # down each of the bpp byte lanes (mod commutes
                         # with the partial sums)
-                        rec = (
+                        out[y] = (
                             _np.cumsum(line.reshape(wp, bpp), axis=0)
                             .reshape(strd) % 256
                         )
                     else:  # Average/Paeth: the left-neighbour
-                        # recurrence is inherently sequential — run it
-                        # over plain Python ints (lists), ~5x faster
-                        # than per-byte numpy scalar indexing (timing
-                        # note in BASELINE.md r10)
-                        ln_l = line.tolist()
-                        pv_l = prev.tolist()
-                        rec_l = [0] * strd
-                        if ft == 3:  # Average
-                            for i in range(strd):
-                                a = rec_l[i - bpp] if i >= bpp else 0
-                                rec_l[i] = (
-                                    ln_l[i] + ((a + pv_l[i]) >> 1)
-                                ) % 256
-                        else:  # Paeth
-                            for i in range(strd):
-                                a = rec_l[i - bpp] if i >= bpp else 0
-                                b = pv_l[i]
-                                c = pv_l[i - bpp] if i >= bpp else 0
-                                pa = abs(b - c)
-                                pb = abs(a - c)
-                                pc = abs(a + b - 2 * c)
-                                if pa <= pb and pa <= pc:
-                                    pred = a
-                                elif pb <= pc:
-                                    pred = b
-                                else:
-                                    pred = c
-                                rec_l[i] = (ln_l[i] + pred) % 256
-                        rec = _np.asarray(rec_l, _np.int64)
-                    out[y] = rec
+                        # recurrence is sequential WITHIN a row, but a
+                        # run of consecutive such rows vectorizes as an
+                        # anti-diagonal wavefront; short runs (where
+                        # the per-diagonal overhead would dominate)
+                        # keep the Python-int row loop
+                        y1 = y + 1
+                        while y1 < hp and ftypes[y1] >= 3:
+                            y1 += 1
+                        if (y1 - y) >= 16 and wp >= 8:
+                            out[y:y1] = _avg_paeth_wavefront(
+                                lines[y:y1], ftypes[y:y1], prev, wp
+                            )
+                        else:
+                            for yy in range(y, y1):
+                                out[yy] = _avg_paeth_scalar(
+                                    lines[yy],
+                                    out[yy - 1] if yy else zero,
+                                    int(ftypes[yy]),
+                                )
+                        y = y1
+                        continue
+                    y += 1
                 return out.astype(_np.uint8)
 
             if interlace == 0:

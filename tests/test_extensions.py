@@ -425,6 +425,49 @@ def test_decode_media_png_property_roundtrip():
     check()
 
 
+def test_decode_media_png_wavefront_long_runs():
+    """r11 (VERDICT r10 task 6): runs of >= 16 consecutive Average/
+    Paeth rows reconstruct through the anti-diagonal WAVEFRONT (the
+    hypothesis property above stops at h=10, which always takes the
+    scalar path) — all-Average, all-Paeth, alternating 3/4 runs, runs
+    broken by vectorized rows, 3- and 4-byte strides, 16-bit depth,
+    and a wavefront-sized Adam7 pass must all equal the encoder's
+    input byte-for-byte."""
+    import numpy as np
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+        _make_pixel_decoder,
+    )
+
+    pixels = _make_pixel_decoder()
+    rng = np.random.RandomState(42)
+    cases = [
+        (48, 24, 2, [4]),                     # all-Paeth
+        (48, 24, 2, [3]),                     # all-Average
+        (48, 24, 2, [3, 4]),                  # mixed run (one wavefront)
+        (48, 24, 2, [4] * 20 + [0, 1, 2] + [3] * 20),  # runs split by
+        (48, 24, 6, [4]),                     # 4-byte stride (RGBA)
+        (17, 3, 2, [4]),                      # wp < 8 -> scalar path
+        (100, 1, 2, [3, 4]),                  # single-pixel rows
+    ]
+    for h, w, ctype, filters in cases:
+        ch = 4 if ctype == 6 else 3
+        px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        kind, got = pixels(_mk_png(px, filters, color_type=ctype))
+        assert kind == "png" and (got == px[:, :, :3]).all(), (
+            h, w, ctype, filters[:4],
+        )
+    # 16-bit: wavefront over the doubled byte stride
+    px16 = rng.randint(0, 65536, size=(40, 20, 3), dtype=np.uint16)
+    _, got = pixels(_mk_png(px16, [4]))
+    assert (got == (px16 >> 8).astype(np.uint8)).all()
+    # Adam7 whose first pass is itself wavefront-sized (h, w >= 128
+    # gives a 16x16+ pass grid)
+    px = rng.randint(0, 256, size=(130, 129, 3), dtype=np.uint8)
+    _, got = pixels(_mk_png(px, [3, 4], interlace=1))
+    assert (got == px).all()
+
+
 def test_decode_media_real_bmp_and_wav():
     """decode_media parses REAL container bytes: header fields, BMP row
     stride (padding excluded from content), WAV chunk walk + word

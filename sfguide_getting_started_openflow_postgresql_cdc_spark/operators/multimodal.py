@@ -69,8 +69,12 @@ def _make_pixel_decoder():
       up-left neighbours, so diagonal y+x=d computes at once — r10
       verdict task 6); short runs keep the Python-int row loop.
 
-    Anything needing a real codec (JPEG/...) raises
-    NotImplementedError."""
+    - JPEG: baseline sequential DCT (ITU T.81 SOF0) — marker walk,
+      canonical-Huffman entropy decode, dequant + batched IDCT,
+      chroma upsample, fixed-point YCbCr->RGB (see ``_decode_jpeg``).
+
+    Progressive/arithmetic JPEG and anything needing a real video
+    codec raise NotImplementedError."""
 
     def pixels(payload: bytes):
         import struct as _struct
@@ -335,11 +339,301 @@ def _make_pixel_decoder():
                 return "png", _np.repeat(g, 3, axis=2)
             # grayscale: replicate the single channel
             return "png", _np.repeat(px.reshape(h, w, 1), 3, axis=2)
+        if p[:2] == b"\xff\xd8":
+            return "jpeg", _decode_jpeg(p)
         raise NotImplementedError(
             "unsupported image container (supported: 24-bit BMP, 8-bit "
-            "gray/truecolor/palette/RGBA PNG); real codecs (JPEG/...) "
-            "are not available in this runtime"
+            "gray/truecolor/palette/RGBA PNG, baseline SOF0 JPEG); "
+            "progressive/arithmetic JPEG and real video codecs are not "
+            "available in this runtime"
         )
+
+    def _decode_jpeg(p: bytes):
+        """Baseline JPEG (ITU T.81 SOF0) decoder: marker walk (DQT/
+        DHT/SOF0/SOS), canonical Huffman entropy decode (T.81 annex F
+        EXTEND semantics), dequantize + un-zigzag, batched separable
+        float64 IDCT over every block at once, nearest-neighbour chroma
+        upsample for subsampled scans, and FIXED-POINT integer
+        YCbCr->RGB (BT.601 constants scaled by 2^16, >>16 with floor —
+        bit-reproducible across engines, which is what lets the mm5/mm6
+        SQL oracles recompute decoded pixels exactly for the DC-only
+        fixtures). Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+        components, sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2).
+        Progressive (SOF2), arithmetic coding, 12-bit precision, and
+        restart intervals raise NotImplementedError; malformed streams
+        raise ValueError."""
+        import struct as _struct
+
+        import numpy as _np
+
+        qt: dict[int, "_np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        sof = None
+        scan_comps = None
+        entropy_start = None
+        pos = 2
+        while pos + 4 <= len(p):
+            if p[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            m = p[pos + 1]
+            if m == 0xD9:  # EOI before SOS
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+                pos += 2
+                continue
+            if pos + 4 > len(p):
+                raise ValueError("truncated JPEG segment header")
+            ln = _struct.unpack_from(">H", p, pos + 2)[0]
+            if ln < 2 or pos + 2 + ln > len(p):
+                raise ValueError("truncated JPEG segment")
+            body = p[pos + 4 : pos + 2 + ln]
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq == 0:
+                        qt[tq] = _np.frombuffer(
+                            body, _np.uint8, 64, i + 1
+                        ).astype(_np.int64)
+                        i += 65
+                    elif pq == 1:
+                        qt[tq] = (
+                            _np.frombuffer(body, ">u2", 64, i + 1)
+                            .astype(_np.int64)
+                        )
+                        i += 129
+                    else:
+                        raise ValueError(f"bad DQT precision {pq}")
+            elif m == 0xC4:  # DHT (canonical code lengths + values)
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    counts = list(body[i + 1 : i + 17])
+                    nvals = sum(counts)
+                    vals = list(body[i + 17 : i + 17 + nvals])
+                    if len(vals) < nvals:
+                        raise ValueError("truncated DHT")
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    vi = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = vals[vi]
+                            code += 1
+                            vi += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + nvals
+            elif m == 0xC0:  # SOF0 — baseline sequential DCT
+                prec, hh, ww, nc = (
+                    body[0],
+                    _struct.unpack_from(">H", body, 1)[0],
+                    _struct.unpack_from(">H", body, 3)[0],
+                    body[5],
+                )
+                if prec != 8:
+                    raise NotImplementedError(
+                        f"only 8-bit JPEG precision supported ({prec})"
+                    )
+                if nc not in (1, 3):
+                    raise NotImplementedError(
+                        f"only 1- or 3-component JPEG supported ({nc})"
+                    )
+                comps = []
+                for ci in range(nc):
+                    cid = body[6 + 3 * ci]
+                    hv = body[7 + 3 * ci]
+                    comps.append(
+                        (cid, hv >> 4, hv & 15, body[8 + 3 * ci])
+                    )
+                sof = (ww, hh, comps)
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"only baseline JPEG (SOF0) supported (SOF{m - 0xC0})"
+                )
+            elif m == 0xDD:
+                if _struct.unpack_from(">H", body, 0)[0] != 0:
+                    raise NotImplementedError(
+                        "JPEG restart intervals not supported"
+                    )
+            elif m == 0xDA:  # SOS
+                ns = body[0]
+                scan_comps = [
+                    (body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 15)
+                    for i in range(ns)
+                ]
+                entropy_start = pos + 2 + ln
+                break
+            # APPn / COM / anything else: skipped
+            pos += 2 + ln
+        if sof is None or scan_comps is None:
+            raise ValueError("JPEG missing SOF0/SOS")
+        w, h, comps = sof
+        if w == 0 or h == 0:
+            raise ValueError("zero-dimension JPEG")
+        if len(scan_comps) != len(comps):
+            raise NotImplementedError(
+                "multi-scan JPEG not supported (one interleaved scan only)"
+            )
+
+        # de-stuff the entropy segment (FF 00 -> FF) up to the next
+        # marker; restart markers inside the scan are unsupported above
+        data = bytearray()
+        i = entropy_start
+        while i < len(p):
+            b = p[i]
+            if b == 0xFF:
+                nxt = p[i + 1] if i + 1 < len(p) else 0xD9
+                if nxt == 0x00:
+                    data.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "JPEG restart markers not supported"
+                    )
+                break  # a real marker ends the scan
+            data.append(b)
+            i += 1
+
+        # bit reader over the destuffed buffer
+        bitpos = 0
+        nbits_total = len(data) * 8
+
+        def read_bits(n: int) -> int:
+            nonlocal bitpos
+            if n == 0:
+                return 0
+            if bitpos + n > nbits_total:
+                raise ValueError("JPEG entropy data exhausted")
+            v = 0
+            bp = bitpos
+            for _ in range(n):
+                v = (v << 1) | ((data[bp >> 3] >> (7 - (bp & 7))) & 1)
+                bp += 1
+            bitpos = bp
+            return v
+
+        def huff_decode(table) -> int:
+            nonlocal bitpos
+            code = 0
+            length = 0
+            bp = bitpos
+            while length < 16:
+                if bp >= nbits_total:
+                    raise ValueError("JPEG entropy data exhausted")
+                code = (code << 1) | ((data[bp >> 3] >> (7 - (bp & 7))) & 1)
+                bp += 1
+                length += 1
+                v = table.get((length, code))
+                if v is not None:
+                    bitpos = bp
+                    return v
+            raise ValueError("invalid JPEG Huffman code")
+
+        def extend(v: int, s: int) -> int:
+            # T.81 F.12: low-order magnitude bits of negative values
+            # are stored offset by 2^s - 1
+            return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not all(
+            1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps
+        ):
+            raise NotImplementedError(
+                "JPEG sampling factors beyond 2 not supported"
+            )
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        td_ta = {cid: (td, ta) for cid, td, ta in scan_comps}
+        coefs = {}
+        for cid, hc, vc, _tq in comps:
+            coefs[cid] = _np.zeros(
+                (mcuy * vc, mcux * hc, 64), _np.int64
+            )
+        pred = {cid: 0 for cid, *_ in comps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hc, vc, _tq in comps:
+                    td, ta = td_ta[cid]
+                    dc_tab = huff.get((0, td))
+                    ac_tab = huff.get((1, ta))
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    for by in range(vc):
+                        for bx in range(hc):
+                            blk = [0] * 64
+                            s = huff_decode(dc_tab)
+                            if s > 11:
+                                raise ValueError("bad JPEG DC category")
+                            diff = extend(read_bits(s), s)
+                            pred[cid] += diff
+                            blk[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = huff_decode(ac_tab)
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r == 15:  # ZRL: 16 zeros
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run past block end"
+                                    )
+                                blk[k] = extend(read_bits(sz), sz)
+                                k += 1
+                            coefs[cid][my * vc + by, mx * hc + bx] = blk
+
+        # zigzag -> natural order (T.81 figure A.6), shared by all blocks
+        zz = _np.array(
+            [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+             28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+             37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+             54, 47, 55, 62, 63], _np.int64,
+        )
+        u = _np.arange(8)
+        x8 = _np.arange(8)
+        M = _np.cos((2 * x8[:, None] + 1) * u[None, :] * _np.pi / 16) / 2.0
+        M[:, 0] /= _np.sqrt(2.0)
+
+        planes = {}
+        for cid, hc, vc, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG component references missing DQT")
+            c = coefs[cid] * qt[tq][None, None, :]  # dequant (zigzag order)
+            nat = _np.zeros_like(c)
+            nat[:, :, zz] = c
+            by, bx = nat.shape[0], nat.shape[1]
+            blocks = nat.reshape(by, bx, 8, 8).astype(_np.float64)
+            # separable IDCT over every block at once: P = M @ S @ M.T
+            pix = _np.einsum("xu,ijuv,yv->ijxy", M, blocks, M)
+            pix = _np.clip(_np.round(pix) + 128, 0, 255).astype(_np.int64)
+            plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            # nearest-neighbour upsample to the full grid, then crop
+            plane = _np.repeat(
+                _np.repeat(plane, vmax // vc, axis=0), hmax // hc, axis=1
+            )
+            planes[cid] = plane[:h, :w]
+
+        if len(comps) == 1:
+            g = planes[comps[0][0]].astype(_np.uint8)
+            return _np.repeat(g[:, :, None], 3, axis=2)
+        y_p = planes[comps[0][0]]
+        cb1 = planes[comps[1][0]] - 128
+        cr1 = planes[comps[2][0]] - 128
+        # fixed-point BT.601 (constants = round(coef * 2^16); >> floors)
+        r = y_p + ((91881 * cr1 + 32768) >> 16)
+        g = y_p - ((22554 * cb1 + 46802 * cr1 + 32768) >> 16)
+        b = y_p + ((116130 * cb1 + 32768) >> 16)
+        rgb = _np.stack([r, g, b], axis=2)
+        return _np.clip(rgb, 0, 255).astype(_np.uint8)
 
     return pixels
 
@@ -357,9 +651,9 @@ def _make_media_decoder():
 
     Returns a dict: kind, width, height, duration_us, n_units (pixels or
     samples), content_sum (sum of pixel bytes / sample values),
-    payload_bytes. Anything else (JPEG, MP3, ...) raises
-    NotImplementedError — real codecs are out of scope for this runtime.
-    """
+    payload_bytes. Anything else (progressive JPEG, MP3, ...) raises
+    NotImplementedError — codecs beyond baseline JPEG are out of scope
+    for this runtime."""
     pixels = _make_pixel_decoder()
 
     def decode(payload: bytes) -> dict:
@@ -368,7 +662,11 @@ def _make_media_decoder():
         import numpy as _np
 
         p = bytes(payload)
-        if p[:2] == b"BM" or p[:8] == b"\x89PNG\r\n\x1a\n":
+        if (
+            p[:2] == b"BM"
+            or p[:8] == b"\x89PNG\r\n\x1a\n"
+            or p[:2] == b"\xff\xd8"
+        ):
             kind, px = pixels(p)
             h, w = int(px.shape[0]), int(px.shape[1])
             return {
@@ -411,17 +709,18 @@ def _make_media_decoder():
             }
         raise NotImplementedError(
             "unsupported media container (supported: 24-bit BMP, 8-bit "
-            "truecolor PNG, 16-bit PCM WAV); real codecs (JPEG/MP3/...) "
-            "are not available in this runtime"
+            "truecolor PNG, baseline SOF0 JPEG, 16-bit PCM WAV); "
+            "progressive JPEG and real audio/video codecs (MP3/...) are "
+            "not available in this runtime"
         )
 
     return decode
 
 
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
-    """Decode a media payload — REAL for 24-bit BMP, 8-bit truecolor
-    PNG, and 16-bit PCM WAV (pure-Python header/chunk + content parse,
-    see ``_make_media_decoder``); other containers raise
+    """Decode a media payload — REAL for 24-bit BMP, 8-bit PNG,
+    baseline SOF0 JPEG, and 16-bit PCM WAV (pure-Python header/chunk +
+    content parse, see ``_make_media_decoder``); other containers raise
     NotImplementedError. ``kind`` is advisory — dispatch is on magic
     bytes."""
     return _make_media_decoder()(payload)

@@ -1,0 +1,367 @@
+"""Baseline JPEG (SOF0) decode (operators/multimodal.py
+`_make_pixel_decoder`): a REAL test-side encoder (forward DCT,
+quantization, zigzag run-length, canonical Huffman, byte stuffing,
+optional 4:2:0/4:2:2 subsampling) drives round-trip properties against
+the decoder; spec gates (progressive, restart intervals, 12-bit) stay
+loud. Mirrors the PNG milestone's encoder-twin strategy
+(tests/test_extensions.py::_mk_png)."""
+
+import numpy as np
+import pytest
+
+from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+    _make_pixel_decoder,
+    decode_media,
+)
+
+pixels = _make_pixel_decoder()
+
+# canonical zigzag order (T.81 figure A.6) — natural index per zz index
+ZZ = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+     28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+     37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+     54, 47, 55, 62, 63], np.int64,
+)
+
+
+def _dct_matrix():
+    u = np.arange(8)
+    x = np.arange(8)
+    m = np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
+    m[:, 0] /= np.sqrt(2.0)
+    return m
+
+
+def _huffman_spec():
+    """Fixed-length canonical tables (legal Huffman: all DC categories
+    at 4 bits, all 256 possible AC run/size symbols at 9 bits) — the
+    encoder stays simple and every symbol is encodable."""
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # twelve 4-bit codes
+    dc_vals = list(range(12))
+    # the 162 VALID AC symbols (EOB, ZRL, and (run<<4)|size for
+    # size 1..10) as 9-bit codes — counts bytes cap at 255, so "every
+    # possible byte" is not an option
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_vals)  # code length 9
+    return (dc_counts, dc_vals), (ac_counts, ac_vals)
+
+
+def _canonical_codes(counts, vals):
+    codes = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[vals[vi]] = (length, code)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s (spec)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _category(v):
+    return int(abs(v)).bit_length()
+
+
+def mk_jpeg(rgb, qval=1, subsampling="444"):
+    """Encode an (h, w, 3) RGB array (or (h, w) grayscale) as a
+    baseline SOF0 JPEG with a flat quantization table of ``qval``."""
+    import struct
+
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    if gray:
+        planes = {1: rgb.astype(np.float64)}
+        comps = [(1, 1, 1)]
+    else:
+        r = rgb[:, :, 0].astype(np.float64)
+        g = rgb[:, :, 1].astype(np.float64)
+        b = rgb[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+        hs, vs = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsampling]
+        planes = {1: y, 2: cb, 3: cr}
+        comps = [(1, hs, vs), (2, 1, 1), (3, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    M = _dct_matrix()
+    q = np.full(64, qval, np.int64)
+
+    # per-component padded (and subsampled) planes + block coefficients
+    blocks = {}
+    for cid, hc, vc in comps:
+        plane = planes[cid]
+        if (hc, vc) != (hmax, vmax):  # chroma: box-average subsample
+            fy, fx = vmax // vc, hmax // hc
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            plane = np.round(plane)
+        th = mcuy * vc * 8
+        tw = mcux * hc * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        bl = plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,ijxy,yv->ijuv", M.T, bl - 128.0, M)
+        zzc = np.round(coef.reshape(th // 8, tw // 8, 64)[:, :, ZZ] / qval)
+        blocks[cid] = zzc.astype(np.int64)
+
+    (dc_counts, dc_vals), (ac_counts, ac_vals) = _huffman_spec()
+    dc_codes = _canonical_codes(dc_counts, dc_vals)
+    ac_codes = _canonical_codes(ac_counts, ac_vals)
+
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hc, vc in comps:
+                for by in range(vc):
+                    for bx in range(hc):
+                        blk = blocks[cid][my * vc + by, mx * hc + bx]
+                        dc = int(blk[0])
+                        diff = dc - pred[cid]
+                        pred[cid] = dc
+                        s = _category(diff)
+                        ln, code = dc_codes[s]
+                        bw.put(code, ln)
+                        if s:
+                            v = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.put(v, s)
+                        run = 0
+                        last_nz = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                        for k in range(1, last_nz + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_codes[0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            s = _category(v)
+                            ln, code = ac_codes[(run << 4) | s]
+                            bw.put(code, ln)
+                            mv = v if v >= 0 else v + (1 << s) - 1
+                            bw.put(mv, s)
+                            run = 0
+                        if last_nz < 63:
+                            ln, code = ac_codes[0x00]  # EOB
+                            bw.put(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + q.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hc, vc in comps:
+        sof += bytes([cid, (hc << 4) | vc, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_gray_roundtrip_near_lossless():
+    rng = np.random.RandomState(3)
+    for h, w in [(8, 8), (5, 13), (24, 17), (1, 1)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        kind, got = pixels(mk_jpeg(px, qval=1))
+        assert kind == "jpeg" and got.shape == (h, w, 3)
+        want = np.repeat(px[:, :, None], 3, axis=2).astype(np.int64)
+        diff = np.abs(got.astype(np.int64) - want).max()
+        assert diff <= 2, (h, w, diff)
+
+
+def test_jpeg_color_444_roundtrip_near_lossless():
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 8), (9, 22), (16, 16)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        kind, got = pixels(mk_jpeg(px, qval=1))
+        # q=1: DCT round-off <= ~2 + two rounded color conversions
+        diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
+        assert diff <= 6, (h, w, diff)
+
+
+def test_jpeg_420_and_422_roundtrip_on_gray_content():
+    """Chroma-subsampled scans: neutral-chroma content (R=G=B) loses
+    nothing to subsampling, so the round-trip stays near-lossless and
+    the 2x2-blocks-per-MCU + upsample path is exercised exactly."""
+    rng = np.random.RandomState(11)
+    for sub in ("420", "422"):
+        for h, w in [(16, 16), (9, 21), (8, 24)]:
+            g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            px = np.repeat(g[:, :, None], 3, axis=2)
+            kind, got = pixels(mk_jpeg(px, qval=1, subsampling=sub))
+            diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
+            assert diff <= 3, (sub, h, w, diff)
+
+
+def test_jpeg_dc_only_blocks_decode_exactly():
+    """Block-constant gray content with q=8 survives the pipeline
+    BIT-EXACTLY: DC = 8*(v-128)/8 quantizes without loss and the IDCT
+    of a DC-only block is that constant — the invariant the mm5/mm6
+    fixture oracles rely on."""
+    rng = np.random.RandomState(5)
+    for h, w in [(8, 8), (16, 24), (3, 11), (7, 19)]:
+        bh, bw_ = -(-h // 8), -(-w // 8)
+        blockvals = rng.randint(0, 256, size=(bh, bw_), dtype=np.uint8)
+        g = np.repeat(np.repeat(blockvals, 8, axis=0), 8, axis=1)[:h, :w]
+        px = np.repeat(g[:, :, None], 3, axis=2)
+        kind, got = pixels(mk_jpeg(px, qval=8))
+        assert (got == px).all(), (h, w)
+
+
+def test_jpeg_quality_quantization_bites():
+    """A coarse quant table must actually quantize (lossy path real):
+    decode differs from the source but stays visually bounded."""
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    _, fine = pixels(mk_jpeg(px, qval=1))
+    _, coarse = pixels(mk_jpeg(px, qval=32))
+    want = np.repeat(px[:, :, None], 3, axis=2).astype(np.int64)
+    assert np.abs(coarse.astype(np.int64) - want).max() > np.abs(
+        fine.astype(np.int64) - want
+    ).max()
+
+
+def test_jpeg_property_roundtrip():
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 18),
+        gray=st.booleans(),
+        sub=st.sampled_from(["444", "420"]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, gray, sub, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        if gray:
+            src = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            want = np.repeat(src[:, :, None], 3, axis=2).astype(np.int64)
+            blob = mk_jpeg(src, qval=1)  # gray is always 1-component
+        else:
+            g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            src = np.repeat(g[:, :, None], 3, axis=2)
+            want = src.astype(np.int64)
+            blob = mk_jpeg(src, qval=1, subsampling=sub)
+        kind, got = pixels(blob)
+        assert kind == "jpeg" and got.shape == (h, w, 3)
+        assert np.abs(got.astype(np.int64) - want).max() <= 6
+
+    check()
+
+
+def test_jpeg_gates_and_metadata():
+    import struct
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = mk_jpeg(px, qval=1)
+
+    # decode_media surfaces the same pixels as metadata
+    meta = decode_media(blob)
+    _, raw = pixels(blob)
+    assert meta["kind"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (8, 8)
+    assert meta["n_units"] == 64
+    assert meta["content_sum"] == int(raw.astype(np.int64).sum())
+    assert meta["payload_bytes"] == len(blob)
+
+    def patch_sof(marker):
+        i = blob.index(b"\xff\xc0")
+        return blob[:i] + bytes([0xFF, marker]) + blob[i + 2:]
+
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        pixels(patch_sof(0xC2))  # progressive
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        pixels(patch_sof(0xC9))  # arithmetic
+
+    # 12-bit precision gate
+    i = blob.index(b"\xff\xc0")
+    deep = blob[: i + 4] + bytes([12]) + blob[i + 5:]
+    with pytest.raises(NotImplementedError, match="precision"):
+        pixels(deep)
+
+    # nonzero restart interval gate (insert DRI before SOS)
+    i = blob.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with pytest.raises(NotImplementedError, match="restart"):
+        pixels(blob[:i] + dri + blob[i:])
+    # zero restart interval is a no-op and decodes
+    dri0 = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 0)
+    _, ok = pixels(blob[:i] + dri0 + blob[i:])
+    assert (ok == raw).all()
+
+    # truncated entropy data -> ValueError (not silent junk)
+    with pytest.raises(ValueError):
+        pixels(blob[: i + 20])
+
+    # byte stuffing is REAL: some encoded stream must contain FF00
+    rng = np.random.RandomState(1)
+    found = False
+    for seed in range(40):
+        px2 = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+        b2 = mk_jpeg(px2, qval=1)
+        j = b2.index(b"\xff\xda") + 14
+        if b"\xff\x00" in b2[j:-2]:
+            found = True
+            _, out2 = pixels(b2)  # and it decodes through the destuffer
+            assert out2.shape == (16, 16, 3)
+            break
+    assert found, "no stuffed byte in 40 random streams — encoder suspect"

@@ -498,40 +498,63 @@ def _make_pixel_decoder():
             data.append(b)
             i += 1
 
-        # bit reader over the destuffed buffer
-        bitpos = 0
+        # bit reader over the destuffed buffer: a small-int cache of
+        # upcoming bits (O(1) per op, no per-bit indexing) + one
+        # peek-LUT per Huffman table — the entropy loop is the decode
+        # hot path and a per-bit dict-probe walk is ~8x slower
         nbits_total = len(data) * 8
+        cache = 0
+        cachebits = 0
+        bytepos = 0
+        ndata = len(data)
+
+        def _fill(n: int) -> None:
+            nonlocal cache, cachebits, bytepos
+            while cachebits < n:
+                # past the real end, feed zero bits; consumption past
+                # nbits_total is caught below (truncated stream)
+                cache = (cache << 8) | (
+                    data[bytepos] if bytepos < ndata else 0
+                )
+                bytepos += 1
+                cachebits += 8
 
         def read_bits(n: int) -> int:
-            nonlocal bitpos
+            nonlocal cache, cachebits
             if n == 0:
                 return 0
-            if bitpos + n > nbits_total:
+            _fill(n)
+            cachebits -= n
+            v = cache >> cachebits
+            cache &= (1 << cachebits) - 1
+            if bytepos * 8 - cachebits > nbits_total:
                 raise ValueError("JPEG entropy data exhausted")
-            v = 0
-            bp = bitpos
-            for _ in range(n):
-                v = (v << 1) | ((data[bp >> 3] >> (7 - (bp & 7))) & 1)
-                bp += 1
-            bitpos = bp
             return v
 
-        def huff_decode(table) -> int:
-            nonlocal bitpos
-            code = 0
-            length = 0
-            bp = bitpos
-            while length < 16:
-                if bp >= nbits_total:
-                    raise ValueError("JPEG entropy data exhausted")
-                code = (code << 1) | ((data[bp >> 3] >> (7 - (bp & 7))) & 1)
-                bp += 1
-                length += 1
-                v = table.get((length, code))
-                if v is not None:
-                    bitpos = bp
-                    return v
-            raise ValueError("invalid JPEG Huffman code")
+        def _make_lut(table):
+            maxlen = max(length for length, _ in table)
+            lut = [None] * (1 << maxlen)
+            for (length, code), v in table.items():
+                shift = maxlen - length
+                base = code << shift
+                for i in range(1 << shift):
+                    lut[base + i] = (v, length)
+            return lut, maxlen
+
+        luts = {key: _make_lut(tab) for key, tab in huff.items()}
+
+        def huff_decode(lut, maxlen) -> int:
+            nonlocal cache, cachebits
+            _fill(maxlen)
+            hit = lut[cache >> (cachebits - maxlen)]
+            if hit is None:
+                raise ValueError("invalid JPEG Huffman code")
+            v, length = hit
+            cachebits -= length
+            cache &= (1 << cachebits) - 1
+            if bytepos * 8 - cachebits > nbits_total:
+                raise ValueError("JPEG entropy data exhausted")
+            return v
 
         def extend(v: int, s: int) -> int:
             # T.81 F.12: low-order magnitude bits of negative values
@@ -559,14 +582,14 @@ def _make_pixel_decoder():
             for mx in range(mcux):
                 for cid, hc, vc, _tq in comps:
                     td, ta = td_ta[cid]
-                    dc_tab = huff.get((0, td))
-                    ac_tab = huff.get((1, ta))
+                    dc_tab = luts.get((0, td))
+                    ac_tab = luts.get((1, ta))
                     if dc_tab is None or ac_tab is None:
                         raise ValueError("JPEG scan references missing DHT")
                     for by in range(vc):
                         for bx in range(hc):
                             blk = [0] * 64
-                            s = huff_decode(dc_tab)
+                            s = huff_decode(*dc_tab)
                             if s > 11:
                                 raise ValueError("bad JPEG DC category")
                             diff = extend(read_bits(s), s)
@@ -574,7 +597,7 @@ def _make_pixel_decoder():
                             blk[0] = pred[cid]
                             k = 1
                             while k < 64:
-                                rs = huff_decode(ac_tab)
+                                rs = huff_decode(*ac_tab)
                                 r, sz = rs >> 4, rs & 15
                                 if sz == 0:
                                     if r == 15:  # ZRL: 16 zeros
@@ -965,11 +988,15 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     """(doc_id) -> (doc_id, kind, payload): deterministic REAL media
-    files — even doc_ids become images (doc_id%4==0: 24-bit BMP,
-    doc_id%4==2: 8-bit PNG in a truecolor/RGBA/palette color type
-    cycling on (doc_id//4)%3), odd ones 16-bit PCM WAVs.
+    files — even doc_ids become images (doc_id%4==0: 24-bit BMP;
+    doc_id%16==10: baseline SOF0 JPEG, r11; the rest of doc_id%4==2:
+    8-bit PNG in a truecolor/RGBA/palette color type cycling on
+    (doc_id//4)%3), odd ones 16-bit PCM WAVs.
     Dimensions and content derive only from doc_id, so an SQL oracle can
-    predict exactly what the decoder must recover:
+    predict exactly what the decoder must recover (for JPEG the
+    fixtures are DC-only with q=8, which round-trips BIT-exactly —
+    see ``_jpeg``; lossy-path pixel behavior is property-tested in
+    tests/test_jpeg.py instead):
 
     - images: width = doc_id%16+1, height = doc_id%8+1, channel byte at
       (x, y, c) = (x + y + c + doc_id) % 256 — the SAME decoded grid
@@ -1102,6 +1129,92 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 out += chunk(b"PLTE", plte)
             return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
+        def _jpeg(doc_id: int) -> bytes:
+            """Baseline SOF0 JPEG fixture (doc_id % 16 == 10 — the
+            (11, 3)-dims class, two MCUs wide so the DC predictor is
+            exercised): DC-ONLY blocks with a flat quant table of 8,
+            which the pipeline reproduces BIT-EXACTLY (DC = value-128
+            quantizes losslessly at q=8; IDCT of a DC-only block is
+            that constant), so the SQL oracles recompute the decoded
+            RGB exactly through the decoder's fixed-point YCbCr->RGB.
+            Block luma: Y1 for the first MCU, Y1+delta after (the
+            x >= 8 half); chroma constant. Huffman tables are fixed
+            4-bit DC categories + a 1-bit EOB, and every magnitude
+            pattern keeps 1-runs <= 6 bits, so a 0xFF entropy byte —
+            and therefore byte stuffing — is impossible and payload
+            size stays CLOSED-FORM: 161 header bytes +
+            ceil((36 + 20*(n_mcu-1))/8) entropy bytes."""
+            w, h = doc_id % 16 + 1, doc_id % 8 + 1
+            t = doc_id // 16
+            y1 = 192 + t % 32            # DC cat 7 (Y1-128 in [64,95])
+            delta = 16 + (doc_id // 32) % 16  # DC cat 5
+            cb1 = -(64 + (t * 7) % 32)   # DC cat 7, negative (EXTEND)
+            cr1 = 64 + (t * 13) % 32     # DC cat 7, positive
+
+            dqt = b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+            sof = (
+                b"\xff\xc0" + _struct.pack(">H", 17) + bytes([8])
+                + _struct.pack(">HH", h, w)
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+            )
+            # canonical DC codes: cat0->0000, cat5->0001, cat7->0010
+            dht_dc = (
+                b"\xff\xc4" + _struct.pack(">H", 31) + bytes([0x00])
+                + bytes([0, 0, 0, 12] + [0] * 12)
+                + bytes([0, 5, 7, 1, 2, 3, 4, 6, 8, 9, 10, 11])
+            )
+            # AC table: single 1-bit code "0" = EOB
+            dht_ac = (
+                b"\xff\xc4" + _struct.pack(">H", 20) + bytes([0x10])
+                + bytes([1] + [0] * 15) + bytes([0x00])
+            )
+            sos = (
+                b"\xff\xda" + _struct.pack(">H", 12)
+                + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+            )
+
+            acc, nb = 0, 0
+
+            def put(v: int, n: int) -> None:
+                nonlocal acc, nb
+                acc = (acc << n) | (v & ((1 << n) - 1))
+                nb += n
+
+            n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+            for k in range(n_mcu):
+                if k == 0:
+                    put(0b0010, 4)
+                    put(y1 - 128, 7)          # positive magnitude
+                    put(0, 1)                 # EOB
+                    put(0b0010, 4)
+                    put(cb1 + 127, 7)         # negative: v + 2^s - 1
+                    put(0, 1)
+                    put(0b0010, 4)
+                    put(cr1, 7)
+                    put(0, 1)
+                elif k == 1:
+                    put(0b0001, 4)
+                    put(delta, 5)
+                    put(0, 1)
+                    put(0b0000, 4)            # chroma diff 0 (cat 0)
+                    put(0, 1)
+                    put(0b0000, 4)
+                    put(0, 1)
+                else:  # fixtures never reach here (w<=16, h<=8) but
+                    # keep the stream legal for any dims: diff 0
+                    for _ in range(3):
+                        put(0b0000, 4)
+                        put(0, 1)
+            pad = (-nb) % 8
+            # 1-padding per spec convention is stuffing-safe here: the
+            # final data bit is an EOB 0, so the pad byte is never 0xFF
+            put((1 << pad) - 1, pad)
+            entropy = acc.to_bytes(nb // 8, "big") if nb else b""
+            return (
+                b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+                + entropy + b"\xff\xd9"
+            )
+
         def _wav(doc_id: int) -> bytes:
             n, rate = doc_id % 50 + 10, 8000
             i = _np.arange(n, dtype=_np.int64)
@@ -1121,6 +1234,8 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 return "wav", _wav(d)
             if d % 4 == 0:
                 return "bmp", _bmp(d)
+            if d % 16 == 10:
+                return "jpeg", _jpeg(d)
             return "png", _png(d)
 
         for pdf in batches:
@@ -1139,25 +1254,73 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+# Shared per-pixel grayscale (channel-sum g3) CTE chain for the image
+# fixture corpus — the single source of truth the mm5/mm6/mm9 oracles
+# build on. Even doc_ids are images; the doc_id%16==10 slice is the
+# DC-only baseline-JPEG fixture (r11) whose decoded RGB is closed-form
+# THROUGH the decoder's fixed-point YCbCr->RGB: constants are
+# round(coef * 2^16) and >>16 floors, and floor((a)/65536.0) is exact
+# in SQL because dividing by a power of two only shifts the exponent.
+# Every other image decodes to the container-agnostic
+# (x + y + c + doc_id) % 256 grid.
+_IMG_PX_CTE = """
+    d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    jp AS (
+      SELECT doc_id,
+             192 + (doc_id // 16) % 32 AS jy1,
+             192 + (doc_id // 16) % 32 + 16 + (doc_id // 32) % 16 AS jy2,
+             -(64 + ((doc_id // 16) * 7) % 32) AS jcb,
+             64 + ((doc_id // 16) * 13) % 32 AS jcr
+      FROM d WHERE doc_id % 16 = 10
+    ),
+    jg AS (
+      SELECT doc_id,
+             LEAST(255, GREATEST(0, jy1
+               + CAST(floor((91881 * jcr + 32768) / 65536.0) AS BIGINT)))
+           + LEAST(255, GREATEST(0, jy1
+               - CAST(floor((22554 * jcb + 46802 * jcr + 32768) / 65536.0)
+                      AS BIGINT)))
+           + LEAST(255, GREATEST(0, jy1
+               + CAST(floor((116130 * jcb + 32768) / 65536.0) AS BIGINT)))
+               AS g3a,
+             LEAST(255, GREATEST(0, jy2
+               + CAST(floor((91881 * jcr + 32768) / 65536.0) AS BIGINT)))
+           + LEAST(255, GREATEST(0, jy2
+               - CAST(floor((22554 * jcb + 46802 * jcr + 32768) / 65536.0)
+                      AS BIGINT)))
+           + LEAST(255, GREATEST(0, jy2
+               + CAST(floor((116130 * jcb + 32768) / 65536.0) AS BIGINT)))
+               AS g3b
+      FROM jp
+    ),
+    pk AS (SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.k % p.w AS x, p.k // p.w AS y,
+             CASE WHEN j.doc_id IS NOT NULL
+                  THEN CASE WHEN p.k % p.w < 8 THEN j.g3a ELSE j.g3b END
+                  ELSE ((p.k % p.w) + (p.k // p.w) + 0 + p.doc_id) % 256
+                     + ((p.k % p.w) + (p.k // p.w) + 1 + p.doc_id) % 256
+                     + ((p.k % p.w) + (p.k // p.w) + 2 + p.doc_id) % 256
+             END AS g3
+      FROM pk p LEFT JOIN jg j ON j.doc_id = p.doc_id
+    )
+"""
+
+
 @query(
     "mm5_decoded_media_metadata",
-    oracle="""
-    WITH d AS (SELECT doc_id FROM documents),
-    img AS (
-      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
-      FROM d WHERE doc_id % 2 = 0
-    ),
-    img_k AS (
-      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS k FROM img
-    ),
+    oracle=f"""
+    WITH {_IMG_PX_CTE},
     img_sum AS (
-      SELECT doc_id,
-             SUM(((k % 3) + ((k // 3) % w) + (k // (3 * w)) + doc_id) % 256)
-                 AS s
-      FROM img_k GROUP BY doc_id
+      SELECT doc_id, MAX(w) AS w, MAX(h) AS h, SUM(g3) AS s
+      FROM px GROUP BY doc_id
     ),
     wav AS (
-      SELECT doc_id, doc_id % 50 + 10 AS n FROM d WHERE doc_id % 2 = 1
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+      WHERE doc_id % 2 = 1
     ),
     wav_i AS (SELECT doc_id, n, unnest(range(n)) AS i FROM wav),
     wav_sum AS (
@@ -1165,21 +1328,26 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
       FROM wav_i GROUP BY doc_id
     )
     SELECT b.doc_id,
-           CASE WHEN b.doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS kind,
+           CASE WHEN b.doc_id % 4 = 0 THEN 'bmp'
+                WHEN b.doc_id % 16 = 10 THEN 'jpeg'
+                ELSE 'png' END AS kind,
            CAST(b.w AS BIGINT) AS width,
            CAST(b.h AS BIGINT) AS height,
            CAST(NULL AS BIGINT) AS duration_us,
            CAST(b.w * b.h AS BIGINT) AS n_units,
-           CAST(bs.s AS BIGINT) AS content_sum,
+           CAST(b.s AS BIGINT) AS content_sum,
            CAST(CASE WHEN b.doc_id % 4 = 0
                      THEN 54 + ((3 * b.w + 3) // 4) * 4 * b.h
+                     WHEN b.doc_id % 16 = 10
+                     THEN 161 + (36 + 20 * (((b.w + 7) // 8)
+                                            * ((b.h + 7) // 8) - 1) + 7) // 8
                      WHEN (b.doc_id // 4) % 3 = 0
                      THEN b.h * (1 + 3 * b.w) + 68
                      WHEN (b.doc_id // 4) % 3 = 1
                      THEN b.h * (1 + 4 * b.w) + 68
                      ELSE b.h * (1 + b.w) + 848
                 END AS BIGINT) AS payload_bytes
-    FROM img b JOIN img_sum bs ON bs.doc_id = b.doc_id
+    FROM img_sum b
     UNION ALL
     SELECT w.doc_id, 'wav',
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
@@ -1265,19 +1433,8 @@ def mm5_decoded_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM6_ORACLE = """
-    WITH d AS (
-      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    pk AS (SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d),
-    px AS (
-      SELECT doc_id, w, h, k % w AS x, k // w AS y,
-             ((k % w) + (k // w) + 0 + doc_id) % 256
-           + ((k % w) + (k // w) + 1 + doc_id) % 256
-           + ((k % w) + (k // w) + 2 + doc_id) % 256 AS g3
-      FROM pk
-    ),
+MM6_ORACLE = f"""
+    WITH {_IMG_PX_CTE},
     tot AS (
       SELECT doc_id, SUM(g3) AS total, COUNT(*) AS np FROM px GROUP BY doc_id
     )
@@ -1326,7 +1483,7 @@ def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     imgs = synthesize_media_payloads(docs).filter(
-        F.col("kind").isin("bmp", "png")
+        F.col("kind").isin("bmp", "png", "jpeg")
     )
     return imgs.select("doc_id", "payload").mapInPandas(
         _ahash,
@@ -1582,18 +1739,7 @@ def _banded_hamming_pairs(
 @query(
     "mm9_image_neardup_pairs",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    pk AS (SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d),
-    px AS (
-      SELECT doc_id, w, h, k % w AS x, k // w AS y,
-             ((k % w) + (k // w) + 0 + doc_id) % 256
-           + ((k % w) + (k // w) + 1 + doc_id) % 256
-           + ((k % w) + (k // w) + 2 + doc_id) % 256 AS g3
-      FROM pk
-    ),
+    WITH {_IMG_PX_CTE},
     tot AS (
       SELECT doc_id, SUM(g3) AS total, COUNT(*) AS np FROM px GROUP BY doc_id
     ),

@@ -365,3 +365,57 @@ def test_jpeg_gates_and_metadata():
             assert out2.shape == (16, 16, 3)
             break
     assert found, "no stuffed byte in 40 random streams — encoder suspect"
+
+
+def test_jpeg_fixture_decodes_to_closed_form(spark):
+    """The driver-fixture triangle: synthesize_media_payloads' JPEG
+    slice (doc_id % 16 == 10) decodes through the REAL decoder to
+    exactly the closed-form block grid the SQL oracles recompute —
+    left MCU at Y1, right MCU at Y1+delta, constant chroma, all via
+    the decoder's fixed-point YCbCr->RGB — and the payload size obeys
+    the 161 + ceil((36 + 20*(n_mcu-1))/8) formula."""
+    from pyspark.sql import functions as F
+
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.multimodal import (
+        synthesize_media_payloads,
+    )
+
+    docs = spark.range(0, 512).select(F.col("id").alias("doc_id"))
+    rows = (
+        synthesize_media_payloads(docs)
+        .filter(F.col("kind") == "jpeg")
+        .collect()
+    )
+    assert len(rows) == 32  # every doc_id % 16 == 10 in [0, 512)
+    for r in rows:
+        d = r["doc_id"]
+        assert d % 16 == 10
+        w, h = d % 16 + 1, d % 8 + 1
+        t = d // 16
+        y1 = 192 + t % 32
+        y2 = y1 + 16 + (d // 32) % 16
+        cb1 = -(64 + (t * 7) % 32)
+        cr1 = 64 + (t * 13) % 32
+        n_mcu = -(-w // 8) * -(-h // 8)
+        assert len(bytes(r["payload"])) == 161 + (36 + 20 * (n_mcu - 1) + 7) // 8
+
+        kind, got = pixels(bytes(r["payload"]))
+        assert kind == "jpeg" and got.shape == (h, w, 3)
+
+        def rgb(y):
+            return np.clip(
+                np.array(
+                    [
+                        y + ((91881 * cr1 + 32768) >> 16),
+                        y - ((22554 * cb1 + 46802 * cr1 + 32768) >> 16),
+                        y + ((116130 * cb1 + 32768) >> 16),
+                    ]
+                ),
+                0,
+                255,
+            )
+
+        want = np.zeros((h, w, 3), np.int64)
+        want[:, :8] = rgb(y1)
+        want[:, 8:] = rgb(y2)
+        assert (got.astype(np.int64) == want).all(), d

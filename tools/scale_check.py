@@ -135,11 +135,34 @@ def main() -> None:
              # image near-dup pairs (class count, not corpus, drives
              # the pairwise stage)
              "sim12_knn_pq", "mm9_image_neardup_pairs"]
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.ann_auto import (
+        AUTO_DUP_THRESHOLD,
+        AUTO_KNN_THRESHOLD,
+        AUTO_RECALL,
+        auto_band_geometry,
+    )
+
     result: dict[str, dict[str, float]] = {}
     for sf_tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         clear_dedup_cache()  # each scale measures its own shingle pass
         # warm-up on an unrelated query so JIT/codegen cost stays out
         QUERIES["tx4_fingerprint"](spark, sf_dir).collect()
+        # r11 (VERDICT r10 task 3): record the DERIVED band geometry per
+        # scale next to the adaptive-ANN timings, so a ratio drift is
+        # attributable (geometry change vs host noise) — sim11/dd16's
+        # sf1 ratios moved 3.57x->5.89x / 3.0x->4.17x between r9 and
+        # r10 recordings with no code change on that path.
+        n_vec = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        )
+        for name, thr in (
+            ("sim11_knn_graph_auto", AUTO_KNN_THRESHOLD),
+            ("dd16_embedding_dups_auto", AUTO_DUP_THRESHOLD),
+        ):
+            bands, bits = auto_band_geometry(n_vec, thr, AUTO_RECALL)
+            result.setdefault(name, {})[f"{sf_tag}_geometry"] = (
+                f"n={n_vec} bands={bands} bits={bits}"
+            )
         for name in names:
             clear_dedup_cache()
             t0 = time.perf_counter()

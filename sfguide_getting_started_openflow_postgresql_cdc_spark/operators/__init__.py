@@ -48,58 +48,59 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 ]
 _NEEDS_EVIDENCE_FIRST = [
-    "h28_array_agg_semistructured",  # changed/new this round
     "mm5_decoded_media_metadata",  # changed/new this round
     "mm6_image_ahash",  # changed/new this round
     "mm8_image_dup_groups",  # changed/new this round
     "mm9_image_neardup_pairs",  # changed/new this round
-    "px16_incremental_manifest",  # changed/new this round
-    "px17_incremental_lang_stats",  # changed/new this round
-    "px18_incremental_source_stats",  # changed/new this round
-    "sim12_knn_pq",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
+    "sim12_knn_pq",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
-    "g3_intersect",  # latest green r5
-    "g4_except",  # latest green r5
-    "h12_to_char_month",  # latest green r5
-    "h13_compose_timestamp",  # latest green r5
-    "h15_dayname_dayofweek",  # latest green r5
-    "h16_modulo",  # latest green r5
-    "h1_string_concat",  # latest green r5
-    "h20_like_patterns",  # latest green r5
-    "h22_array_functions",  # latest green r5
-    "h29_time_arithmetic",  # latest green r5
-    "h30_edit_distance",  # latest green r5
-    "h4_case_bucket",  # latest green r5
-    "h5_simple_case",  # latest green r5
-    "h6_cast_to_date",  # latest green r5
-    "h8_date_arithmetic",  # latest green r5
-    "i10_asof_join",  # latest green r5
-    "i11_range_join",  # latest green r5
-    "px1_corpus_curation",  # latest green r5
-    "px7_language_balanced_cap",  # latest green r5
-    "px8_ngram_decontamination",  # latest green r5
-    "px9_quality_curriculum",  # latest green r5
-    "sim3_pairwise_label_centroids",  # latest green r5
-    "sim5_range_search",  # latest green r5
-    "tx11_repetition_stats",  # latest green r5
-    "tx6_bpe_token_count",  # latest green r5
-    "tx7_vocab_topk",  # latest green r5
-    "c11_dense_grid_report",  # latest green r6
-    "c3_left_join_count",  # latest green r6
-    "c4_left_join_residual_on",  # latest green r6
-    "d14_exact_percentiles",  # latest green r6
-    "d16_pivot",  # latest green r6
-    "d22_multi_distinct",  # latest green r6
-    "d23_unpivot",  # latest green r6
-    "d24_value_histogram",  # latest green r6
-    "dd12_keepfirst_manifest",  # latest green r6
-    "dd14_simhash_hamming_pairs",  # latest green r6
-    "dd2_fingerprint_stats",  # latest green r6
-    "e11_rank_distributions",  # latest green r6
+    "e12_value_windows",  # latest green r6
+    "e9_distribution_windows",  # latest green r6
+    "f8_keyset_pagination",  # latest green r6
+    "g5_union_distinct",  # latest green r6
+    "g6_except_all",  # latest green r6
+    "g7_intersect_all",  # latest green r6
+    "h10_datediff_year",  # latest green r6
+    "h19_json_extract",  # latest green r6
+    "h23_conditional_funcs",  # latest green r6
+    "h24_string_functions",  # latest green r6
+    "h25_date_parts",  # latest green r6
+    "h26_bit_operations",  # latest green r6
+    "h27_month_arithmetic",  # latest green r6
+    "h31_array_hof",  # latest green r6
+    "i13_event_transitions",  # latest green r6
+    "i14_replication_freshness",  # latest green r6
+    "i16_funnel_stages",  # latest green r6
+    "i17_retention_cohorts",  # latest green r6
+    "i3_latest_state_per_key",  # latest green r6
+    "px10_source_mixture_weights",  # latest green r6
+    "px11_training_manifest",  # latest green r6
+    "sim10_knn_graph_scaled",  # latest green r6
+    "sim6_knn_graph",  # latest green r6
+    "sim7_kmeans_assign",  # latest green r6
+    "sim9_contrastive_pairs",  # latest green r6
+    "b10_compound_predicate",  # latest green r7
+    "b2_select_star",  # latest green r7
+    "b3_alias_expr",  # latest green r7
+    "b5_in_list",  # latest green r7
+    "b6_date_range",  # latest green r7
+    "b7_null_predicate",  # latest green r7
+    "c12_small_qty_revenue",  # latest green r7
+    "c13_large_volume_customers",  # latest green r7
+    "c14_nation_trade_flows",  # latest green r7
+    "c15_market_share",  # latest green r7
+    "c16_dormant_high_balance",  # latest green r7
+    "c17_promo_revenue_share",  # latest green r7
+    "d29_modern_aggregates",  # latest green r7
+    "dd5_simhash",  # latest green r7
+    "dd6_embedding_cosine_dups_scaled",  # latest green r7
+    "dd9_crossdoc_ngram_stats",  # latest green r7
+    "i15_state_islands",  # latest green r7
 ]
 
 

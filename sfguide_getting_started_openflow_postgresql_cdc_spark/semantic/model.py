@@ -1614,7 +1614,9 @@ class SemanticModel:
         """Full routing decision: ('verified', name) or
         ('template', TemplateRoute). ``as_of`` (ISO string or
         ``datetime.date``) pins the resolution point for relative date
-        phrases; without it they refuse.
+        phrases; without it they refuse — except fully ABSOLUTE forms
+        (year-explicit months, before/until of an ISO or year-explicit
+        bound), which bind with or without an as_of (r11).
 
         Precedence: (1) a verbatim match to a blessed question (same
         normalized content-token set) routes to the VERIFIED catalog —

@@ -493,19 +493,52 @@ class CdcEngine:
                 )
 
     # -- schema evolution ----------------------------------------------------
+    @staticmethod
+    def _is_widening(old: "T.DataType", new: "T.DataType") -> bool:
+        """True when a parquet file written with ``old`` reads correctly
+        under a read schema declaring ``new`` (metadata-only type
+        widening, r10 verdict task 9 — verified against the Spark 4
+        vectorized reader's widening promotions): the integral upcast
+        chain, float->double, integral->double, and decimal growth
+        where neither the scale nor the integral-digit budget shrinks.
+        Everything else — every narrowing, string/binary changes,
+        date/timestamp changes — is a rewrite, not an evolution."""
+        integral = (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
+        if old in integral:
+            if new in integral:
+                return integral.index(old) < integral.index(new)
+            return isinstance(new, T.DoubleType)
+        if isinstance(old, T.FloatType):
+            return isinstance(new, T.DoubleType)
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            return (
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+                and (new.precision, new.scale)
+                != (old.precision, old.scale)
+            )
+        return False
+
     def evolve_schema(self, table: str, new_schema: T.StructType) -> None:
-        """ADD COLUMN schema evolution (source ran ``ALTER TABLE ADD``;
-        the connector contract keeps replicating — OpenFlow handles this
-        transparently, so must we).
+        """ADD COLUMN + TYPE-WIDENING schema evolution (source ran
+        ``ALTER TABLE ADD`` or widened a column; the connector contract
+        keeps replicating — OpenFlow handles this transparently, so
+        must we).
 
         Metadata-only: existing replica files are untouched; the
-        pointer's read schema gains the new nullable fields, which read
-        as NULL from pre-evolution files. Subsequent merges project the
-        new fields from event payloads and write them into rewritten
-        buckets. Constraints: new fields must be nullable, existing
-        fields keep their type, drops are not allowed (soft-deprecate by
-        ignoring the column instead — removing data at 100 TB is a
-        rewrite, not a metadata change)."""
+        pointer's read schema gains the new nullable fields (read as
+        NULL from pre-evolution files) and/or the widened types (the
+        parquet reader upcasts pre-widening files at scan time —
+        int->long, float/integral->double, decimal precision/scale
+        growth that keeps every old value representable; see
+        ``_is_widening``). Subsequent merges project events at the new
+        types and write rewritten buckets with them, so a replica mixes
+        old-typed and new-typed files under one read schema.
+        Constraints: new fields must be nullable, existing fields may
+        only WIDEN (narrowing at 100 TB is a rewrite, not a metadata
+        change — and silently truncating values is never acceptable),
+        drops are not allowed (soft-deprecate by ignoring the column
+        instead)."""
         old = self.tables[table]
         old_by_name = {f.name: f for f in old.fields}
         new_names = {f.name for f in new_schema.fields}
@@ -513,28 +546,41 @@ class CdcEngine:
         if missing:
             raise ValueError(f"schema evolution cannot drop columns: {missing}")
         added = []
+        widened = []
         for f in new_schema.fields:
             if f.name in old_by_name:
-                if f.dataType != old_by_name[f.name].dataType:
-                    raise ValueError(
-                        f"schema evolution cannot change {f.name!r}: "
-                        f"{old_by_name[f.name].dataType} -> {f.dataType}"
-                    )
+                old_t = old_by_name[f.name].dataType
+                if f.dataType != old_t:
+                    if not self._is_widening(old_t, f.dataType):
+                        raise ValueError(
+                            f"schema evolution cannot change {f.name!r}: "
+                            f"{old_t} -> {f.dataType} is not a metadata-"
+                            "only widening"
+                        )
+                    widened.append(f)
             else:
                 if not f.nullable:
                     raise ValueError(f"added column {f.name!r} must be nullable")
                 added.append(f)
-        if not added:
-            self.tables[table] = new_schema
-            return
         self.tables[table] = new_schema
+        if not added and not widened:
+            return
         stored = self.store._stored_schema(table)
         if stored is not None:
-            # append the new fields just before the internal columns so
-            # user columns stay contiguous in the read schema
+            widened_by_name = {f.name: f.dataType for f in widened}
             internal = {CDC_SEQ, CDC_BUCKET}
-            user = [f for f in stored.fields if f.name not in internal]
+            user = [
+                T.StructField(
+                    f.name,
+                    widened_by_name.get(f.name, f.dataType),
+                    f.nullable,  # widening never changes nullability
+                )
+                for f in stored.fields
+                if f.name not in internal
+            ]
             tail = [f for f in stored.fields if f.name in internal]
+            # new fields append just before the internal columns so
+            # user columns stay contiguous in the read schema
             self.store.update_schema(table, T.StructType(user + added + tail))
 
     # -- event parsing -------------------------------------------------------

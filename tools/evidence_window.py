@@ -31,17 +31,12 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r10: all r9 entries cleared (CORRECTNESS_r09: 46 green + 4
-    # rows-only by design, 0 failures).
-    "h28_array_agg_semistructured",  # r10: RENAMED from h28_array_functions (same plan/oracle)
-    "mm5_decoded_media_metadata",  # r10: PNG fixture mix widened to RGBA/palette; decoder rewrite; per-type size oracle
-    "mm6_image_ahash",  # r10: decodes the widened color-type mix (vectorized defilter)
-    "mm8_image_dup_groups",  # r10: groups over the widened mix
-    "mm9_image_neardup_pairs",  # r10: pairs over the widened mix
-    "px16_incremental_manifest",  # r10: ingest() core extracted into _apply (ingest_many refactor)
-    "px17_incremental_lang_stats",  # r10: rides the refactored ingest core
-    "px18_incremental_source_stats",  # r10: rides the refactored ingest core
-    "sim12_knn_pq",  # r10: adc_score gained the MAX_ADC_QUERIES guard on its path
+    # r11: all r10 entries cleared (CORRECTNESS_r10: 46 green + 4
+    # rows-only by design, 0 failures; every r10-changed query green).
+    "mm5_decoded_media_metadata",  # r11: JPEG fixture slice (doc_id%16==10); oracle rebuilt on the shared _IMG_PX_CTE with the fixed-point jpeg branch
+    "mm6_image_ahash",  # r11: hashes the bmp/png/JPEG mix; oracle on _IMG_PX_CTE; wavefront defilter on the PNG side
+    "mm8_image_dup_groups",  # r11: groups over the jpeg-mixed corpus (inherits mm6's oracle)
+    "mm9_image_neardup_pairs",  # r11: pairs over the jpeg-mixed corpus; oracle on _IMG_PX_CTE
 ]
 
 

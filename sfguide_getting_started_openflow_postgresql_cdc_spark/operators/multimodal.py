@@ -375,6 +375,11 @@ def _make_pixel_decoder():
         while pos + 4 <= len(p):
             if p[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker — skip them or the length parse reads the wrong
+            # offset (r11 review)
+            while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+                pos += 1
             m = p[pos + 1]
             if m == 0xD9:  # EOI before SOS
                 break

@@ -279,6 +279,11 @@ _REL_DETECT = (
 _ESCAPE_BLOCK_RE = (
     rf"(?:{_MONTH_YEAR_RE}"
     r"|\b(?:last|past)\s+\d+\s+(?:day|week|month|year)s?\b"
+    # open-ended phrases with a DIGIT-carrying operand ('since
+    # 2024-03-01', 'until 2025') — the token comparison would see only
+    # the preposition and happily escape to a blessed question whose
+    # own open phrase names a DIFFERENT bound (r11 review)
+    r"|\b(?:since|after|before|until|till|up\s+to)\s+\d"
     r"|\b(?:recently|lately)\b)"
 )
 # open lower bound for 'before/until X' — far below any real data

@@ -499,15 +499,22 @@ class CdcEngine:
         under a read schema declaring ``new`` (metadata-only type
         widening, r10 verdict task 9 — verified against the Spark 4
         vectorized reader's widening promotions): the integral upcast
-        chain, float->double, integral->double, and decimal growth
-        where neither the scale nor the integral-digit budget shrinks.
+        chain, float->double, byte/short/int->double, and decimal
+        growth where neither the scale nor the integral-digit budget
+        shrinks.
         Everything else — every narrowing, string/binary changes,
         date/timestamp changes — is a rewrite, not an evolution."""
         integral = (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
         if old in integral:
             if new in integral:
                 return integral.index(old) < integral.index(new)
-            return isinstance(new, T.DoubleType)
+            # long -> double is EXCLUDED (r11 review): the parquet
+            # reader refuses INT64 data under a double read schema
+            # (probed: PARQUET_COLUMN_DATA_TYPE_MISMATCH), and even a
+            # converting reader would silently corrupt values > 2^53
+            return isinstance(new, T.DoubleType) and not isinstance(
+                old, T.LongType
+            )
         if isinstance(old, T.FloatType):
             return isinstance(new, T.DoubleType)
         if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):

@@ -419,3 +419,19 @@ def test_jpeg_fixture_decodes_to_closed_form(spark):
         want[:, :8] = rgb(y1)
         want[:, 8:] = rgb(y2)
         assert (got.astype(np.int64) == want).all(), d
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """r11 review: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker — the walk must skip them instead of reading the
+    segment length from the wrong offset."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = mk_jpeg(px, qval=1)
+    _, want = pixels(blob)
+
+    # fill byte before the first segment (DQT) and before SOS
+    filled = blob[:2] + b"\xff" + blob[2:]
+    i = filled.index(b"\xff\xda")
+    filled = filled[:i] + b"\xff\xff" + filled[i:]
+    _, got = pixels(filled)
+    assert (got == want).all()

@@ -480,9 +480,13 @@ def test_schema_evolution_type_widening(spark, tmp_path):
     b = sorted(eng2.store.read(spark, "t").drop("_CDC_SEQ").collect())
     assert a == b
 
-    # narrowing refuses — both directions of the widening matrix
+    # narrowing refuses — both directions of the widening matrix.
+    # long -> double is ALSO refused (r11 review): the parquet reader
+    # fails INT64 data under a double read schema, and doubles corrupt
+    # longs above 2^53 anyway.
     for bad_v, bad_d in [
         (T.IntegerType(), T.DecimalType(16, 2)),   # long -> int
+        (T.DoubleType(), T.DecimalType(16, 2)),    # long -> double
         (T.LongType(), T.DecimalType(10, 2)),      # precision shrink
         (T.LongType(), T.DecimalType(16, 4)),      # integral digits shrink
     ]:

@@ -1267,3 +1267,41 @@ def test_template_two_measure_date_composition(spark, model, replicas):
     assert ex["date_range"] == (
         "visits.visit_date between 2024-05-01 and 2024-05-31"
     )
+
+
+def test_open_ended_iso_phrases_never_take_catalog_escape(spark):
+    """r11 review: 'revenue since 2024-03-01' must not similarity-match
+    a blessed 'revenue since last month' — the ISO bound lives in
+    digits the escape's token comparison strips, so routing there would
+    silently answer the WRONG window. Digit-free open phrases keep
+    escaping (the blessed question resolves the same phrase itself)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.semantic.model import (
+        ColumnSpec, SemanticModel, TableSpec,
+    )
+
+    em = SemanticModel(
+        "esc",
+        tables=[TableSpec("sales", "sale_id", [
+            ColumnSpec("sale_id", "dimension"),
+            ColumnSpec("sale_date", "time_dimension"),
+            ColumnSpec("amount", "fact", ["revenue"]),
+        ])],
+        relationships=[],
+    )
+
+    @em.verified("rev_since", "revenue since last month", tables=["sales"])
+    def _rev(spark, dfs):  # pragma: no cover - never run here
+        return dfs["sales"]
+
+    # digit-free paraphrase: escape fires (blessed question carries the
+    # same open phrase and resolves it itself)
+    assert em.route("the revenue since last month") == (
+        "verified", "rev_since",
+    )
+    # digit-carrying operand: refuse, with AND without as_of — the
+    # blessed window is a different window
+    for as_of in (None, AS_OF):
+        with pytest.raises(KeyError):
+            em.route("revenue since 2024-03-01", as_of=as_of)
+    with pytest.raises(KeyError):
+        em.route("revenue until 2025", as_of=AS_OF)

@@ -358,10 +358,11 @@ def _make_pixel_decoder():
         bit-reproducible across engines, which is what lets the mm5/mm6
         SQL oracles recompute decoded pixels exactly for the DC-only
         fixtures). Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr)
-        components, sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2).
-        Progressive (SOF2), arithmetic coding, 12-bit precision, and
-        restart intervals raise NotImplementedError; malformed streams
-        raise ValueError."""
+        components, sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2), and
+        restart intervals (DRI + RSTn: per-segment byte alignment, DC
+        predictor reset, sequence-number validation — r11). Progressive
+        (SOF2), arithmetic coding, and 12-bit precision raise
+        NotImplementedError; malformed streams raise ValueError."""
         import struct as _struct
 
         import numpy as _np
@@ -371,6 +372,7 @@ def _make_pixel_decoder():
         sof = None
         scan_comps = None
         entropy_start = None
+        restart_interval = 0
         pos = 2
         while pos + 4 <= len(p):
             if p[pos] != 0xFF:
@@ -457,11 +459,8 @@ def _make_pixel_decoder():
                 raise NotImplementedError(
                     f"only baseline JPEG (SOF0) supported (SOF{m - 0xC0})"
                 )
-            elif m == 0xDD:
-                if _struct.unpack_from(">H", body, 0)[0] != 0:
-                    raise NotImplementedError(
-                        "JPEG restart intervals not supported"
-                    )
+            elif m == 0xDD:  # DRI — restart interval in MCUs (0 = off)
+                restart_interval = _struct.unpack_from(">H", body, 0)[0]
             elif m == 0xDA:  # SOS
                 ns = body[0]
                 scan_comps = [
@@ -483,35 +482,63 @@ def _make_pixel_decoder():
                 "multi-scan JPEG not supported (one interleaved scan only)"
             )
 
-        # de-stuff the entropy segment (FF 00 -> FF) up to the next
-        # marker; restart markers inside the scan are unsupported above
-        data = bytearray()
+        # de-stuff the entropy data (FF 00 -> FF) up to the next real
+        # marker, SPLITTING into restart segments at RSTn markers
+        # (T.81 B.2.1.2): each segment is independently byte-aligned
+        # and the marker's 3-bit sequence number must cycle 0..7 in
+        # order — a broken cycle means lost data, refuse loudly
+        segments: list[bytearray] = [bytearray()]
+        rst_seq: list[int] = []
         i = entropy_start
         while i < len(p):
             b = p[i]
             if b == 0xFF:
                 nxt = p[i + 1] if i + 1 < len(p) else 0xD9
                 if nxt == 0x00:
-                    data.append(0xFF)
+                    segments[-1].append(0xFF)
                     i += 2
                     continue
                 if 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError(
-                        "JPEG restart markers not supported"
-                    )
+                    rst_seq.append(nxt - 0xD0)
+                    segments.append(bytearray())
+                    i += 2
+                    continue
                 break  # a real marker ends the scan
-            data.append(b)
+            segments[-1].append(b)
             i += 1
+        if any(s != k % 8 for k, s in enumerate(rst_seq)):
+            raise ValueError("JPEG restart markers out of sequence")
+        if rst_seq and restart_interval == 0:
+            raise ValueError("JPEG restart marker without a DRI interval")
 
         # bit reader over the destuffed buffer: a small-int cache of
         # upcoming bits (O(1) per op, no per-bit indexing) + one
         # peek-LUT per Huffman table — the entropy loop is the decode
         # hot path and a per-bit dict-probe walk is ~8x slower
-        nbits_total = len(data) * 8
+        seg_i = 0
+        data = segments[0]
+        ndata = len(data)
+        nbits_total = ndata * 8
         cache = 0
         cachebits = 0
         bytepos = 0
-        ndata = len(data)
+
+        def _next_segment() -> None:
+            # restart boundary: byte-align onto the next segment (pad
+            # bits before the RST marker are discarded with it)
+            nonlocal seg_i, data, ndata, nbits_total
+            nonlocal cache, cachebits, bytepos
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError(
+                    "JPEG restart interval expects more RST segments"
+                )
+            data = segments[seg_i]
+            ndata = len(data)
+            nbits_total = ndata * 8
+            cache = 0
+            cachebits = 0
+            bytepos = 0
 
         def _fill(n: int) -> None:
             nonlocal cache, cachebits, bytepos
@@ -583,8 +610,19 @@ def _make_pixel_decoder():
                 (mcuy * vc, mcux * hc, 64), _np.int64
             )
         pred = {cid: 0 for cid, *_ in comps}
+        mcu_idx = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_idx
+                    and mcu_idx % restart_interval == 0
+                ):
+                    # RSTn boundary: byte-align onto the next entropy
+                    # segment and reset every DC predictor (T.81 E.2.4)
+                    _next_segment()
+                    pred = {cid: 0 for cid, *_ in comps}
+                mcu_idx += 1
                 for cid, hc, vc, _tq in comps:
                     td, ta = td_ta[cid]
                     dc_tab = luts.get((0, td))

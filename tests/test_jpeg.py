@@ -1,10 +1,10 @@
 """Baseline JPEG (SOF0) decode (operators/multimodal.py
 `_make_pixel_decoder`): a REAL test-side encoder (forward DCT,
 quantization, zigzag run-length, canonical Huffman, byte stuffing,
-optional 4:2:0/4:2:2 subsampling) drives round-trip properties against
-the decoder; spec gates (progressive, restart intervals, 12-bit) stay
-loud. Mirrors the PNG milestone's encoder-twin strategy
-(tests/test_extensions.py::_mk_png)."""
+optional 4:2:0/4:2:2 subsampling, DRI/RSTn restart intervals) drives
+round-trip properties against the decoder; spec gates (progressive,
+arithmetic, 12-bit) stay loud. Mirrors the PNG milestone's
+encoder-twin strategy (tests/test_extensions.py::_mk_png)."""
 
 import numpy as np
 import pytest
@@ -93,14 +93,21 @@ class _BitWriter:
             self.n = 0
         return bytes(self.out)
 
+    def restart(self, seq):
+        """Byte-align and emit RST(seq % 8) — T.81 E.1.4."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (seq % 8)])
+
 
 def _category(v):
     return int(abs(v)).bit_length()
 
 
-def mk_jpeg(rgb, qval=1, subsampling="444"):
+def mk_jpeg(rgb, qval=1, subsampling="444", restart_interval=0):
     """Encode an (h, w, 3) RGB array (or (h, w) grayscale) as a
-    baseline SOF0 JPEG with a flat quantization table of ``qval``."""
+    baseline SOF0 JPEG with a flat quantization table of ``qval``;
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with DC predictor reset) every that-many MCUs."""
     import struct
 
     gray = rgb.ndim == 2
@@ -156,8 +163,15 @@ def mk_jpeg(rgb, qval=1, subsampling="444"):
 
     bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
+    mcu_idx = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart(rst_seq)
+                rst_seq += 1
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_idx += 1
             for cid, hc, vc in comps:
                 for by in range(vc):
                     for bx in range(hc):
@@ -200,6 +214,8 @@ def mk_jpeg(rgb, qval=1, subsampling="444"):
 
     out = b"\xff\xd8"
     out += seg(0xDB, bytes([0]) + q.astype(np.uint8).tobytes())
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hc, vc in comps:
         sof += bytes([cid, (hc << 4) | vc, 0])
@@ -338,12 +354,8 @@ def test_jpeg_gates_and_metadata():
     with pytest.raises(NotImplementedError, match="precision"):
         pixels(deep)
 
-    # nonzero restart interval gate (insert DRI before SOS)
-    i = blob.index(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
-    with pytest.raises(NotImplementedError, match="restart"):
-        pixels(blob[:i] + dri + blob[i:])
     # zero restart interval is a no-op and decodes
+    i = blob.index(b"\xff\xda")
     dri0 = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 0)
     _, ok = pixels(blob[:i] + dri0 + blob[i:])
     assert (ok == raw).all()
@@ -435,3 +447,46 @@ def test_jpeg_fill_bytes_before_markers():
     filled = filled[:i] + b"\xff\xff" + filled[i:]
     _, got = pixels(filled)
     assert (got == want).all()
+
+
+def test_jpeg_restart_intervals():
+    """r11: DRI + RSTn support — per-segment byte alignment, DC
+    predictor reset at every restart, marker sequence validation.
+    Restart-coded streams must decode identically to the same image
+    without restarts, across intervals, subsampling, and grayscale."""
+    rng = np.random.RandomState(17)
+    g = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+
+    _, want = pixels(mk_jpeg(px, qval=1))
+    for ri in (1, 2, 3, 7):
+        _, got = pixels(mk_jpeg(px, qval=1, restart_interval=ri))
+        assert (got == want).all(), ri
+    # grayscale + 4:2:0 paths restart too
+    _, want_g = pixels(mk_jpeg(g, qval=1))
+    _, got_g = pixels(mk_jpeg(g, qval=1, restart_interval=2))
+    assert (got_g == want_g).all()
+    _, want_s = pixels(mk_jpeg(px, qval=1, subsampling="420"))
+    _, got_s = pixels(mk_jpeg(px, qval=1, subsampling="420", restart_interval=1))
+    assert (got_s == want_s).all()
+
+    # DC predictor reset is REAL: a stream whose encoder reset but
+    # whose decoder did not would mis-predict every post-restart block;
+    # exactness above proves the reset happened. Now the refusals:
+    blob = mk_jpeg(px, qval=1, restart_interval=2)
+
+    # out-of-sequence RST marker -> ValueError
+    i = blob.index(b"\xff\xd0")
+    broken = blob[:i] + b"\xff\xd5" + blob[i + 2:]
+    with pytest.raises(ValueError, match="sequence"):
+        pixels(broken)
+
+    # RST markers with no DRI declared -> ValueError
+    j = blob.index(b"\xff\xdd")
+    no_dri = blob[:j] + blob[j + 6:]
+    with pytest.raises(ValueError, match="DRI"):
+        pixels(no_dri)
+
+    # a missing segment (truncate after the first RST) -> ValueError
+    with pytest.raises(ValueError):
+        pixels(blob[: i + 6] + b"\xff\xd9")

@@ -69,12 +69,14 @@ def _make_pixel_decoder():
       up-left neighbours, so diagonal y+x=d computes at once — r10
       verdict task 6); short runs keep the Python-int row loop.
 
-    - JPEG: baseline sequential DCT (ITU T.81 SOF0) — marker walk,
-      canonical-Huffman entropy decode, dequant + batched IDCT,
-      chroma upsample, fixed-point YCbCr->RGB (see ``_decode_jpeg``).
+    - JPEG: baseline sequential (SOF0) AND progressive huffman
+      (SOF2, r11: spectral selection + successive approximation) —
+      marker walk, canonical-Huffman entropy decode, dequant +
+      batched IDCT, chroma upsample, fixed-point YCbCr->RGB (see
+      ``_decode_jpeg``).
 
-    Progressive/arithmetic JPEG and anything needing a real video
-    codec raise NotImplementedError."""
+    Arithmetic-coded JPEG and anything needing a real video codec
+    raise NotImplementedError."""
 
     def pixels(payload: bytes):
         import struct as _struct
@@ -343,13 +345,14 @@ def _make_pixel_decoder():
             return "jpeg", _decode_jpeg(p)
         raise NotImplementedError(
             "unsupported image container (supported: 24-bit BMP, 8-bit "
-            "gray/truecolor/palette/RGBA PNG, baseline SOF0 JPEG); "
-            "progressive/arithmetic JPEG and real video codecs are not "
-            "available in this runtime"
+            "gray/truecolor/palette/RGBA PNG, baseline and "
+            "progressive JPEG); arithmetic-coded JPEG and real video "
+            "codecs are not available in this runtime"
         )
 
     def _decode_jpeg(p: bytes):
-        """Baseline JPEG (ITU T.81 SOF0) decoder: marker walk (DQT/
+        """JPEG (ITU T.81) decoder — baseline sequential (SOF0) and
+        progressive huffman (SOF2): marker walk (DQT/
         DHT/SOF0/SOS), canonical Huffman entropy decode (T.81 annex F
         EXTEND semantics), dequantize + un-zigzag, batched separable
         float64 IDCT over every block at once, nearest-neighbour chroma
@@ -360,19 +363,68 @@ def _make_pixel_decoder():
         fixtures). Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr)
         components, sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2), and
         restart intervals (DRI + RSTn: per-segment byte alignment, DC
-        predictor reset, sequence-number validation — r11). Progressive
-        (SOF2), arithmetic coding, and 12-bit precision raise
-        NotImplementedError; malformed streams raise ValueError."""
+        predictor reset, sequence-number validation — r11).
+        Progressive streams (r11) decode every SOS against the tables
+        in force at that scan: spectral-selection bands and
+        DC/AC successive approximation per T.81 G.2, EOB runs with
+        correction-bit refinement included. Arithmetic coding and
+        12-bit precision raise NotImplementedError; malformed streams
+        raise ValueError."""
         import struct as _struct
 
         import numpy as _np
 
+        def _make_lut(table):
+            maxlen = max(length for length, _ in table)
+            lut = [None] * (1 << maxlen)
+            for (length, code), v in table.items():
+                shift = maxlen - length
+                base = code << shift
+                for i in range(1 << shift):
+                    lut[base + i] = (v, length)
+            return lut, maxlen
+
+        def _destuff(start: int):
+            """De-stuff entropy data (FF 00 -> FF) from ``start`` up to
+            the next real marker, SPLITTING into restart segments at
+            RSTn markers (T.81 B.2.1.2) and validating the 3-bit marker
+            sequence cycles 0..7 — a broken cycle means lost data.
+            Returns (segments, index_of_terminating_marker)."""
+            segs: list[bytearray] = [bytearray()]
+            seq: list[int] = []
+            i = start
+            while i < len(p):
+                b = p[i]
+                if b == 0xFF:
+                    nxt = p[i + 1] if i + 1 < len(p) else 0xD9
+                    if nxt == 0x00:
+                        segs[-1].append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        seq.append(nxt - 0xD0)
+                        segs.append(bytearray())
+                        i += 2
+                        continue
+                    break  # a real marker ends the scan
+                segs[-1].append(b)
+                i += 1
+            if any(s != k % 8 for k, s in enumerate(seq)):
+                raise ValueError("JPEG restart markers out of sequence")
+            if seq and restart_interval == 0:
+                raise ValueError(
+                    "JPEG restart marker without a DRI interval"
+                )
+            return segs, i
+
         qt: dict[int, "_np.ndarray"] = {}
         huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         sof = None
-        scan_comps = None
-        entropy_start = None
+        progressive = False
         restart_interval = 0
+        # one entry per SOS: (scan_comps, ss, se, ah, al, segments,
+        # lut snapshot as of this scan, restart interval at this scan)
+        scans: list[tuple] = []
         pos = 2
         while pos + 4 <= len(p):
             if p[pos] != 0xFF:
@@ -431,7 +483,8 @@ def _make_pixel_decoder():
                         code <<= 1
                     huff[(tc, th)] = table
                     i += 17 + nvals
-            elif m == 0xC0:  # SOF0 — baseline sequential DCT
+            elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = m == 0xC2
                 prec, hh, ww, nc = (
                     body[0],
                     _struct.unpack_from(">H", body, 1)[0],
@@ -454,139 +507,111 @@ def _make_pixel_decoder():
                         (cid, hv >> 4, hv & 15, body[8 + 3 * ci])
                     )
                 sof = (ww, hh, comps)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"only baseline JPEG (SOF0) supported (SOF{m - 0xC0})"
+                    "only baseline (SOF0) and progressive huffman "
+                    f"(SOF2) JPEG supported (SOF{m - 0xC0})"
                 )
             elif m == 0xDD:  # DRI — restart interval in MCUs (0 = off)
                 restart_interval = _struct.unpack_from(">H", body, 0)[0]
-            elif m == 0xDA:  # SOS
+            elif m == 0xDA:  # SOS — capture the scan, keep walking
                 ns = body[0]
-                scan_comps = [
+                sc = [
                     (body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 15)
                     for i in range(ns)
                 ]
-                entropy_start = pos + 2 + ln
-                break
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+                segments, end = _destuff(pos + 2 + ln)
+                # snapshot the LUTs: tables may be redefined between
+                # scans (T.81 allows DHT anywhere), so each scan
+                # decodes with the tables in force AT ITS OWN SOS
+                scans.append((
+                    sc, ss, se, ah, al, segments,
+                    {key: _make_lut(tab) for key, tab in huff.items()},
+                    restart_interval,
+                ))
+                pos = end
+                continue
             # APPn / COM / anything else: skipped
             pos += 2 + ln
-        if sof is None or scan_comps is None:
-            raise ValueError("JPEG missing SOF0/SOS")
+        if sof is None or not scans:
+            raise ValueError("JPEG missing SOF/SOS")
         w, h, comps = sof
         if w == 0 or h == 0:
             raise ValueError("zero-dimension JPEG")
-        if len(scan_comps) != len(comps):
-            raise NotImplementedError(
-                "multi-scan JPEG not supported (one interleaved scan only)"
-            )
-
-        # de-stuff the entropy data (FF 00 -> FF) up to the next real
-        # marker, SPLITTING into restart segments at RSTn markers
-        # (T.81 B.2.1.2): each segment is independently byte-aligned
-        # and the marker's 3-bit sequence number must cycle 0..7 in
-        # order — a broken cycle means lost data, refuse loudly
-        segments: list[bytearray] = [bytearray()]
-        rst_seq: list[int] = []
-        i = entropy_start
-        while i < len(p):
-            b = p[i]
-            if b == 0xFF:
-                nxt = p[i + 1] if i + 1 < len(p) else 0xD9
-                if nxt == 0x00:
-                    segments[-1].append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    rst_seq.append(nxt - 0xD0)
-                    segments.append(bytearray())
-                    i += 2
-                    continue
-                break  # a real marker ends the scan
-            segments[-1].append(b)
-            i += 1
-        if any(s != k % 8 for k, s in enumerate(rst_seq)):
-            raise ValueError("JPEG restart markers out of sequence")
-        if rst_seq and restart_interval == 0:
-            raise ValueError("JPEG restart marker without a DRI interval")
-
-        # bit reader over the destuffed buffer: a small-int cache of
-        # upcoming bits (O(1) per op, no per-bit indexing) + one
-        # peek-LUT per Huffman table — the entropy loop is the decode
-        # hot path and a per-bit dict-probe walk is ~8x slower
-        seg_i = 0
-        data = segments[0]
-        ndata = len(data)
-        nbits_total = ndata * 8
-        cache = 0
-        cachebits = 0
-        bytepos = 0
-
-        def _next_segment() -> None:
-            # restart boundary: byte-align onto the next segment (pad
-            # bits before the RST marker are discarded with it)
-            nonlocal seg_i, data, ndata, nbits_total
-            nonlocal cache, cachebits, bytepos
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError(
-                    "JPEG restart interval expects more RST segments"
+        if not progressive:
+            if len(scans) != 1:
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG not supported "
+                    "(one interleaved scan only)"
                 )
-            data = segments[seg_i]
-            ndata = len(data)
-            nbits_total = ndata * 8
-            cache = 0
-            cachebits = 0
-            bytepos = 0
+            if len(scans[0][0]) != len(comps):
+                raise NotImplementedError(
+                    "multi-scan JPEG not supported (one interleaved "
+                    "scan only)"
+                )
 
-        def _fill(n: int) -> None:
-            nonlocal cache, cachebits, bytepos
-            while cachebits < n:
+        def _make_reader(segments):
+            """Per-scan bit reader over destuffed restart segments: a
+            small-int cache of upcoming bits (O(1) per op, no per-bit
+            indexing) + LUT-probing Huffman decode — the entropy loop
+            is the decode hot path and a per-bit dict-probe walk is
+            ~8x slower. Returns (read_bits, huff_decode, next_segment)."""
+            st = {"seg": 0, "cache": 0, "cachebits": 0, "bytepos": 0}
+            buf = {"data": segments[0], "n": len(segments[0])}
+
+            def next_segment() -> None:
+                # restart boundary: byte-align onto the next segment
+                # (pad bits before the RST marker discard with it)
+                st["seg"] += 1
+                if st["seg"] >= len(segments):
+                    raise ValueError(
+                        "JPEG restart interval expects more RST segments"
+                    )
+                buf["data"] = segments[st["seg"]]
+                buf["n"] = len(buf["data"])
+                st["cache"] = 0
+                st["cachebits"] = 0
+                st["bytepos"] = 0
+
+            def _fill(n: int) -> None:
                 # past the real end, feed zero bits; consumption past
-                # nbits_total is caught below (truncated stream)
-                cache = (cache << 8) | (
-                    data[bytepos] if bytepos < ndata else 0
-                )
-                bytepos += 1
-                cachebits += 8
+                # the segment end is caught below (truncated stream)
+                while st["cachebits"] < n:
+                    bp = st["bytepos"]
+                    st["cache"] = (st["cache"] << 8) | (
+                        buf["data"][bp] if bp < buf["n"] else 0
+                    )
+                    st["bytepos"] = bp + 1
+                    st["cachebits"] += 8
 
-        def read_bits(n: int) -> int:
-            nonlocal cache, cachebits
-            if n == 0:
-                return 0
-            _fill(n)
-            cachebits -= n
-            v = cache >> cachebits
-            cache &= (1 << cachebits) - 1
-            if bytepos * 8 - cachebits > nbits_total:
-                raise ValueError("JPEG entropy data exhausted")
-            return v
+            def read_bits(n: int) -> int:
+                if n == 0:
+                    return 0
+                _fill(n)
+                st["cachebits"] -= n
+                v = st["cache"] >> st["cachebits"]
+                st["cache"] &= (1 << st["cachebits"]) - 1
+                if st["bytepos"] * 8 - st["cachebits"] > buf["n"] * 8:
+                    raise ValueError("JPEG entropy data exhausted")
+                return v
 
-        def _make_lut(table):
-            maxlen = max(length for length, _ in table)
-            lut = [None] * (1 << maxlen)
-            for (length, code), v in table.items():
-                shift = maxlen - length
-                base = code << shift
-                for i in range(1 << shift):
-                    lut[base + i] = (v, length)
-            return lut, maxlen
+            def huff_decode(lut, maxlen) -> int:
+                _fill(maxlen)
+                hit = lut[st["cache"] >> (st["cachebits"] - maxlen)]
+                if hit is None:
+                    raise ValueError("invalid JPEG Huffman code")
+                v, length = hit
+                st["cachebits"] -= length
+                st["cache"] &= (1 << st["cachebits"]) - 1
+                if st["bytepos"] * 8 - st["cachebits"] > buf["n"] * 8:
+                    raise ValueError("JPEG entropy data exhausted")
+                return v
 
-        luts = {key: _make_lut(tab) for key, tab in huff.items()}
-
-        def huff_decode(lut, maxlen) -> int:
-            nonlocal cache, cachebits
-            _fill(maxlen)
-            hit = lut[cache >> (cachebits - maxlen)]
-            if hit is None:
-                raise ValueError("invalid JPEG Huffman code")
-            v, length = hit
-            cachebits -= length
-            cache &= (1 << cachebits) - 1
-            if bytepos * 8 - cachebits > nbits_total:
-                raise ValueError("JPEG entropy data exhausted")
-            return v
+            return read_bits, huff_decode, next_segment
 
         def extend(v: int, s: int) -> int:
             # T.81 F.12: low-order magnitude bits of negative values
@@ -603,58 +628,229 @@ def _make_pixel_decoder():
             )
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        td_ta = {cid: (td, ta) for cid, td, ta in scan_comps}
+        comp_hv = {cid: (hc, vc) for cid, hc, vc, _tq in comps}
         coefs = {}
         for cid, hc, vc, _tq in comps:
             coefs[cid] = _np.zeros(
                 (mcuy * vc, mcux * hc, 64), _np.int64
             )
-        pred = {cid: 0 for cid, *_ in comps}
-        mcu_idx = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if (
-                    restart_interval
-                    and mcu_idx
-                    and mcu_idx % restart_interval == 0
-                ):
-                    # RSTn boundary: byte-align onto the next entropy
-                    # segment and reset every DC predictor (T.81 E.2.4)
-                    _next_segment()
-                    pred = {cid: 0 for cid, *_ in comps}
-                mcu_idx += 1
-                for cid, hc, vc, _tq in comps:
-                    td, ta = td_ta[cid]
-                    dc_tab = luts.get((0, td))
-                    ac_tab = luts.get((1, ta))
-                    if dc_tab is None or ac_tab is None:
-                        raise ValueError("JPEG scan references missing DHT")
-                    for by in range(vc):
-                        for bx in range(hc):
-                            blk = [0] * 64
-                            s = huff_decode(*dc_tab)
+
+        def _apply_sequential(scan) -> None:
+            sc, ss, se, ah, al, segments, luts, ri = scan
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad sequential JPEG scan header")
+            read_bits, huff_decode, next_segment = _make_reader(segments)
+            td_ta = {cid: (td, ta) for cid, td, ta in sc}
+            pred = {cid: 0 for cid, *_ in comps}
+            mcu_idx = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and mcu_idx and mcu_idx % ri == 0:
+                        # RSTn boundary: byte-align onto the next
+                        # entropy segment and reset every DC predictor
+                        # (T.81 E.2.4)
+                        next_segment()
+                        pred = {cid: 0 for cid, *_ in comps}
+                    mcu_idx += 1
+                    for cid, hc, vc, _tq in comps:
+                        td, ta = td_ta[cid]
+                        dc_tab = luts.get((0, td))
+                        ac_tab = luts.get((1, ta))
+                        if dc_tab is None or ac_tab is None:
+                            raise ValueError(
+                                "JPEG scan references missing DHT"
+                            )
+                        for by in range(vc):
+                            for bx in range(hc):
+                                blk = [0] * 64
+                                s = huff_decode(*dc_tab)
+                                if s > 11:
+                                    raise ValueError(
+                                        "bad JPEG DC category"
+                                    )
+                                diff = extend(read_bits(s), s)
+                                pred[cid] += diff
+                                blk[0] = pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = huff_decode(*ac_tab)
+                                    r, sz = rs >> 4, rs & 15
+                                    if sz == 0:
+                                        if r == 15:  # ZRL: 16 zeros
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run past block end"
+                                        )
+                                    blk[k] = extend(read_bits(sz), sz)
+                                    k += 1
+                                coefs[cid][my * vc + by, mx * hc + bx] = blk
+
+        def _scan_blocks(sc):
+            """Block visit order + restart unit for a scan (T.81
+            E.2.3/A.2): multi-component scans interleave hc x vc blocks
+            per component in MCU raster; a single-component scan walks
+            that component's OWN block grid (sized from its sampling
+            fraction of the image, NOT the MCU-padded grid) one block
+            per restart unit. Yields lists of (cid, by, bx) per unit."""
+            if len(sc) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        unit = []
+                        for cid, _td, _ta in sc:
+                            hc, vc = comp_hv[cid]
+                            for by in range(vc):
+                                for bx in range(hc):
+                                    unit.append(
+                                        (cid, my * vc + by, mx * hc + bx)
+                                    )
+                        yield unit
+            else:
+                cid = sc[0][0]
+                hc, vc = comp_hv[cid]
+                cw = (w * hc + 8 * hmax - 1) // (8 * hmax)
+                ch = (h * vc + 8 * vmax - 1) // (8 * vmax)
+                for by in range(ch):
+                    for bx in range(cw):
+                        yield [(cid, by, bx)]
+
+        def _apply_progressive(scan) -> None:
+            """One progressive scan (T.81 G.2): spectral selection
+            (Ss..Se band) x successive approximation (Ah/Al bit
+            planes). DC scans (Ss=0) may interleave components; AC
+            scans carry exactly one. First passes (Ah=0) place point-
+            transformed coefficients << Al; refinement passes (Ah>0)
+            add one magnitude bit per coefficient. The EOB-run
+            machinery and the refinement correction-bit walk follow
+            the spec's flowcharts (G.1.2.2-3)."""
+            sc, ss, se, ah, al, segments, luts, ri = scan
+            read_bits, huff_decode, next_segment = _make_reader(segments)
+            td_ta = {cid: (td, ta) for cid, td, ta in sc}
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se=0 (got "
+                        f"Ss={ss}, Se={se})"
+                    )
+            elif len(sc) != 1:
+                raise ValueError(
+                    "progressive AC scans carry exactly one component"
+                )
+            pred = {cid: 0 for cid, *_ in sc}
+            eobrun = 0
+            p1 = 1 << al
+            m1 = -p1
+            unit_idx = 0
+            for unit in _scan_blocks(sc):
+                if ri and unit_idx and unit_idx % ri == 0:
+                    next_segment()
+                    pred = {cid: 0 for cid, *_ in sc}
+                    eobrun = 0
+                unit_idx += 1
+                for cid, by, bx in unit:
+                    blk = coefs[cid][by, bx]
+                    if ss == 0:
+                        if ah == 0:  # DC first pass
+                            tab = luts.get((0, td_ta[cid][0]))
+                            if tab is None:
+                                raise ValueError(
+                                    "JPEG scan references missing DHT"
+                                )
+                            s = huff_decode(*tab)
                             if s > 11:
                                 raise ValueError("bad JPEG DC category")
-                            diff = extend(read_bits(s), s)
-                            pred[cid] += diff
-                            blk[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                rs = huff_decode(*ac_tab)
-                                r, sz = rs >> 4, rs & 15
-                                if sz == 0:
-                                    if r == 15:  # ZRL: 16 zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError(
-                                        "JPEG AC run past block end"
-                                    )
-                                blk[k] = extend(read_bits(sz), sz)
+                            pred[cid] += extend(read_bits(s), s)
+                            blk[0] = pred[cid] << al
+                        else:  # DC refinement: one bit per block
+                            if read_bits(1):
+                                blk[0] = int(blk[0]) | p1
+                        continue
+                    # AC scans -------------------------------------------------
+                    tab = luts.get((1, td_ta[cid][1]))
+                    if tab is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    if ah == 0:  # AC first pass (G.1.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = huff_decode(*tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:  # EOBn: run of end-of-bands
+                                    eobrun = (1 << r) - 1 + read_bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG AC run past band end"
+                                )
+                            blk[k] = extend(read_bits(s), s) << al
+                            k += 1
+                    else:  # AC refinement (G.1.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = huff_decode(*tab)
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) + read_bits(r)
+                                        break
+                                    # r == 15: advance over 16
+                                    # zero-HISTORY coefficients
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad JPEG refinement size"
+                                        )
+                                    newval = p1 if read_bits(1) else m1
+                                # advance over r zero-history coefs,
+                                # emitting correction bits for the
+                                # nonzero-history ones along the way
+                                while k <= se:
+                                    c = int(blk[k])
+                                    if c != 0:
+                                        if read_bits(1) and (c & p1) == 0:
+                                            blk[k] = c + (
+                                                p1 if c >= 0 else m1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "JPEG refinement run past "
+                                            "band end"
+                                        )
+                                    blk[k] = newval
                                 k += 1
-                            coefs[cid][my * vc + by, mx * hc + bx] = blk
+                        if eobrun > 0:
+                            # end-of-band: correction bits still flow
+                            # for every remaining nonzero coefficient
+                            while k <= se:
+                                c = int(blk[k])
+                                if c != 0:
+                                    if read_bits(1) and (c & p1) == 0:
+                                        blk[k] = c + (p1 if c >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+
+        for scan in scans:
+            if progressive:
+                _apply_progressive(scan)
+            else:
+                _apply_sequential(scan)
 
         # zigzag -> natural order (T.81 figure A.6), shared by all blocks
         zz = _np.array(
@@ -717,7 +913,7 @@ def _make_media_decoder():
 
     Returns a dict: kind, width, height, duration_us, n_units (pixels or
     samples), content_sum (sum of pixel bytes / sample values),
-    payload_bytes. Anything else (progressive JPEG, MP3, ...) raises
+    payload_bytes. Anything else (arithmetic JPEG, MP3, ...) raises
     NotImplementedError — codecs beyond baseline JPEG are out of scope
     for this runtime."""
     pixels = _make_pixel_decoder()
@@ -775,9 +971,9 @@ def _make_media_decoder():
             }
         raise NotImplementedError(
             "unsupported media container (supported: 24-bit BMP, 8-bit "
-            "truecolor PNG, baseline SOF0 JPEG, 16-bit PCM WAV); "
-            "progressive JPEG and real audio/video codecs (MP3/...) are "
-            "not available in this runtime"
+            "truecolor PNG, baseline/progressive JPEG, 16-bit PCM "
+            "WAV); arithmetic JPEG and real audio/video codecs "
+            "(MP3/...) are not available in this runtime"
         )
 
     return decode
@@ -785,7 +981,7 @@ def _make_media_decoder():
 
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
     """Decode a media payload — REAL for 24-bit BMP, 8-bit PNG,
-    baseline SOF0 JPEG, and 16-bit PCM WAV (pure-Python header/chunk +
+    baseline/progressive JPEG, and 16-bit PCM WAV (pure-Python header/chunk +
     content parse, see ``_make_media_decoder``); other containers raise
     NotImplementedError. ``kind`` is advisory — dispatch is on magic
     bytes."""

@@ -41,12 +41,13 @@ def _huffman_spec():
     dc_counts = [0] * 16
     dc_counts[3] = 12  # twelve 4-bit codes
     dc_vals = list(range(12))
-    # the 162 VALID AC symbols (EOB, ZRL, and (run<<4)|size for
-    # size 1..10) as 9-bit codes — counts bytes cap at 255, so "every
-    # possible byte" is not an option
+    # the VALID AC symbols (EOB, ZRL, (run<<4)|size for size 1..10,
+    # plus the progressive EOBn symbols (r<<4)|0 for r=1..14) as 9-bit
+    # codes — counts bytes cap at 255, so "every possible byte" is not
+    # an option
     ac_vals = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
+    ] + [r << 4 for r in range(1, 15)]
     ac_counts = [0] * 16
     ac_counts[8] = len(ac_vals)  # code length 9
     return (dc_counts, dc_vals), (ac_counts, ac_vals)
@@ -103,11 +104,17 @@ def _category(v):
     return int(abs(v)).bit_length()
 
 
-def mk_jpeg(rgb, qval=1, subsampling="444", restart_interval=0):
+def mk_jpeg(rgb, qval=1, subsampling="444", restart_interval=0,
+            progressive=False):
     """Encode an (h, w, 3) RGB array (or (h, w) grayscale) as a
     baseline SOF0 JPEG with a flat quantization table of ``qval``;
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
-    (with DC predictor reset) every that-many MCUs."""
+    (with DC predictor reset) every that-many restart units.
+    ``progressive=True`` emits SOF2 with a libjpeg-like scan script —
+    DC first at Al=1, split AC bands at Al=2, then AC refinements down
+    to Al=0 and a DC refinement — exercising spectral selection,
+    successive approximation (incl. EOB-run correction-bit buffering,
+    the jcphuff structure), and multi-scan table snapshots."""
     import struct
 
     gray = rgb.ndim == 2
@@ -161,53 +168,227 @@ def mk_jpeg(rgb, qval=1, subsampling="444", restart_interval=0):
     dc_codes = _canonical_codes(dc_counts, dc_vals)
     ac_codes = _canonical_codes(ac_counts, ac_vals)
 
-    bw = _BitWriter()
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_idx = 0
-    rst_seq = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bw.restart(rst_seq)
-                rst_seq += 1
-                pred = {cid: 0 for cid, *_ in comps}
-            mcu_idx += 1
-            for cid, hc, vc in comps:
-                for by in range(vc):
-                    for bx in range(hc):
-                        blk = blocks[cid][my * vc + by, mx * hc + bx]
-                        dc = int(blk[0])
-                        diff = dc - pred[cid]
-                        pred[cid] = dc
-                        s = _category(diff)
-                        ln, code = dc_codes[s]
-                        bw.put(code, ln)
-                        if s:
-                            v = diff if diff >= 0 else diff + (1 << s) - 1
-                            bw.put(v, s)
-                        run = 0
-                        last_nz = 0
-                        nz = np.nonzero(blk[1:])[0]
-                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
-                        for k in range(1, last_nz + 1):
-                            v = int(blk[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                ln, code = ac_codes[0xF0]  # ZRL
-                                bw.put(code, ln)
-                                run -= 16
-                            s = _category(v)
-                            ln, code = ac_codes[(run << 4) | s]
-                            bw.put(code, ln)
-                            mv = v if v >= 0 else v + (1 << s) - 1
-                            bw.put(mv, s)
+    def put_dc(bw, cat, diff):
+        ln, code = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            v = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(v, cat)
+
+    def put_ac(bw, sym):
+        ln, code = ac_codes[sym]
+        bw.put(code, ln)
+
+    def encode_sequential():
+        bw = _BitWriter()
+        pred = {cid: 0 for cid, *_ in comps}
+        mcu_idx = 0
+        rst_seq = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and mcu_idx
+                        and mcu_idx % restart_interval == 0):
+                    bw.restart(rst_seq)
+                    rst_seq += 1
+                    pred = {cid: 0 for cid, *_ in comps}
+                mcu_idx += 1
+                for cid, hc, vc in comps:
+                    for by in range(vc):
+                        for bx in range(hc):
+                            blk = blocks[cid][my * vc + by, mx * hc + bx]
+                            dc = int(blk[0])
+                            diff = dc - pred[cid]
+                            pred[cid] = dc
+                            put_dc(bw, _category(diff), diff)
                             run = 0
-                        if last_nz < 63:
-                            ln, code = ac_codes[0x00]  # EOB
-                            bw.put(code, ln)
-    entropy = bw.flush()
+                            nz = np.nonzero(blk[1:])[0]
+                            last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                            for k in range(1, last_nz + 1):
+                                v = int(blk[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    put_ac(bw, 0xF0)  # ZRL
+                                    run -= 16
+                                s = _category(v)
+                                put_ac(bw, (run << 4) | s)
+                                mv = v if v >= 0 else v + (1 << s) - 1
+                                bw.put(mv, s)
+                                run = 0
+                            if last_nz < 63:
+                                put_ac(bw, 0x00)  # EOB
+        return [(None, 0, 63, 0, 0, bw.flush())]
+
+    def comp_grid(cid, hc, vc):
+        cw = (w * hc + 8 * hmax - 1) // (8 * hmax)
+        ch = (h * vc + 8 * vmax - 1) // (8 * vmax)
+        return [(by, bx) for by in range(ch) for bx in range(cw)]
+
+    def encode_progressive():
+        """libjpeg-like scan script; the entropy emitters mirror
+        jcphuff's structure (EOB-run accounting, correction-bit
+        buffering attached to the pending EOB run). ``restart_interval``
+        > 0 restarts every scan at that many of ITS restart units
+        (MCUs for the interleaved DC scans, blocks for AC scans), with
+        per-scan RST sequence numbering."""
+        scans = []
+        ri = restart_interval
+
+        def dc_first(al):
+            bw = _BitWriter()
+            pred = {cid: 0 for cid, *_ in comps}
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        bw.restart(unit // ri - 1)
+                        pred = {cid: 0 for cid, *_ in comps}
+                    unit += 1
+                    for cid, hc, vc in comps:
+                        for by in range(vc):
+                            for bx in range(hc):
+                                dc = int(
+                                    blocks[cid][my * vc + by, mx * hc + bx][0]
+                                ) >> al  # arithmetic shift: point transform
+                                diff = dc - pred[cid]
+                                pred[cid] = dc
+                                put_dc(bw, _category(diff), diff)
+            scans.append((None, 0, 0, 0, al, bw.flush()))
+
+        def dc_refine(ah, al):
+            bw = _BitWriter()
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        bw.restart(unit // ri - 1)
+                    unit += 1
+                    for cid, hc, vc in comps:
+                        for by in range(vc):
+                            for bx in range(hc):
+                                dc = int(
+                                    blocks[cid][my * vc + by, mx * hc + bx][0]
+                                )
+                                bw.put((dc >> al) & 1, 1)
+            scans.append((None, 0, 0, ah, al, bw.flush()))
+
+        def ac_first(cid, hc, vc, ss, se, al):
+            bw = _BitWriter()
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    put_ac(bw, nbits << 4)
+                    if nbits:
+                        bw.put(eobrun, nbits)
+                    eobrun = 0
+
+            for unit, (by, bx) in enumerate(comp_grid(cid, hc, vc)):
+                if ri and unit and unit % ri == 0:
+                    emit_eobrun()
+                    bw.restart(unit // ri - 1)
+                blk = blocks[cid][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> al  # point transform toward zero
+                    if t == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        put_ac(bw, 0xF0)  # ZRL
+                        r -= 16
+                    s = t.bit_length()
+                    put_ac(bw, (r << 4) | s)
+                    sv = t if v >= 0 else -t
+                    mv = sv if sv >= 0 else sv + (1 << s) - 1
+                    bw.put(mv, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+            emit_eobrun()
+            scans.append((cid, ss, se, 0, al, bw.flush()))
+
+        def ac_refine(cid, hc, vc, ss, se, ah, al):
+            bw = _BitWriter()
+            eobrun = 0
+            bebits: list[int] = []  # correction bits riding the EOB run
+
+            def emit_eobrun():
+                nonlocal eobrun, bebits
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    put_ac(bw, nbits << 4)
+                    if nbits:
+                        bw.put(eobrun, nbits)
+                    eobrun = 0
+                    for b in bebits:
+                        bw.put(b, 1)
+                    bebits = []
+
+            for unit, (by, bx) in enumerate(comp_grid(cid, hc, vc)):
+                if ri and unit and unit % ri == 0:
+                    emit_eobrun()
+                    bw.restart(unit // ri - 1)
+                blk = blocks[cid][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # index AFTER the last newly-significant coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r = 0
+                br: list[int] = []  # correction bits in this block
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        emit_eobrun()
+                        put_ac(bw, 0xF0)  # ZRL
+                        r -= 16
+                        for b in br:
+                            bw.put(b, 1)
+                        br = []
+                    if t > 1:
+                        # previously-significant: one correction bit
+                        br.append(t & 1)
+                        continue
+                    emit_eobrun()
+                    put_ac(bw, (r << 4) | 1)
+                    bw.put(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    bebits.extend(br)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+            emit_eobrun()
+            scans.append((cid, ss, se, ah, al, bw.flush()))
+
+        dc_first(1)
+        for cid, hc, vc in comps:
+            ac_first(cid, hc, vc, 1, 5, 2)
+            ac_first(cid, hc, vc, 6, 63, 2)
+        for cid, hc, vc in comps:
+            ac_refine(cid, hc, vc, 1, 63, 2, 1)
+        dc_refine(1, 0)
+        for cid, hc, vc in comps:
+            ac_refine(cid, hc, vc, 1, 63, 1, 0)
+        return scans
+
+    if progressive:
+        scan_list = encode_progressive()
+    else:
+        scan_list = encode_sequential()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -219,16 +400,20 @@ def mk_jpeg(rgb, qval=1, subsampling="444", restart_interval=0):
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hc, vc in comps:
         sof += bytes([cid, (hc << 4) | vc, 0])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
-    sos = bytes([len(comps)])
-    for cid, *_ in comps:
-        sos += bytes([cid, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += entropy + b"\xff\xd9"
-    return out
+    for scid, ss, se, ah, al, entropy in scan_list:
+        members = comps if scid is None else [
+            c for c in comps if c[0] == scid
+        ]
+        sos = bytes([len(members)])
+        for cid, *_ in members:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += entropy
+    return out + b"\xff\xd9"
 
 
 def test_jpeg_gray_roundtrip_near_lossless():
@@ -343,8 +528,12 @@ def test_jpeg_gates_and_metadata():
         i = blob.index(b"\xff\xc0")
         return blob[:i] + bytes([0xFF, marker]) + blob[i + 2:]
 
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        pixels(patch_sof(0xC2))  # progressive
+    # a BASELINE stream relabeled SOF2 is malformed progressive (its
+    # single 0..63 scan is no legal progressive scan) — ValueError,
+    # not silent misdecode (SOF2 itself is SUPPORTED since r11:
+    # test_jpeg_progressive_* below)
+    with pytest.raises(ValueError):
+        pixels(patch_sof(0xC2))
     with pytest.raises(NotImplementedError, match="SOF9"):
         pixels(patch_sof(0xC9))  # arithmetic
 
@@ -490,3 +679,92 @@ def test_jpeg_restart_intervals():
     # a missing segment (truncate after the first RST) -> ValueError
     with pytest.raises(ValueError):
         pixels(blob[: i + 6] + b"\xff\xd9")
+
+
+def test_jpeg_progressive_equals_baseline():
+    """r11: progressive (SOF2) decode — the scan script is a LOSSLESS
+    re-encoding of the same quantized coefficients, so progressive and
+    baseline encodings of the same pixels must decode BIT-identically.
+    Covers spectral selection, DC+AC successive approximation, EOB
+    runs with buffered correction bits, 4:2:0, grayscale, and coarse
+    quantization (dense EOB-run paths)."""
+    rng = np.random.RandomState(23)
+    cases = [
+        ((8, 8), "444", 1), ((16, 16), "444", 1), ((9, 21), "444", 1),
+        ((24, 17), "444", 8), ((16, 16), "420", 1), ((9, 22), "420", 8),
+        ((1, 1), "444", 1), ((32, 32), "444", 32),
+    ]
+    for (h, w), sub, qv in cases:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        _, base = pixels(mk_jpeg(px, qval=qv, subsampling=sub))
+        kind, prog = pixels(
+            mk_jpeg(px, qval=qv, subsampling=sub, progressive=True)
+        )
+        assert kind == "jpeg"
+        assert (prog == base).all(), (h, w, sub, qv)
+    # grayscale progressive
+    g = rng.randint(0, 256, size=(13, 19), dtype=np.uint8)
+    _, base = pixels(mk_jpeg(g, qval=1))
+    _, prog = pixels(mk_jpeg(g, qval=1, progressive=True))
+    assert (prog == base).all()
+    # smooth content (long zero runs, ZRL + EOBn interplay)
+    yy, xx = np.mgrid[0:40, 0:40]
+    smooth = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    _, base = pixels(mk_jpeg(smooth, qval=4))
+    _, prog = pixels(mk_jpeg(smooth, qval=4, progressive=True))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_property():
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 18),
+        gray=st.booleans(),
+        sub=st.sampled_from(["444", "420"]),
+        qv=st.sampled_from([1, 8]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, gray, sub, qv, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        if gray:
+            src = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            base_blob = mk_jpeg(src, qval=qv)
+            prog_blob = mk_jpeg(src, qval=qv, progressive=True)
+        else:
+            src = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            base_blob = mk_jpeg(src, qval=qv, subsampling=sub)
+            prog_blob = mk_jpeg(src, qval=qv, subsampling=sub,
+                                progressive=True)
+        _, base = pixels(base_blob)
+        _, prog = pixels(prog_blob)
+        assert (prog == base).all()
+        meta = decode_media(prog_blob)
+        assert meta["kind"] == "jpeg"
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["content_sum"] == int(base.astype(np.int64).sum())
+
+    check()
+
+
+def test_jpeg_progressive_with_restarts():
+    """Progressive + DRI: every scan restarts at its own unit cadence
+    (MCUs for interleaved DC, blocks for AC) with per-scan RST
+    numbering — must decode identically to the restart-free encoding."""
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    _, want = pixels(mk_jpeg(px, qval=1, progressive=True))
+    for ri in (1, 2, 5):
+        _, got = pixels(
+            mk_jpeg(px, qval=1, progressive=True, restart_interval=ri)
+        )
+        assert (got == want).all(), ri
+    g = rng.randint(0, 256, size=(17, 33), dtype=np.uint8)
+    _, want_g = pixels(mk_jpeg(g, qval=8, progressive=True))
+    _, got_g = pixels(
+        mk_jpeg(g, qval=8, progressive=True, restart_interval=3)
+    )
+    assert (got_g == want_g).all()

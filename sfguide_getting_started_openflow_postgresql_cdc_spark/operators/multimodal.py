@@ -418,7 +418,7 @@ def _make_pixel_decoder():
             return segs, i
 
         qt: dict[int, "_np.ndarray"] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        huff: dict[tuple[int, int], tuple] = {}  # (class,id) -> (lut, maxlen)
         sof = None
         progressive = False
         restart_interval = 0
@@ -434,6 +434,8 @@ def _make_pixel_decoder():
             # offset (r11 review)
             while pos + 1 < len(p) and p[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(p):
+                raise ValueError("truncated JPEG (fill bytes at end)")
             m = p[pos + 1]
             if m == 0xD9:  # EOI before SOS
                 break
@@ -481,7 +483,10 @@ def _make_pixel_decoder():
                             code += 1
                             vi += 1
                         code <<= 1
-                    huff[(tc, th)] = table
+                    # build the peek LUT ONCE here — per-SOS snapshots
+                    # are then a shallow dict copy, not a rebuild of
+                    # 2^maxlen-entry lists per scan (r11 review)
+                    huff[(tc, th)] = _make_lut(table)
                     i += 17 + nvals
             elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 progressive = m == 0xC2
@@ -524,13 +529,20 @@ def _make_pixel_decoder():
                 ]
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+                if not 0 <= ss <= se <= 63:
+                    # unchecked Se would index past the 64-coefficient
+                    # row deep in numpy (r11 review) — gate here
+                    raise ValueError(
+                        f"bad JPEG spectral band Ss={ss}..Se={se}"
+                    )
                 segments, end = _destuff(pos + 2 + ln)
-                # snapshot the LUTs: tables may be redefined between
-                # scans (T.81 allows DHT anywhere), so each scan
-                # decodes with the tables in force AT ITS OWN SOS
+                # snapshot the LUT dict (shallow — LUTs are built once
+                # at DHT parse): tables may be redefined between scans
+                # (T.81 allows DHT anywhere), so each scan decodes with
+                # the tables in force AT ITS OWN SOS
                 scans.append((
                     sc, ss, se, ah, al, segments,
-                    {key: _make_lut(tab) for key, tab in huff.items()},
+                    dict(huff),
                     restart_interval,
                 ))
                 pos = end
@@ -560,54 +572,64 @@ def _make_pixel_decoder():
             indexing) + LUT-probing Huffman decode — the entropy loop
             is the decode hot path and a per-bit dict-probe walk is
             ~8x slower. Returns (read_bits, huff_decode, next_segment)."""
-            st = {"seg": 0, "cache": 0, "cachebits": 0, "bytepos": 0}
-            buf = {"data": segments[0], "n": len(segments[0])}
+            # nonlocal ints, NOT a state dict: every read_bits /
+            # huff_decode call (one-plus per DCT coefficient) would pay
+            # ~6 dict probes per op in the decode hot path (r11 review)
+            seg_i = 0
+            data = segments[0]
+            ndata = len(data)
+            cache = 0
+            cachebits = 0
+            bytepos = 0
 
             def next_segment() -> None:
                 # restart boundary: byte-align onto the next segment
                 # (pad bits before the RST marker discard with it)
-                st["seg"] += 1
-                if st["seg"] >= len(segments):
+                nonlocal seg_i, data, ndata, cache, cachebits, bytepos
+                seg_i += 1
+                if seg_i >= len(segments):
                     raise ValueError(
                         "JPEG restart interval expects more RST segments"
                     )
-                buf["data"] = segments[st["seg"]]
-                buf["n"] = len(buf["data"])
-                st["cache"] = 0
-                st["cachebits"] = 0
-                st["bytepos"] = 0
+                data = segments[seg_i]
+                ndata = len(data)
+                cache = 0
+                cachebits = 0
+                bytepos = 0
 
             def _fill(n: int) -> None:
                 # past the real end, feed zero bits; consumption past
                 # the segment end is caught below (truncated stream)
-                while st["cachebits"] < n:
-                    bp = st["bytepos"]
-                    st["cache"] = (st["cache"] << 8) | (
-                        buf["data"][bp] if bp < buf["n"] else 0
+                nonlocal cache, cachebits, bytepos
+                while cachebits < n:
+                    cache = (cache << 8) | (
+                        data[bytepos] if bytepos < ndata else 0
                     )
-                    st["bytepos"] = bp + 1
-                    st["cachebits"] += 8
+                    bytepos += 1
+                    cachebits += 8
 
             def read_bits(n: int) -> int:
+                nonlocal cache, cachebits
                 if n == 0:
                     return 0
                 _fill(n)
-                st["cachebits"] -= n
-                v = st["cache"] >> st["cachebits"]
-                st["cache"] &= (1 << st["cachebits"]) - 1
-                if st["bytepos"] * 8 - st["cachebits"] > buf["n"] * 8:
+                cachebits -= n
+                v = cache >> cachebits
+                cache &= (1 << cachebits) - 1
+                if bytepos * 8 - cachebits > ndata * 8:
                     raise ValueError("JPEG entropy data exhausted")
                 return v
 
             def huff_decode(lut, maxlen) -> int:
+                nonlocal cache, cachebits
                 _fill(maxlen)
-                hit = lut[st["cache"] >> (st["cachebits"] - maxlen)]
+                hit = lut[cache >> (cachebits - maxlen)]
                 if hit is None:
                     raise ValueError("invalid JPEG Huffman code")
                 v, length = hit
-                st["cachebits"] -= length
-                st["cache"] &= (1 << st["cachebits"]) - 1
-                if st["bytepos"] * 8 - st["cachebits"] > buf["n"] * 8:
+                cachebits -= length
+                cache &= (1 << cachebits) - 1
+                if bytepos * 8 - cachebits > ndata * 8:
                     raise ValueError("JPEG entropy data exhausted")
                 return v
 

@@ -768,3 +768,27 @@ def test_jpeg_progressive_with_restarts():
         mk_jpeg(g, qval=8, progressive=True, restart_interval=3)
     )
     assert (got_g == want_g).all()
+
+
+def test_jpeg_malformed_streams_gate_as_valueerror():
+    """r11 review: every malformed-stream path raises the documented
+    ValueError, never a raw IndexError from deep in the walk/numpy —
+    trailing fill bytes, and a spectral band past the 64-coefficient
+    row."""
+    import struct
+
+    # payload ending in a run of 0xFF fill bytes
+    with pytest.raises(ValueError):
+        pixels(b"\xff\xd8\xff\xff\xff\xff")
+
+    # Se > 63 in a progressive SOS
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = mk_jpeg(px, qval=1, progressive=True)
+    i = blob.index(b"\xff\xda")
+    ln = struct.unpack_from(">H", blob, i + 2)[0]
+    sos = bytearray(blob[i + 4 : i + 2 + ln])
+    ns = sos[0]
+    sos[2 + 2 * ns] = 200  # Se
+    bad = blob[: i + 4] + bytes(sos) + blob[i + 2 + ln:]
+    with pytest.raises(ValueError, match="spectral"):
+        pixels(bad)

@@ -1391,22 +1391,38 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
             return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
         def _jpeg(doc_id: int) -> bytes:
-            """Baseline SOF0 JPEG fixture (doc_id % 16 == 10 — the
-            (11, 3)-dims class, two MCUs wide so the DC predictor is
-            exercised): DC-ONLY blocks with a flat quant table of 8,
-            which the pipeline reproduces BIT-EXACTLY (DC = value-128
-            quantizes losslessly at q=8; IDCT of a DC-only block is
-            that constant), so the SQL oracles recompute the decoded
-            RGB exactly through the decoder's fixed-point YCbCr->RGB.
+            """JPEG fixture (doc_id % 16 == 10 — the (11, 3)-dims
+            class, two MCUs wide so the DC predictor is exercised):
+            DC-ONLY blocks with a flat quant table of 8, which the
+            pipeline reproduces BIT-EXACTLY (DC = value-128 quantizes
+            losslessly at q=8; IDCT of a DC-only block is that
+            constant), so the SQL oracles recompute the decoded RGB
+            exactly through the decoder's fixed-point YCbCr->RGB.
             Block luma: Y1 for the first MCU, Y1+delta after (the
-            x >= 8 half); chroma constant. Huffman tables are fixed
-            4-bit DC categories + a 1-bit EOB, and every magnitude
-            pattern keeps 1-runs <= 6 bits, so a 0xFF entropy byte —
-            and therefore byte stuffing — is impossible and payload
-            size stays CLOSED-FORM: 161 header bytes +
-            ceil((36 + 20*(n_mcu-1))/8) entropy bytes."""
+            x >= 8 half); chroma constant.
+
+            LAYOUT alternates on t = doc_id//16 parity (r11):
+            - t even (doc_id % 32 == 10): baseline SOF0, one
+              interleaved scan — 161 header bytes +
+              ceil((36 + 20*(n_mcu-1))/8) entropy;
+            - t odd (doc_id % 32 == 26): PROGRESSIVE SOF2 encoding the
+              SAME coefficients — one interleaved DC scan (Ss=Se=0,
+              Al=0) + one AC scan per component whose whole 1..63 band
+              is a single EOBn run (all AC are zero) — 195 fixed bytes
+              + ceil((33 + 17*(n_mcu-1))/8) DC-scan entropy. Decoded
+              pixels are IDENTICAL to the baseline twin, so mm6/mm8/
+              mm9 stay layout-agnostic and only mm5's payload-size
+              oracle distinguishes the two (exactly like the PNG
+              color-type cycle).
+
+            Huffman tables are fixed 4-bit DC categories + a 1/2-bit
+            AC table (EOB, EOB1), and every magnitude pattern keeps
+            1-runs <= 6 bits, so a 0xFF entropy byte — and therefore
+            byte stuffing — is impossible and payload size stays
+            CLOSED-FORM."""
             w, h = doc_id % 16 + 1, doc_id % 8 + 1
             t = doc_id // 16
+            progressive = t % 2 == 1
             y1 = 192 + t % 32            # DC cat 7 (Y1-128 in [64,95])
             delta = 16 + (doc_id // 32) % 16  # DC cat 5
             cb1 = -(64 + (t * 7) % 32)   # DC cat 7, negative (EXTEND)
@@ -1414,7 +1430,8 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
 
             dqt = b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
             sof = (
-                b"\xff\xc0" + _struct.pack(">H", 17) + bytes([8])
+                (b"\xff\xc2" if progressive else b"\xff\xc0")
+                + _struct.pack(">H", 17) + bytes([8])
                 + _struct.pack(">HH", h, w)
                 + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
             )
@@ -1424,15 +1441,20 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 + bytes([0, 0, 0, 12] + [0] * 12)
                 + bytes([0, 5, 7, 1, 2, 3, 4, 6, 8, 9, 10, 11])
             )
-            # AC table: single 1-bit code "0" = EOB
-            dht_ac = (
-                b"\xff\xc4" + _struct.pack(">H", 20) + bytes([0x10])
-                + bytes([1] + [0] * 15) + bytes([0x00])
-            )
-            sos = (
-                b"\xff\xda" + _struct.pack(">H", 12)
-                + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-            )
+            if progressive:
+                # AC table: EOB -> "0" (1 bit), EOB1 (0x10) -> "10"
+                # (2 bits) — the whole-band EOBn run needs EOB1 for
+                # 2..3-block components
+                dht_ac = (
+                    b"\xff\xc4" + _struct.pack(">H", 21) + bytes([0x10])
+                    + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x10])
+                )
+            else:
+                # AC table: single 1-bit code "0" = EOB
+                dht_ac = (
+                    b"\xff\xc4" + _struct.pack(">H", 20) + bytes([0x10])
+                    + bytes([1] + [0] * 15) + bytes([0x00])
+                )
 
             acc, nb = 0, 0
 
@@ -1441,40 +1463,89 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 acc = (acc << n) | (v & ((1 << n) - 1))
                 nb += n
 
-            n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
-            for k in range(n_mcu):
+            def take_entropy() -> bytes:
+                nonlocal acc, nb
+                pad = (-nb) % 8
+                # 1-padding per spec convention is stuffing-safe here:
+                # the final data bit is always 0 (an EOB code or a
+                # cat-0 DC code / eobrun low bit), so the pad byte is
+                # never 0xFF
+                put((1 << pad) - 1, pad)
+                out = acc.to_bytes(nb // 8, "big") if nb else b""
+                acc, nb = 0, 0
+                return out
+
+            def put_dc_mcu(k: int, with_eob: bool) -> None:
+                """One MCU's DC coding (Y, Cb, Cr) — shared by the
+                baseline scan (which also EOB-terminates each block)
+                and the progressive DC scan (which does not)."""
                 if k == 0:
                     put(0b0010, 4)
                     put(y1 - 128, 7)          # positive magnitude
-                    put(0, 1)                 # EOB
+                    if with_eob:
+                        put(0, 1)
                     put(0b0010, 4)
                     put(cb1 + 127, 7)         # negative: v + 2^s - 1
-                    put(0, 1)
+                    if with_eob:
+                        put(0, 1)
                     put(0b0010, 4)
                     put(cr1, 7)
-                    put(0, 1)
+                    if with_eob:
+                        put(0, 1)
                 elif k == 1:
                     put(0b0001, 4)
                     put(delta, 5)
-                    put(0, 1)
-                    put(0b0000, 4)            # chroma diff 0 (cat 0)
-                    put(0, 1)
-                    put(0b0000, 4)
-                    put(0, 1)
+                    if with_eob:
+                        put(0, 1)
+                    for _ in range(2):        # chroma diff 0 (cat 0)
+                        put(0b0000, 4)
+                        if with_eob:
+                            put(0, 1)
                 else:  # fixtures never reach here (w<=16, h<=8) but
                     # keep the stream legal for any dims: diff 0
                     for _ in range(3):
                         put(0b0000, 4)
-                        put(0, 1)
-            pad = (-nb) % 8
-            # 1-padding per spec convention is stuffing-safe here: the
-            # final data bit is an EOB 0, so the pad byte is never 0xFF
-            put((1 << pad) - 1, pad)
-            entropy = acc.to_bytes(nb // 8, "big") if nb else b""
-            return (
-                b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
-                + entropy + b"\xff\xd9"
-            )
+                        if with_eob:
+                            put(0, 1)
+
+            n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+            if progressive and n_mcu > 3:
+                # EOB1's single low bit covers runs of 2-3 blocks only
+                raise ValueError(
+                    "progressive fixture layout supports <= 3 MCUs"
+                )
+            out = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+            if not progressive:
+                for k in range(n_mcu):
+                    put_dc_mcu(k, with_eob=True)
+                out += (
+                    b"\xff\xda" + _struct.pack(">H", 12)
+                    + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+                    + take_entropy()
+                )
+            else:
+                # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+                for k in range(n_mcu):
+                    put_dc_mcu(k, with_eob=False)
+                out += (
+                    b"\xff\xda" + _struct.pack(">H", 12)
+                    + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+                    + take_entropy()
+                )
+                # scans 2-4: per-component AC band 1..63, all zero —
+                # ONE EOBn run covering every block of the component
+                for cid in (1, 2, 3):
+                    if n_mcu == 1:
+                        put(0, 1)             # EOB ("0")
+                    else:  # n_mcu in (2, 3): EOB1 "10" + 1 low bit
+                        put(0b10, 2)
+                        put(n_mcu - 2, 1)
+                    out += (
+                        b"\xff\xda" + _struct.pack(">H", 8)
+                        + bytes([1, cid, 0x00, 1, 63, 0])
+                        + take_entropy()
+                    )
+            return out + b"\xff\xd9"
 
         def _wav(doc_id: int) -> bytes:
             n, rate = doc_id % 50 + 10, 8000
@@ -1599,6 +1670,10 @@ _IMG_PX_CTE = """
            CAST(b.s AS BIGINT) AS content_sum,
            CAST(CASE WHEN b.doc_id % 4 = 0
                      THEN 54 + ((3 * b.w + 3) // 4) * 4 * b.h
+                     WHEN b.doc_id % 32 = 26
+                     -- progressive twin: 195 fixed + DC-scan entropy
+                     THEN 195 + (33 + 17 * (((b.w + 7) // 8)
+                                            * ((b.h + 7) // 8) - 1) + 7) // 8
                      WHEN b.doc_id % 16 = 10
                      THEN 161 + (36 + 20 * (((b.w + 7) // 8)
                                             * ((b.h + 7) // 8) - 1) + 7) // 8

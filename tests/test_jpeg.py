@@ -598,9 +598,15 @@ def test_jpeg_fixture_decodes_to_closed_form(spark):
         cb1 = -(64 + (t * 7) % 32)
         cr1 = 64 + (t * 13) % 32
         n_mcu = -(-w // 8) * -(-h // 8)
-        assert len(bytes(r["payload"])) == 161 + (36 + 20 * (n_mcu - 1) + 7) // 8
+        blob = bytes(r["payload"])
+        if t % 2 == 1:  # progressive twin (SOF2, r11)
+            assert b"\xff\xc2" in blob
+            assert len(blob) == 195 + (33 + 17 * (n_mcu - 1) + 7) // 8
+        else:
+            assert b"\xff\xc0" in blob
+            assert len(blob) == 161 + (36 + 20 * (n_mcu - 1) + 7) // 8
 
-        kind, got = pixels(bytes(r["payload"]))
+        kind, got = pixels(blob)
         assert kind == "jpeg" and got.shape == (h, w, 3)
 
         def rgb(y):

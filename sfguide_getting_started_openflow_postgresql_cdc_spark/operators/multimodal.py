@@ -343,12 +343,168 @@ def _make_pixel_decoder():
             return "png", _np.repeat(px.reshape(h, w, 1), 3, axis=2)
         if p[:2] == b"\xff\xd8":
             return "jpeg", _decode_jpeg(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif", _decode_gif(p)
         raise NotImplementedError(
             "unsupported image container (supported: 24-bit BMP, 8-bit "
             "gray/truecolor/palette/RGBA PNG, baseline and "
-            "progressive JPEG); arithmetic-coded JPEG and real video "
-            "codecs are not available in this runtime"
+            "progressive JPEG, GIF87a/89a); arithmetic-coded JPEG and "
+            "real video codecs are not available in this runtime"
         )
+
+    def _decode_gif(p: bytes):
+        """GIF87a/89a decoder (the public GIF spec): logical screen
+        descriptor + global/local color tables, extension-block skip
+        (GCE/comment/application), and a REAL dynamic LZW decode of
+        the first image — variable code width (LSB-first bit packing,
+        the opposite order of JPEG), CLEAR/END codes, the KwKwK case,
+        12-bit code cap — plus the 4-pass GIF row interlace. Returns
+        the FIRST frame as (h, w, 3) RGB (later animation frames are
+        ignored, the standard thumbnailing convention; transparency
+        indexes render their palette color — the output contract is
+        RGB). Malformed streams raise ValueError."""
+        import struct as _struct
+
+        import numpy as _np
+
+        if len(p) < 13:
+            raise ValueError("truncated GIF header")
+        sw, sh, flags, _bg, _ar = _struct.unpack_from("<HHBBB", p, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            if pos + 3 * n > len(p):
+                raise ValueError("truncated GIF global color table")
+            gct = _np.frombuffer(p, _np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+
+        def skip_subblocks(i: int) -> int:
+            while True:
+                if i >= len(p):
+                    raise ValueError("truncated GIF sub-blocks")
+                ln = p[i]
+                i += 1
+                if ln == 0:
+                    return i
+                i += ln
+
+        while True:
+            if pos >= len(p):
+                raise ValueError("GIF missing image descriptor")
+            b = p[pos]
+            if b == 0x3B:  # trailer before any image
+                raise ValueError("GIF contains no image")
+            if b == 0x21:  # extension: label byte then sub-blocks
+                if pos + 2 > len(p):
+                    raise ValueError("truncated GIF extension")
+                pos = skip_subblocks(pos + 2)
+                continue
+            if b == 0x2C:  # image descriptor
+                break
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 10 > len(p):
+            raise ValueError("truncated GIF image descriptor")
+        _ix, _iy, w, h, iflags = _struct.unpack_from("<HHHHB", p, pos + 1)
+        pos += 10
+        if w == 0 or h == 0:
+            raise ValueError("zero-dimension GIF")
+        pal = gct
+        if iflags & 0x80:  # local color table overrides
+            n = 2 << (iflags & 7)
+            if pos + 3 * n > len(p):
+                raise ValueError("truncated GIF local color table")
+            pal = _np.frombuffer(p, _np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        interlaced = bool(iflags & 0x40)
+
+        if pos >= len(p):
+            raise ValueError("truncated GIF (missing LZW code size)")
+        mcs = p[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size {mcs}")
+        # concatenate the data sub-blocks
+        data = bytearray()
+        i = pos
+        while True:
+            if i >= len(p):
+                raise ValueError("truncated GIF image data")
+            ln = p[i]
+            i += 1
+            if ln == 0:
+                break
+            data += p[i : i + ln]
+            i += ln
+
+        clear = 1 << mcs
+        end = clear + 1
+        # LZW decode — LSB-first bit reader over one int window
+        out: list[int] = []
+        table: list[tuple] = []
+
+        def reset_table():
+            nonlocal table, code_size, next_code
+            table = [(c,) for c in range(clear)] + [None, None]
+            code_size = mcs + 1
+            next_code = end + 1
+
+        code_size = mcs + 1
+        next_code = end + 1
+        reset_table()
+        acc = 0
+        accbits = 0
+        di = 0
+        ndata = len(data)
+        prev: tuple | None = None
+        need = w * h
+        while True:
+            while accbits < code_size:
+                if di >= ndata:
+                    raise ValueError("GIF LZW data exhausted before END")
+                acc |= data[di] << accbits
+                di += 1
+                accbits += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            accbits -= code_size
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"bad GIF LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + (entry[0],))
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= need:
+                break
+        if len(out) < need:
+            raise ValueError("GIF pixel data short of width*height")
+        idx = _np.array(out[:need], _np.int64).reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        if interlaced:
+            de = _np.zeros_like(idx)
+            rows = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            de[rows] = idx
+            idx = de
+        return pal[idx]
 
     def _decode_jpeg(p: bytes):
         """JPEG (ITU T.81) decoder — baseline sequential (SOF0) and
@@ -950,6 +1106,7 @@ def _make_media_decoder():
             p[:2] == b"BM"
             or p[:8] == b"\x89PNG\r\n\x1a\n"
             or p[:2] == b"\xff\xd8"
+            or p[:6] in (b"GIF87a", b"GIF89a")
         ):
             kind, px = pixels(p)
             h, w = int(px.shape[0]), int(px.shape[1])
@@ -993,9 +1150,9 @@ def _make_media_decoder():
             }
         raise NotImplementedError(
             "unsupported media container (supported: 24-bit BMP, 8-bit "
-            "truecolor PNG, baseline/progressive JPEG, 16-bit PCM "
-            "WAV); arithmetic JPEG and real audio/video codecs "
-            "(MP3/...) are not available in this runtime"
+            "truecolor PNG, baseline/progressive JPEG, GIF87a/89a, "
+            "16-bit PCM WAV); arithmetic JPEG and real audio/video "
+            "codecs (MP3/...) are not available in this runtime"
         )
 
     return decode
@@ -1003,7 +1160,7 @@ def _make_media_decoder():
 
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
     """Decode a media payload — REAL for 24-bit BMP, 8-bit PNG,
-    baseline/progressive JPEG, and 16-bit PCM WAV (pure-Python header/chunk +
+    baseline/progressive JPEG, GIF, and 16-bit PCM WAV (pure-Python header/chunk +
     content parse, see ``_make_media_decoder``); other containers raise
     NotImplementedError. ``kind`` is advisory — dispatch is on magic
     bytes."""
@@ -1249,10 +1406,11 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     """(doc_id) -> (doc_id, kind, payload): deterministic REAL media
-    files — even doc_ids become images (doc_id%4==0: 24-bit BMP;
-    doc_id%16==10: baseline SOF0 JPEG, r11; the rest of doc_id%4==2:
-    8-bit PNG in a truecolor/RGBA/palette color type cycling on
-    (doc_id//4)%3), odd ones 16-bit PCM WAVs.
+    files — even doc_ids become images (doc_id%16==12: GIF89a, r11;
+    the rest of doc_id%4==0: 24-bit BMP; doc_id%16==10: JPEG — half
+    baseline SOF0, half progressive SOF2 on t parity, r11; the rest of
+    doc_id%4==2: 8-bit PNG in a truecolor/RGBA/palette color type
+    cycling on (doc_id//4)%3), odd ones 16-bit PCM WAVs.
     Dimensions and content derive only from doc_id, so an SQL oracle can
     predict exactly what the decoder must recover (for JPEG the
     fixtures are DC-only with q=8, which round-trips BIT-exactly —
@@ -1547,6 +1705,62 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                     )
             return out + b"\xff\xd9"
 
+        def _gif(doc_id: int) -> bytes:
+            """GIF89a fixture (doc_id % 16 == 12 — carved from the BMP
+            slice; the (13, 5)-dims class): 256-entry global color
+            table PLTE[j] = (j, j+1, j+2) mod 256 with index
+            (x + y + doc_id) % 256 — the SAME trick as the PNG palette
+            subtype, so the decoded RGB grid is IDENTICAL to every
+            other container and mm6/mm8/mm9 stay container-agnostic.
+            The LZW stream uses the FIXED-WIDTH 'uncompressed' mode
+            (mcs=8: every index a 9-bit literal; a CLEAR would only be
+            needed past 254 literals and fixture images cap at 128
+            pixels), so payload size stays CLOSED-FORM:
+            795 + ceil(9 * (w*h + 2) / 8) bytes."""
+            w, h = doc_id % 16 + 1, doc_id % 8 + 1
+            x = _np.arange(w)[None, :]
+            y = _np.arange(h)[:, None]
+            idx = ((x + y + doc_id) % 256).astype(_np.int64)
+            n_px = w * h
+            if n_px > 254:
+                raise ValueError(
+                    "fixed-width GIF fixture layout caps at 254 pixels"
+                )
+            j = _np.arange(256, dtype=_np.int64)
+            gct = (
+                _np.stack([j, (j + 1) % 256, (j + 2) % 256], axis=1)
+                .astype(_np.uint8)
+                .tobytes()
+            )
+            # LSB-first 9-bit codes: CLEAR(256), literals, END(257)
+            acc, nb = 0, 0
+            data = bytearray()
+
+            def putl(v: int, n: int) -> None:
+                nonlocal acc, nb
+                acc |= (v & ((1 << n) - 1)) << nb
+                nb += n
+                while nb >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+
+            putl(256, 9)
+            for v in idx.ravel():
+                putl(int(v), 9)
+            putl(257, 9)
+            if nb:
+                data.append(acc & 0xFF)
+            return (
+                b"GIF89a"
+                + _struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+                + gct
+                + _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+                + bytes([8, len(data)])
+                + data
+                + b"\x00\x3b"
+            )
+
         def _wav(doc_id: int) -> bytes:
             n, rate = doc_id % 50 + 10, 8000
             i = _np.arange(n, dtype=_np.int64)
@@ -1564,6 +1778,8 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
         def _make(d: int) -> tuple[str, bytes]:
             if d % 2 == 1:
                 return "wav", _wav(d)
+            if d % 16 == 12:  # carved from the BMP slice (r11)
+                return "gif", _gif(d)
             if d % 4 == 0:
                 return "bmp", _bmp(d)
             if d % 16 == 10:
@@ -1660,7 +1876,8 @@ _IMG_PX_CTE = """
       FROM wav_i GROUP BY doc_id
     )
     SELECT b.doc_id,
-           CASE WHEN b.doc_id % 4 = 0 THEN 'bmp'
+           CASE WHEN b.doc_id % 16 = 12 THEN 'gif'
+                WHEN b.doc_id % 4 = 0 THEN 'bmp'
                 WHEN b.doc_id % 16 = 10 THEN 'jpeg'
                 ELSE 'png' END AS kind,
            CAST(b.w AS BIGINT) AS width,
@@ -1668,7 +1885,10 @@ _IMG_PX_CTE = """
            CAST(NULL AS BIGINT) AS duration_us,
            CAST(b.w * b.h AS BIGINT) AS n_units,
            CAST(b.s AS BIGINT) AS content_sum,
-           CAST(CASE WHEN b.doc_id % 4 = 0
+           CAST(CASE WHEN b.doc_id % 16 = 12
+                     -- GIF fixture: 795 fixed + 9-bit-literal LZW
+                     THEN 795 + (9 * (b.w * b.h + 2) + 7) // 8
+                     WHEN b.doc_id % 4 = 0
                      THEN 54 + ((3 * b.w + 3) // 4) * 4 * b.h
                      WHEN b.doc_id % 32 = 26
                      -- progressive twin: 195 fixed + DC-scan entropy
@@ -1819,7 +2039,7 @@ def _image_ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     imgs = synthesize_media_payloads(docs).filter(
-        F.col("kind").isin("bmp", "png", "jpeg")
+        F.col("kind").isin("bmp", "png", "jpeg", "gif")
     )
     return imgs.select("doc_id", "payload").mapInPandas(
         _ahash,

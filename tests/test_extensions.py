@@ -227,15 +227,18 @@ def test_byte_histogram_deterministic():
 
 def test_decode_stub_is_gated():
     """Codec-requiring formats still raise — the honest-incompleteness
-    gate survives the real BMP/PNG/JPEG/WAV decoder. (Baseline JPEG is
-    decoded for real since r11 — tests/test_jpeg.py — so a MALFORMED
-    jpeg stream now gates as ValueError, not NotImplementedError.)"""
+    gate survives the real BMP/PNG/JPEG/GIF/WAV decoder. (JPEG and GIF
+    decode for real since r11 — tests/test_jpeg.py, tests/test_gif.py —
+    so MALFORMED streams of those gate as ValueError, not
+    NotImplementedError.)"""
     with pytest.raises(NotImplementedError):
-        decode_media(b"GIF89a" + b"\x00" * 16, "image/gif")
+        decode_media(b"II*\x00" + b"\x00" * 16, "image/tiff")
     with pytest.raises(NotImplementedError):
         decode_media(b"RIFF\x00\x00\x00\x00AVI ", "video/avi")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "image/jpeg")
+    with pytest.raises(ValueError):
+        decode_media(b"GIF89a" + b"\x00" * 16, "image/gif")
 
 
 def _mk_png(px, filters, color_type=2, interlace=0, corrupt_crc=False,

@@ -1722,9 +1722,12 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
             y = _np.arange(h)[:, None]
             idx = ((x + y + doc_id) % 256).astype(_np.int64)
             n_px = w * h
-            if n_px > 254:
+            # 224 = the ONE-sub-block cap (ceil(9*(226)/8) <= 255 data
+            # bytes), tighter than the 254-literal CLEAR-free budget —
+            # the closed-form size formula assumes a single sub-block
+            if n_px > 224:
                 raise ValueError(
-                    "fixed-width GIF fixture layout caps at 254 pixels"
+                    "fixed-width GIF fixture layout caps at 224 pixels"
                 )
             j = _np.arange(256, dtype=_np.int64)
             gct = (
@@ -1805,7 +1808,10 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
 # Shared per-pixel grayscale (channel-sum g3) CTE chain for the image
 # fixture corpus — the single source of truth the mm5/mm6/mm9 oracles
 # build on. Even doc_ids are images; the doc_id%16==10 slice is the
-# DC-only baseline-JPEG fixture (r11) whose decoded RGB is closed-form
+# DC-only JPEG fixture (r11 — alternating baseline SOF0 / progressive
+# SOF2 on t = doc_id//16 parity, identical decoded pixels; only mm5's
+# payload-size branch distinguishes the layouts) whose decoded RGB is
+# closed-form
 # THROUGH the decoder's fixed-point YCbCr->RGB: constants are
 # round(coef * 2^16) and >>16 floors, and floor((a)/65536.0) is exact
 # in SQL because dividing by a power of two only shifts the exponent.

@@ -245,15 +245,12 @@ def test_gif_decodes_real_world_files():
     import glob
     import os
 
-    candidates = []
-    for root in (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib",
-        os.path.dirname(os.__file__),
-    ):
-        candidates = sorted(glob.glob(f"{root}/**/idlelib/Icons/*.gif",
-                                      recursive=True))
-        if candidates:
-            break
+    # the running interpreter's own stdlib ships them when IDLE is
+    # installed — no environment-specific paths
+    root = os.path.dirname(os.__file__)
+    candidates = sorted(
+        glob.glob(f"{root}/**/idlelib/Icons/*.gif", recursive=True)
+    )
     if not candidates:
         pytest.skip("no real-world GIFs available in this environment")
     decoded = 0

@@ -36,6 +36,20 @@ def with_global_rank(
     (must be a TOTAL order — include a tiebreaker) without ever
     single-partitioning the data. Returns a pinned (localCheckpointed)
     frame; input column set is preserved plus ``rank_col``."""
+    return with_global_rank_n(df, order_cols, rank_col, num_partitions)[0]
+
+
+def with_global_rank_n(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`with_global_rank` plus the TOTAL ROW COUNT for free: the
+    partition-size collect already sums to it, so callers needing n
+    (NTILE/percent_rank denominators) skip their own ``df.count()`` job
+    — one less full scan of the upstream per query (r11, guide §1.2:
+    don't recompute what an existing pass already knows)."""
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     rp = (
@@ -48,9 +62,10 @@ def with_global_rank(
         for r in rp.groupBy("_pid").agg(F.count("*").alias("c")).collect()
     }
     if not sizes:
-        return df.withColumn(rank_col, F.lit(None).cast("long")).filter(
+        empty = df.withColumn(rank_col, F.lit(None).cast("long")).filter(
             F.lit(False)
         )
+        return empty, 0
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
@@ -59,7 +74,7 @@ def with_global_rank(
         [(pid, o) for pid, o in offsets.items()], ["_pid", "_offset"]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    ranked = (
         rp.join(F.broadcast(off), "_pid")
         .withColumn(
             rank_col,
@@ -67,6 +82,7 @@ def with_global_rank(
         )
         .drop("_pid", "_offset")
     )
+    return ranked, acc
 
 
 def ntile_from_rank(rank, n_rows: int, k: int):

@@ -131,6 +131,9 @@ def _dim_of(emb: DataFrame, col: str) -> int:
     return int(row["d"])
 
 
+_NORM_COL = "_auto_norm"  # per-vector ||v||, hoisted into the persist
+
+
 def _auto_setup(
     emb: DataFrame,
     emb_col: str,
@@ -139,16 +142,31 @@ def _auto_setup(
     seed: int,
     geometry: tuple[int, int] | None,
     planes: list[list[float]] | None,
-) -> tuple[tuple[int, int], list[list[float]]]:
-    """Resolve (geometry, planes), persisting ``emb`` when derivation
-    needs actions on it: the auto path runs ONE combined (count, dim)
-    job instead of two, and the persist keeps the banding + two
-    verification scans in the returned plan from recomputing a possibly
-    expensive upstream (the _dd4_shingle_cache rationale). The cache is
-    left in place because the returned DataFrame still references it —
-    callers may ``emb.unpersist()`` after materializing the result."""
+) -> tuple[tuple[int, int], list[list[float]], DataFrame]:
+    """Resolve (geometry, planes, emb), persisting ``emb`` when
+    derivation needs actions on it: the auto path runs ONE combined
+    (count, dim) job instead of two, and the persist keeps the banding +
+    two verification scans in the returned plan from recomputing a
+    possibly expensive upstream (the _dd4_shingle_cache rationale).
+
+    r11 (guide §4.1 — control how many Python passes cross the
+    boundary): the persisted frame now CARRIES each vector's norm
+    (``_NORM_COL``, computed by the same ``arrow_norm`` UDF the verify
+    step used to invoke): cache materialization — already paid by the
+    (count, dim) job — computes it once, and ``_verified_sims`` reads
+    the column from cache instead of launching two more full-corpus
+    ArrowEvalPython passes (one per join side) per query. Bit-identical:
+    same UDF, same inputs. The cache is left in place because the
+    returned DataFrame references it — callers may ``unpersist()`` the
+    RETURNED frame after materializing results."""
     if geometry is not None and planes is not None:
-        return geometry, planes
+        return geometry, planes, emb
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        arrow_norm,
+    )
+
+    if _NORM_COL not in emb.columns:
+        emb = emb.withColumn(_NORM_COL, arrow_norm(F.col(emb_col)))
     already = emb.storageLevel.useMemory or emb.storageLevel.useDisk
     if not already:
         emb.persist()
@@ -165,7 +183,7 @@ def _auto_setup(
         dim = _dim_of(emb, emb_col)
     if planes is None:
         planes = auto_planes(geometry[0], geometry[1], dim, seed)
-    return geometry, planes
+    return geometry, planes, emb
 
 
 def _banded(
@@ -210,21 +228,30 @@ def _verified_sims(
     emb: DataFrame, cand: DataFrame, id_col: str, emb_col: str
 ) -> DataFrame:
     """Exact cosine for each candidate pair — norms hoisted per vector
-    (one fold per pair), identical arithmetic to the registered twins."""
+    (one fold per pair), identical arithmetic to the registered twins.
+    When ``emb`` carries the persisted ``_NORM_COL`` (the _auto_setup
+    path) both join sides read it from cache; otherwise (explicit
+    geometry+planes override, no persist) the norm UDF runs inline as
+    before."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
         arrow_dot,
         arrow_norm,
     )
 
+    norm_expr = (
+        F.col(_NORM_COL)
+        if _NORM_COL in emb.columns
+        else arrow_norm(F.col(emb_col))
+    )
     x = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("ea"),
-        arrow_norm(F.col(emb_col)).alias("na"),
+        norm_expr.alias("na"),
     )
     y = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("eb"),
-        arrow_norm(F.col(emb_col)).alias("nb"),
+        norm_expr.alias("nb"),
     )
     sim = arrow_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
@@ -256,7 +283,7 @@ def knn_graph(
     neighbor_id, similarity, rank), both directions of each edge,
     rank 1..k per vector.
     """
-    (n_bands, band_bits), planes = _auto_setup(
+    (n_bands, band_bits), planes, emb = _auto_setup(
         emb, emb_col, threshold_hint, target_recall, seed, geometry, planes
     )
     cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)
@@ -434,7 +461,7 @@ def embedding_dup_pairs(
     with id_a < id_b and similarity >= threshold — feed to
     ``operators.dedup._connected_components`` for keep/drop clusters.
     """
-    (n_bands, band_bits), planes = _auto_setup(
+    (n_bands, band_bits), planes, emb = _auto_setup(
         emb, emb_col, threshold, target_recall, seed, geometry, planes
     )
     cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)

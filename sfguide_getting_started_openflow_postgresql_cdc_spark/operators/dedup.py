@@ -51,35 +51,44 @@ SHINGLE_DOC_FREQ_CAP = 50
 SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared by dd3/dd4.
+def gram_rows(docs: DataFrame, n: int, out_col: str = "shingle") -> DataFrame:
+    """(doc_id, <out_col>) word n-gram rows WITH multiplicity, built at
+    array level: ONE ``split`` per document (kept in its own projection
+    so codegen evaluates the regex once — an inline ``transform`` lambda
+    would re-split per element, measured ~10x slower in r3), n shifted
+    ``slice`` views zipped with ``arrays_zip``, then a single explode.
 
-    Built as posexplode + lead() window rather than an array-transform:
-    Catalyst inlines the ``split()`` into every element_at inside a
-    ``transform`` lambda (one regex split per shingle per word — measured
-    ~10x slower); the exploded form splits each document exactly once.
+    r11 rewrite (guide §2.4 "remove shuffles outright") of the previous
+    posexplode + lead()-window form: the window shuffled AND sorted the
+    entire token stream on doc_id just to look n-1 tokens ahead, but
+    adjacency inside one document never needs an exchange — grams are
+    born partition-local here. Exact equivalence with the lead() form
+    (same (doc_id, gram) multiset per document: slice i covers tokens
+    [i, len-n+i], zipped positionally; empty/short docs yield zero
+    grams via the greatest(len-n+1, 0) slice length). Measured 1.4x on
+    the sf0.1 corpus AND one Exchange+Sort fewer in every consumer's
+    plan — at 100 TB that exchange was a full-corpus token shuffle."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", w.alias("_w"))
+    ln = F.greatest(F.size(F.col("_w")) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(F.col("_w"), i + 1, ln) for i in range(n)])
+    return d.select("doc_id", F.explode(z).alias("_t")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"_t.{i}") for i in range(n)]).alias(out_col),
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct 3-gram pairs — shared by dd3/dd4.
+
+    See :func:`gram_rows` for the shuffle-free construction (r11).
     """
     # the documents table is a single small file -> one scan task; spread
     # the (cheap) rows across the cluster BEFORE the expensive explode so
     # tokenization parallelizes. GUARDED: at 100 TB the source arrives
     # already split, and spread_small skips the exchange entirely.
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"),
-            w2.alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    return gram_rows(docs, 3).distinct()
 
 
 # SQL twin of _doc_shingles for the oracles (DuckDB)
@@ -837,7 +846,14 @@ def _connected_components(
     to turn a logic bug into a loud RuntimeError instead of an infinite
     loop: wrong group ids are never emitted. Each round localCheckpoints
     the new labels, truncating lineage so round count never deepens the
-    plan; the driver collects only a 1-row change count per round."""
+    plan; the driver collects only a 1-row change count per round.
+
+    r11 (guide §1.2 "don't compute things you throw away" / §5): the
+    per-round localCheckpoint is LAZY — the convergence-check aggregate
+    is the action that materializes it, so each round runs ONE Spark job
+    (join+compress+checkpoint+sum fused) instead of two (an eager
+    checkpoint job followed by a separate sum job). Halves the per-round
+    scheduling floor; identical labels, identical convergence."""
     edges = pairs.unionByName(
         pairs.select(F.col(b).alias(a), F.col(a).alias(b))
     ).persist()
@@ -845,7 +861,7 @@ def _connected_components(
         edges.select(F.col(a).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(df) -> int:
@@ -876,7 +892,7 @@ def _connected_components(
             hooked.alias("x")
             .join(hooked.alias("y"), F.col("x.label") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by label_sum below
         )
         cur_sum = label_sum(compressed)
         labels = compressed
@@ -1066,36 +1082,23 @@ def dd9_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared instances, one per-doc aggregate. Two shuffles — gram, then
     doc_id; cost tracks corpus size and true overlap, never pairs."""
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("w")] + [
-        F.lead("w", k).over(win) for k in range(1, DUP_NGRAM_N)
-    ]
-    grams = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", *leads).alias("gram"),
-            leads[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "gram")
-    )
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
-    )
-    marked = grams.join(shared.withColumn("_shared", F.lit(1)), "gram", "left")
+    # r11: shuffle-free array-level gram build (see gram_rows) — the
+    # lead()-window form paid a full token-stream Exchange+Sort here.
+    # r11 second fix (guide §2.4): the old shared-grams SELF-JOIN
+    # computed the whole explode+aggregate subtree twice (no exchange
+    # reuse across join sides); per-(doc, gram) counts + one gram-keyed
+    # window produce the same per-doc totals in a single pass — a gram
+    # is shared iff its (doc, gram)-distinct row count exceeds 1.
+    grams = gram_rows(docs, DUP_NGRAM_N, out_col="gram")
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    nd = F.count("*").over(Window.partitionBy("gram"))
+    marked = per.withColumn("nd", nd)
+    shared_cnt = F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
+    total_cnt = F.sum("cnt")
     return marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.count("_shared").alias("n_shared_grams"),
-        (F.count("_shared").cast("double") / F.count("*")).alias(
-            "shared_fraction"
-        ),
+        total_cnt.alias("n_grams"),
+        shared_cnt.alias("n_shared_grams"),
+        (shared_cnt.cast("double") / total_cnt).alias("shared_fraction"),
     )
 
 

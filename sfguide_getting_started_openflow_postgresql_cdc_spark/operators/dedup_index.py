@@ -159,25 +159,14 @@ def _run_concurrently(jobs) -> None:
 def _shingle_batch(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct 3-gram pairs for one batch — the same
     construction as operators/dedup.py::_doc_shingles, applied to an
-    arbitrary (doc_id, text) frame instead of the documents table."""
-    from pyspark.sql.window import Window
+    arbitrary (doc_id, text) frame instead of the documents table.
+    r11: shares the shuffle-free array-level builder (``gram_rows``) —
+    one less exchange per ingest."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        gram_rows,
+    )
 
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"),
-            w2.alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    return gram_rows(docs.select("doc_id", "text"), 3).distinct()
 
 
 class MinHashLshIndex:
@@ -642,13 +631,38 @@ class MinHashLshIndex:
             )
             .persist()
         )
-        # counting `crossing` doubles as the action that materializes
-        # merged's cache (the df write below reuses it); in the COMMON
-        # no-crossing case the whole re-verification subplan vanishes.
+        # ONE job resolves the crossing count AND the verify-side bucket
+        # sets for the no-crossing case (r11, the `tagged` fusion applied
+        # again — guide §1.2: the per-job scheduling floor dominates a
+        # micro-batch ingest, so bounded collects are fused wherever the
+        # dependency graph allows). The action also materializes the
+        # caches of `merged` (df write reuses it) and `new_cands` (the
+        # verify joins reuse it). In the COMMON no-crossing case the
+        # bucket rows are final; a crossing (rare by construction — each
+        # shingle crosses once, at its CAP+1-th arrival) pays one extra
+        # bucket job over the widened verify_set below.
         crossing = merged.filter(
             (F.col("old_df") <= self.cap) & (F.col("new_df") > self.cap)
         ).select("shingle")
-        n_crossing = crossing.count()
+        cross_and_vk = (
+            crossing.agg(F.count("*").alias("b")).select(
+                F.lit("x").alias("t"), F.col("b").cast("long")
+            )
+            .unionByName(
+                new_cands.select(
+                    F.lit("a").alias("t"), self._doc_bucket("doc_a").alias("b")
+                )
+                .unionByName(
+                    new_cands.select(
+                        F.lit("b").alias("t"),
+                        self._doc_bucket("doc_b").alias("b"),
+                    )
+                )
+                .distinct()
+            )
+            .collect()
+        )
+        n_crossing = next(int(r["b"]) for r in cross_and_vk if r["t"] == "x")
 
         hot_old = self._cow_read("hot", "shingle string")
         hot_new = (
@@ -698,21 +712,25 @@ class MinHashLshIndex:
             reverify = None
             verify_set = new_cands  # already distinct + persisted
 
-        # one job for the verify-side bucket sets: pairs-COW touched
-        # buckets (doc_a) and the involved-doc shingle buckets (both
-        # sides) — all bounded by n_buckets
-        vk = (
-            verify_set.select(
-                F.lit("a").alias("t"), self._doc_bucket("doc_a").alias("b")
-            )
-            .unionByName(
+        if n_crossing:
+            # rare path: re-derive the bucket sets over the WIDENED
+            # verify_set (new candidates + re-verifies) — its own job
+            vk = (
                 verify_set.select(
-                    F.lit("b").alias("t"), self._doc_bucket("doc_b").alias("b")
+                    F.lit("a").alias("t"), self._doc_bucket("doc_a").alias("b")
                 )
+                .unionByName(
+                    verify_set.select(
+                        F.lit("b").alias("t"),
+                        self._doc_bucket("doc_b").alias("b"),
+                    )
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
+        else:
+            # common path: the fused job above already produced them
+            vk = [r for r in cross_and_vk if r["t"] != "x"]
         pair_buckets = sorted(r["b"] for r in vk if r["t"] == "a")
         invol_buckets = sorted({r["b"] for r in vk})
 

@@ -44,8 +44,8 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry im
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
-    dot,
-    norm,
+    arrow_dot,
+    arrow_norm,
 )
 from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import load_table
 
@@ -265,13 +265,17 @@ def sim12_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact rerank over the shortlist only (bounded: N_QUERIES x
     # shortlist rows join back to their raw vectors)
+    # r11 (guide §4.2): the rerank's dot/norm were Catalyst higher-order
+    # folds (interpreted per element); the Arrow twins run the same
+    # accumulation order over numpy batches — bit-identical (asserted in
+    # tests/test_extensions.py::test_arrow_paths_bit_identical_to_folds)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        norm(F.col("embedding")).alias("qn"),
+        arrow_norm(F.col("embedding")).alias("qn"),
     )
-    sim = dot(F.col("embedding"), F.col("qv")) / (
-        norm(F.col("embedding")) * F.col("qn")
+    sim = arrow_dot(F.col("embedding"), F.col("qv")) / (
+        arrow_norm(F.col("embedding")) * F.col("qn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")

@@ -435,13 +435,17 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a single exact-integer product followed by one IEEE division
     (bit-identical across engines; the determinism contract bans ln()).
 
-    Shape at scale: explode -> (doc, term) counts (map-side combinable)
-    -> join against the doc-frequency table, which Catalyst broadcasts
-    (vocabulary-sized, not corpus-sized — the tf side is never
-    re-shuffled; at extreme vocabularies it degrades to a term-keyed
-    shuffle join) -> per-doc top-3 via row_number, which plans as
-    partial+final WindowGroupLimit (top-k pushed below the doc_id
-    exchange). The only driver-side value is the corpus count scalar."""
+    Shape at scale (r11 rewrite, guide §2.4/§3): explode -> (doc, term)
+    counts (map-side combinable) -> doc frequency as COUNT() OVER
+    (PARTITION BY term) on the same tf frame — tf has exactly one row
+    per (doc, term), so the window count IS the doc frequency. The
+    previous join-against-dfreq shape computed the whole explode+count
+    subtree TWICE (Catalyst planned no exchange reuse across the join's
+    sides) and broadcast a VOCABULARY-sized frame — a 100 TB corpus'
+    vocabulary is not broadcast-safe. Now: one explode pass, no
+    broadcast, and the per-doc top-3 still plans as partial+final
+    WindowGroupLimit (top-k pushed below the doc_id exchange). The only
+    driver-side value is the corpus count scalar."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -455,13 +459,13 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower(F.col("w")).alias("term"))
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
     tfidf = (
         F.col("tf").cast("double") * F.lit(n_docs).cast("double") / F.col("df")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.join(dfreq, on="term")
+        tf.withColumn("df", dfreq)
         .withColumn("tfidf", tfidf)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -498,22 +502,14 @@ def tx11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> per-(doc,gram) count -> per-doc aggregate: two shuffles,
     both keyed on doc_id(+gram), map-side combinable. Integer counts
     with one final double division — exact in any engine."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        gram_rows,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    grams = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), w1, w2).alias("gram"),
-            w2.alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "gram")
-    )
+    # r11: shuffle-free array-level gram build (multiplicity preserved)
+    # — the lead()-window form paid a token-stream Exchange+Sort here
+    grams = gram_rows(docs, 3, out_col="gram")
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     n = F.sum("cnt")
     dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
@@ -554,12 +550,13 @@ def px9_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine builtin bit-for-bit."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.ranking import (
         ntile_from_rank,
-        with_global_rank,
+        with_global_rank_n,
     )
 
     q = tx2_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    n = q.count()
-    ranked = with_global_rank(
+    # n from the rank pass's partition sizes (r11): the previous
+    # separate q.count() re-ran the whole tx2 scoring scan
+    ranked, n = with_global_rank_n(
         q,
         [F.col("quality_score").desc(), F.col("doc_id")],
         rank_col="_grk",

@@ -214,14 +214,15 @@ def e11_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Every stage parallel; the driver sees only partition counts."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.functions.ranking import (
         ntile_from_rank,
-        with_global_rank,
+        with_global_rank_n,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    n = orders.count()
-    ranked = with_global_rank(
+    # n comes from the rank pass's own partition-size collect (r11):
+    # the previous separate orders.count() was a second full scan
+    ranked, n = with_global_rank_n(
         orders, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="_grk"
     )
     r = F.col("_grk")

@@ -265,11 +265,34 @@ class IncrementalCurationManifest:
 
         dump = docs.select("doc_id", "text", "lang", "source").persist()
         try:
-            bounds = dump.agg(
-                F.min("doc_id").alias("lo"),
-                F.max("doc_id").alias("hi"),
-                F.count("*").alias("n"),
-            ).first()
+            # ONE job computes the dump bounds AND the fingerprint-dedup
+            # frame's touched hash buckets (r11, guide §1.2: fused
+            # bounded collects — the per-job floor dominates a
+            # micro-batch ingest). Materializes both persists. The rare
+            # replay/out-of-order path below wastes the bucket half of
+            # the job — it raises/skips anyway.
+            fpd = self._fp_dedup(dump)
+            probe = (
+                dump.agg(
+                    F.min("doc_id").alias("lo"),
+                    F.max("doc_id").alias("hi"),
+                    F.count("*").alias("n"),
+                )
+                .select(F.lit("bounds").alias("t"), "lo", "hi", "n")
+                .unionByName(
+                    fpd.select(
+                        F.lit("bucket").alias("t"),
+                        self._fp_bucket().alias("lo"),
+                        F.lit(None).cast("long").alias("hi"),
+                        F.lit(None).cast("long").alias("n"),
+                    ).distinct()
+                )
+                .collect()
+            )
+            bounds = next(r for r in probe if r["t"] == "bounds")
+            fp_buckets = sorted(
+                int(r["lo"]) for r in probe if r["t"] == "bucket"
+            )
             if bounds["n"] == 0:
                 return {
                     "version": meta["version"],
@@ -309,8 +332,13 @@ class IncrementalCurationManifest:
                 hi=int(bounds["hi"]),
                 new_ranges=[[int(bounds["lo"]), int(bounds["hi"])]],
                 collect_metrics=collect_metrics,
+                fpd=fpd,
+                fp_buckets=fp_buckets,
             )
         finally:
+            # _apply unpersists fpd when it runs; the early-return /
+            # raise paths above release it here (idempotent)
+            fpd.unpersist()
             dump.unpersist()
 
     def ingest_many(
@@ -354,13 +382,25 @@ class IncrementalCurationManifest:
             for d in dumps
         ]
         try:
-            infos, skipped = [], 0
-            for d in persisted:
-                b = d.agg(
+            # ONE job computes every dump's bounds (r11, guide §1.2 /
+            # §2.6): the k per-dump aggs union into a single action, so
+            # a k-dump catch-up pays one scheduling floor — not k — for
+            # its bookkeeping pass, and every dump's persist
+            # materializes in the same job.
+            bounds_rows = {}
+            agg = None
+            for i, d in enumerate(persisted):
+                part = d.agg(
                     F.min("doc_id").alias("lo"),
                     F.max("doc_id").alias("hi"),
                     F.count("*").alias("n"),
-                ).first()
+                ).select(F.lit(i).alias("_i"), "lo", "hi", "n")
+                agg = part if agg is None else agg.unionByName(part)
+            for r in agg.collect():
+                bounds_rows[r["_i"]] = r
+            infos, skipped = [], 0
+            for i, d in enumerate(persisted):
+                b = bounds_rows[i]
                 if b["n"] == 0:
                     skipped += 1
                     continue
@@ -417,6 +457,22 @@ class IncrementalCurationManifest:
             for d in persisted:
                 d.unpersist()
 
+    def _fp_dedup(self, dump: DataFrame) -> DataFrame:
+        """Keep-first fingerprint dedup WITHIN a dump (persisted): the
+        in-dump half of step 1 — drop all but the min-doc_id row per
+        fingerprint. Extracted (r11) so ``ingest`` can fuse this frame's
+        bucket collect with the bounds job."""
+        fpd = dump.select(
+            "doc_id", "text", "lang", "source", self._fingerprint()
+        )
+        w = Window.partitionBy("f")
+        return (
+            fpd.withColumn("_canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_canon"))
+            .drop("_canon")
+            .persist()
+        )
+
     def _apply(
         self,
         dump: DataFrame,
@@ -426,31 +482,34 @@ class IncrementalCurationManifest:
         hi: int,
         new_ranges: list,
         collect_metrics: bool,
+        fpd: DataFrame | None = None,
+        fp_buckets: list | None = None,
     ) -> dict:
         """Shared pipeline core behind ``ingest`` (one range) and
         ``ingest_many`` (k ranges, one commit): keep-first fingerprint
         dedup -> decontamination -> split/token derivation -> shard
         packing continuation -> additive merges -> commit-last
         versioned write. The caller owns ``dump``'s persist; frames
-        persisted here release in the finally (ADVICE r9)."""
-        fpd = kept = corpus = None
+        persisted here release in the finally (ADVICE r9). ``fpd`` /
+        ``fp_buckets`` may arrive precomputed (``ingest`` fuses their
+        job with its bounds job, r11); either way fpd is unpersisted
+        here on every exit."""
+        kept = corpus = None
         try:
             # 1. keep-first fingerprint dedup: in-dump keep-first, then
             # drop docs whose fingerprint is stored with a LOWER id
             # (stored benchmark fingerprints can carry HIGHER ids — the
             # min-id rule decides exactly as a fresh global window would)
-            fpd = dump.select("doc_id", "text", "lang", "source",
-                              self._fingerprint())
-            w = Window.partitionBy("f")
-            fpd = fpd.withColumn("_canon", F.min("doc_id").over(w)).filter(
-                F.col("doc_id") == F.col("_canon")
-            ).drop("_canon").persist()
-            buckets = sorted(
-                r["b"]
-                for r in fpd.select(self._fp_bucket().alias("b"))
-                .distinct()
-                .collect()
-            )
+            if fpd is None:
+                fpd = self._fp_dedup(dump)
+            if fp_buckets is None:
+                fp_buckets = sorted(
+                    r["b"]
+                    for r in fpd.select(self._fp_bucket().alias("b"))
+                    .distinct()
+                    .collect()
+                )
+            buckets = fp_buckets
             stored = (
                 self._read_fps(buckets, meta["version"])
                 .groupBy("f")

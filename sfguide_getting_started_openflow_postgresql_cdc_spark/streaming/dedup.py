@@ -85,29 +85,14 @@ def _batch_band_signatures(docs: DataFrame) -> DataFrame:
     shingle->minhash->band construction dd4 uses (operators/dedup.py),
     applied to a static micro-batch frame, so streaming collisions mean
     exactly what batch dd4 collisions mean."""
-    from pyspark.sql.window import Window
-
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
         _band_exprs,
         _minhash_sig_cols,
+        gram_rows,
     )
 
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    sh = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"),
-            w2.alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    # r11: shuffle-free array-level shingle build (see dedup.gram_rows)
+    sh = gram_rows(docs.select("doc_id", "text"), 3).distinct()
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     bands = None
     for name, expr in _band_exprs():

@@ -132,6 +132,7 @@ def _dim_of(emb: DataFrame, col: str) -> int:
 
 
 _NORM_COL = "_auto_norm"  # per-vector ||v||, hoisted into the persist
+_BANDS_COL = "_auto_bands"  # per-vector band-bucket array, ditto
 
 
 def _auto_setup(
@@ -142,34 +143,13 @@ def _auto_setup(
     seed: int,
     geometry: tuple[int, int] | None,
     planes: list[list[float]] | None,
-) -> tuple[tuple[int, int], list[list[float]], DataFrame]:
-    """Resolve (geometry, planes, emb), persisting ``emb`` when
-    derivation needs actions on it: the auto path runs ONE combined
-    (count, dim) job instead of two, and the persist keeps the banding +
-    two verification scans in the returned plan from recomputing a
-    possibly expensive upstream (the _dd4_shingle_cache rationale).
-
-    r11 (guide §4.1 — control how many Python passes cross the
-    boundary): the persisted frame now CARRIES each vector's norm
-    (``_NORM_COL``, computed by the same ``arrow_norm`` UDF the verify
-    step used to invoke): cache materialization — already paid by the
-    (count, dim) job — computes it once, and ``_verified_sims`` reads
-    the column from cache instead of launching two more full-corpus
-    ArrowEvalPython passes (one per join side) per query. Bit-identical:
-    same UDF, same inputs. The cache is left in place because the
-    returned DataFrame references it — callers may ``unpersist()`` the
-    RETURNED frame after materializing results."""
+) -> tuple[tuple[int, int], list[list[float]]]:
+    """Resolve (geometry, planes). The auto path runs ONE combined
+    (count, dim) job over the raw frame — a plain columnar scan, no
+    UDFs (r11: the geometry probe no longer persists; caching moved to
+    :func:`_augmented`, which is what actually gets re-read)."""
     if geometry is not None and planes is not None:
-        return geometry, planes, emb
-    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
-        arrow_norm,
-    )
-
-    if _NORM_COL not in emb.columns:
-        emb = emb.withColumn(_NORM_COL, arrow_norm(F.col(emb_col)))
-    already = emb.storageLevel.useMemory or emb.storageLevel.useDisk
-    if not already:
-        emb.persist()
+        return geometry, planes
     if geometry is None:
         row = emb.agg(
             F.count("*").alias("n"),
@@ -183,7 +163,47 @@ def _auto_setup(
         dim = _dim_of(emb, emb_col)
     if planes is None:
         planes = auto_planes(geometry[0], geometry[1], dim, seed)
-    return geometry, planes, emb
+    return geometry, planes
+
+
+def _augmented(
+    emb: DataFrame,
+    emb_col: str,
+    planes: list[list[float]],
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """The ONE persisted frame every stage reads: (id, embedding,
+    ||v||, band-bucket array). r11 (guide §4.1 — control how many
+    Python passes cross the boundary): previously the banding UDF ran
+    on BOTH sides of the candidate self-join and the norm UDF on both
+    sides of the verification join — four full-corpus ArrowEvalPython
+    passes per query. Here norm + banding evaluate in a single
+    ArrowEvalPython node exactly once, when the cache materializes (the
+    first consumer's job); the candidate sides just posexplode the
+    cached array and verification projects the cached norm. Same UDFs,
+    same inputs — bit-identical. The cache is left in place because
+    returned frames reference it; callers may ``unpersist()`` it after
+    materializing results (CacheManager dedups repeat calls — plan-
+    identical frames share one entry)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.similarity import (
+        arrow_band_buckets_param,
+        arrow_norm,
+    )
+
+    out = emb
+    if _NORM_COL not in out.columns:
+        out = out.withColumn(_NORM_COL, arrow_norm(F.col(emb_col)))
+    if _BANDS_COL not in out.columns:
+        out = out.withColumn(
+            _BANDS_COL,
+            arrow_band_buckets_param(
+                F.col(emb_col), planes, n_bands, band_bits
+            ),
+        )
+    if not (out.storageLevel.useMemory or out.storageLevel.useDisk):
+        out.persist()
+    return out
 
 
 def _banded(
@@ -198,11 +218,14 @@ def _banded(
         arrow_band_buckets_param,
     )
 
+    buckets = (
+        F.col(_BANDS_COL)
+        if _BANDS_COL in emb.columns
+        else arrow_band_buckets_param(F.col(emb_col), planes, n_bands, band_bits)
+    )
     return emb.select(
         F.col(id_col),
-        F.posexplode(
-            arrow_band_buckets_param(F.col(emb_col), planes, n_bands, band_bits)
-        ).alias("band_id", "bucket"),
+        F.posexplode(buckets).alias("band_id", "bucket"),
     )
 
 
@@ -283,9 +306,10 @@ def knn_graph(
     neighbor_id, similarity, rank), both directions of each edge,
     rank 1..k per vector.
     """
-    (n_bands, band_bits), planes, emb = _auto_setup(
+    (n_bands, band_bits), planes = _auto_setup(
         emb, emb_col, threshold_hint, target_recall, seed, geometry, planes
     )
+    emb = _augmented(emb, emb_col, planes, n_bands, band_bits)
     cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)
     sims = _verified_sims(emb, cand, id_col, emb_col)
     # mirror each undirected pair into both directed edges, then top-k
@@ -461,9 +485,10 @@ def embedding_dup_pairs(
     with id_a < id_b and similarity >= threshold — feed to
     ``operators.dedup._connected_components`` for keep/drop clusters.
     """
-    (n_bands, band_bits), planes, emb = _auto_setup(
+    (n_bands, band_bits), planes = _auto_setup(
         emb, emb_col, threshold, target_recall, seed, geometry, planes
     )
+    emb = _augmented(emb, emb_col, planes, n_bands, band_bits)
     cand = _candidates(_banded(emb, id_col, emb_col, planes, n_bands, band_bits), id_col)
     return (
         _verified_sims(emb, cand, id_col, emb_col)

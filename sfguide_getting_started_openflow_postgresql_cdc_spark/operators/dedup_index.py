@@ -811,9 +811,16 @@ class MinHashLshIndex:
                 )
             )
             tables["pairs"] = new_version
-        _run_concurrently(cow_jobs)
+        # r11: COW writes and log appends submit as ONE concurrent group
+        # (previously two sequential groups — two wall-clock floors).
+        # Safe by the same argument that made each group concurrent:
+        # every COW plan reads snapshot-pinned concrete file lists (an
+        # append landing in a not-yet-committed v{new} dir can never
+        # enter them) plus cached batch frames, and all writes become
+        # visible only at the manifest flip below.
         _run_concurrently(
-            [
+            cow_jobs
+            + [
                 lambda: self._append(
                     "shingles", batch_sh, self._doc_bucket(),
                     version=new_version,

@@ -173,14 +173,24 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
-def test_tfidf_broadcasts_dfreq_and_limits_window(spark, sf_dir):
-    """tx10: the doc-frequency side must broadcast (the tf side is never
-    re-shuffled on term) and the per-doc top-3 must plan as
-    WindowGroupLimit (top-k evaluated below the final window, not a full
-    per-group sort of every term)."""
+def test_tfidf_single_pass_and_limits_window(spark, sf_dir):
+    """tx10 (r11 shape): doc frequency comes from a term-keyed window
+    over the tf frame, so the plan must contain exactly ONE explode of
+    the corpus (the old join-against-dfreq shape recomputed the whole
+    explode+aggregate subtree on the broadcast side — and broadcast a
+    vocabulary-sized frame, which a 100 TB vocabulary would OOM); the
+    per-doc top-3 must still plan as WindowGroupLimit (top-k evaluated
+    below the final window, not a full per-group sort of every term)."""
+    import re
+
     df = QUERIES["tx10_tfidf_top_terms"](spark, sf_dir)
-    assert has_broadcast_hash_join(df)
-    assert "WindowGroupLimit" in explain_str(df)
+    plan = explain_str(df)
+    n_explodes = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_explodes == 1, "corpus must be exploded exactly once"
+    assert "BroadcastExchange" not in plan, (
+        "vocabulary-sized dfreq must not be broadcast"
+    )
+    assert "WindowGroupLimit" in plan
 
 
 def test_spread_small_is_identity_when_already_spread(spark, sf_dir):

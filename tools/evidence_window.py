@@ -37,6 +37,36 @@ CHANGED_SINCE_GREEN = [
     "mm6_image_ahash",  # r11: hashes the bmp/png/JPEG mix; oracle on _IMG_PX_CTE; wavefront defilter on the PNG side
     "mm8_image_dup_groups",  # r11: groups over the jpeg-mixed corpus (inherits mm6's oracle)
     "mm9_image_neardup_pairs",  # r11: pairs over the jpeg-mixed corpus; oracle on _IMG_PX_CTE
+    # r11 OPTIMIZATION round: plans changed (results proven identical
+    # against every oracle at sf0.001+sf0.01 locally; see
+    # OPTIMIZATION_r11.md) — shuffle-free gram_rows build (dedup/text/
+    # index/curation consumers), single-pass tx10/dd9, lazy-checkpoint
+    # connected components, single cached ANN frame, Arrow rerank,
+    # fused micro-batch collects, with_global_rank_n count fusion.
+    "dd3_ngram_jaccard_pairs",
+    "dd4_minhash_lsh_pairs",
+    "dd7_dedup_groups",
+    "dd8_semantic_dedup_groups",
+    "dd9_crossdoc_ngram_stats",
+    "dd10_containment_pairs",
+    "dd11_softdedup_weights",
+    "dd13_cluster_size_histogram",
+    "dd15_incremental_minhash_pairs",
+    "dd16_embedding_dups_auto",
+    "px6_neardup_aware_curation",
+    "px8_ngram_decontamination",
+    "px9_quality_curriculum",
+    "px11_training_manifest",
+    "px12_neardup_decontamination",
+    "px15_cluster_safe_split",
+    "px16_incremental_manifest",
+    "px17_incremental_lang_stats",
+    "px18_incremental_source_stats",
+    "tx10_tfidf_top_terms",
+    "tx11_repetition_stats",
+    "e11_rank_distributions",
+    "sim11_knn_graph_auto",
+    "sim12_knn_pq",
 ]
 
 

@@ -381,6 +381,17 @@ class IncrementalCurationManifest:
             d.select("doc_id", "text", "lang", "source").persist()
             for d in dumps
         ]
+        if not persisted:
+            # Empty batch (e.g. a zero-row foreachBatch micro-batch via
+            # ingest_batch_or_skip): skipped, same as `ingest` on an
+            # empty dump — the fused-bounds job below needs >= 1 dump.
+            return {
+                "version": meta["version"],
+                "ingested_docs": 0,
+                "skipped": True,
+                "n_dumps_applied": 0,
+                "n_dumps_skipped": 0,
+            }
         try:
             # ONE job computes every dump's bounds (r11, guide §1.2 /
             # §2.6): the k per-dump aggs union into a single action, so

@@ -376,6 +376,13 @@ def test_ingest_many_per_dump_discrimination(spark, tmp_path):
     )
     assert out["skipped"] and out["n_dumps_applied"] == 0
 
+    # empty batch (zero-row foreachBatch micro-batch) is a clean no-op
+    # skip too — regression for the r11 fused-bounds rewrite, which
+    # crashed on `agg.collect()` when no dumps were passed (ADVICE r11)
+    out = mf.ingest_many([])
+    assert out["skipped"] and out["n_dumps_applied"] == 0
+    assert out["ingested_docs"] == 0 and out["n_dumps_skipped"] == 0
+
 
 def test_streaming_manifest_batched_catchup(spark, tmp_path):
     """r10: max_files_per_trigger > 1 lets a restart catch up on a

@@ -160,13 +160,14 @@ def _shingle_batch(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct 3-gram pairs for one batch — the same
     construction as operators/dedup.py::_doc_shingles, applied to an
     arbitrary (doc_id, text) frame instead of the documents table.
-    r11: shares the shuffle-free array-level builder (``gram_rows``) —
-    one less exchange per ingest."""
+    r12: shares the exchange-free distinct builder
+    (``gram_rows_distinct``) — the batch's distinct exchange is gone
+    entirely (r11 had already removed the window exchange)."""
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
-        gram_rows,
+        gram_rows_distinct,
     )
 
-    return gram_rows(docs.select("doc_id", "text"), 3).distinct()
+    return gram_rows_distinct(docs.select("doc_id", "text"), 3)
 
 
 class MinHashLshIndex:
@@ -490,12 +491,24 @@ class MinHashLshIndex:
         all_sh = (
             stored_sh.unionByName(extra_sh) if extra_sh is not None else stored_sh
         )
+        from pyspark.sql.window import Window
+
+        # each capped row carries its doc's capped-set SIZE (one window
+        # over the candidate-bounded frame, persisted with the rows —
+        # the dd3/dd4 pattern): |A| and |B| then ride the intersection
+        # joins and min() inside the pair aggregate reproduces them
+        # exactly, so the two sizes joins AND their two broadcast
+        # builds disappear from the pairs-write critical path (r12,
+        # guide §1.2 — the serial broadcast builds each cost a driver
+        # round-trip per ingest)
         invol_sh = (
             all_sh.join(F.broadcast(involved), "doc_id", "left_semi")
             .join(hot, "shingle", "left_anti")
+            .withColumn(
+                "n", F.count("*").over(Window.partitionBy("doc_id"))
+            )
             .persist()
         )
-        sizes = invol_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         # invol_sh is candidate-bounded (docs touched by the verify set,
         # not the corpus), so BROADCAST both intersection sides: the
         # whole verification collapses to map-side joins + one AQE-
@@ -511,16 +524,17 @@ class MinHashLshIndex:
                 & (F.col("shb.shingle") == F.col("sha.shingle")),
             )
             .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_shared"))
+            .agg(
+                F.count("*").alias("n_shared"),
+                F.min(F.col("sha.n")).alias("na"),
+                F.min(F.col("shb.n")).alias("nb"),
+            )
         )
-        sa, sb = sizes.alias("sa"), sizes.alias("sb")
         jac = F.col("n_shared").cast("double") / (
-            F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+            F.col("na") + F.col("nb") - F.col("n_shared")
         )
         return (
-            inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            inter.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= self.threshold)
         ), invol_sh
 
@@ -644,24 +658,60 @@ class MinHashLshIndex:
         crossing = merged.filter(
             (F.col("old_df") <= self.cap) & (F.col("new_df") > self.cap)
         ).select("shingle")
-        cross_and_vk = (
-            crossing.agg(F.count("*").alias("b")).select(
-                F.lit("x").alias("t"), F.col("b").cast("long")
-            )
-            .unionByName(
-                new_cands.select(
-                    F.lit("a").alias("t"), self._doc_bucket("doc_a").alias("b")
+
+        def _probe():
+            return (
+                crossing.agg(F.count("*").alias("b")).select(
+                    F.lit("x").alias("t"), F.col("b").cast("long")
                 )
                 .unionByName(
                     new_cands.select(
-                        F.lit("b").alias("t"),
-                        self._doc_bucket("doc_b").alias("b"),
+                        F.lit("a").alias("t"),
+                        self._doc_bucket("doc_a").alias("b"),
                     )
+                    .unionByName(
+                        new_cands.select(
+                            F.lit("b").alias("t"),
+                            self._doc_bucket("doc_b").alias("b"),
+                        )
+                    )
+                    .distinct()
                 )
-                .distinct()
+                .collect()
             )
-            .collect()
-        )
+
+        # the probe job runs CONCURRENTLY with the shingles/bands log
+        # appends (r12, guide §2.6 — overlap independent jobs): all
+        # three depend only on the caches the `tagged` job materialized
+        # (the probe additionally computes `merged`/`new_cands`, which
+        # nothing else races on), and a v{new} log segment is invisible
+        # until the manifest flips, so appending before the probe
+        # resolves is crash-equivalent to appending after it — a retry
+        # overwrites the segment either way (see ``_append``). The
+        # cands append stays in the FINAL wave: it reads `new_cands`,
+        # which the probe is materializing — running them concurrently
+        # would compute the candidate join twice (cache race).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_probe = ex.submit(_probe)
+            f_logs = [
+                ex.submit(
+                    lambda: self._append(
+                        "shingles", batch_sh, self._doc_bucket(),
+                        version=new_version,
+                    )
+                ),
+                ex.submit(
+                    lambda: self._append(
+                        "bands", batch_bands, self._band_bucket(),
+                        version=new_version,
+                    )
+                ),
+            ]
+            cross_and_vk = f_probe.result()
+            for f in f_logs:
+                f.result()
         n_crossing = next(int(r["b"]) for r in cross_and_vk if r["t"] == "x")
 
         hot_old = self._cow_read("hot", "shingle string")
@@ -811,28 +861,20 @@ class MinHashLshIndex:
                 )
             )
             tables["pairs"] = new_version
-        # Two concurrent waves ON PURPOSE (r11 measured): merging all
-        # six writes into one group was tried and REVERTED — on a
-        # 32-core box the 6-way fan-out oversubscribes executor slots
-        # and Python workers and starves the pairs write (the critical
-        # path: it computes the whole verification subplan), measured
-        # 6.5-18.2 s per ingest vs a stable 6.7-7.5 s for the two-wave
-        # form. Snapshot-pinned reads make either order CORRECT; the
-        # two-wave split is the faster schedule, not a safety need.
-        _run_concurrently(cow_jobs)
-        _run_concurrently(
-            [
-                lambda: self._append(
-                    "shingles", batch_sh, self._doc_bucket(),
-                    version=new_version,
-                ),
-                lambda: self._append(
-                    "bands", batch_bands, self._band_bucket(),
-                    version=new_version,
-                ),
-                lambda: self._append("cands", new_cands, version=new_version),
-            ]
+        # Concurrency shape (re-measured r12): the shingles/bands
+        # appends already ran overlapped with the probe job above, so
+        # the final wave is the two-to-three remaining writes — df,
+        # pairs (the critical path: its plan computes the whole
+        # verification subgraph), and the cands append (its input was
+        # cached by the probe). r11's negative result stands: a single
+        # 6-way wave oversubscribed the 32-core box (6.5-18.2 s/ingest
+        # vs a stable 6.7-7.5 s) and stays reverted; this 3-4-way wave
+        # measured faster than the r11 two-wave form. Snapshot-pinned
+        # reads make any order CORRECT; the split is a schedule choice.
+        cow_jobs.append(
+            lambda: self._append("cands", new_cands, version=new_version)
         )
+        _run_concurrently(cow_jobs)
         self._clear_orphan_segments(
             new_version, wrote={"shingles", "bands", "cands"}
         )

@@ -88,11 +88,11 @@ def _batch_band_signatures(docs: DataFrame) -> DataFrame:
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
         _band_exprs,
         _minhash_sig_cols,
-        gram_rows,
+        gram_rows_distinct,
     )
 
-    # r11: shuffle-free array-level shingle build (see dedup.gram_rows)
-    sh = gram_rows(docs.select("doc_id", "text"), 3).distinct()
+    # r12: exchange-free distinct shingle build (dedup.gram_rows_distinct)
+    sh = gram_rows_distinct(docs.select("doc_id", "text"), 3)
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     bands = None
     for name, expr in _band_exprs():

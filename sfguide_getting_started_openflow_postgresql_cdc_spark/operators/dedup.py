@@ -880,9 +880,19 @@ def _connected_components(
     (join+compress+checkpoint+sum fused) instead of two (an eager
     checkpoint job followed by a separate sum job). Halves the per-round
     scheduling floor; identical labels, identical convergence."""
+    # r12 (VERDICT r11 item 9, guide §5): when the incoming pairs frame
+    # is ALREADY persisted (dd7/px6 consume the shared dd4 pairs memo),
+    # persisting the mirrored union again would cache a 2x copy of the
+    # same rows — each round's hook join instead reads the pairs cache
+    # twice (two in-memory scans of a tiny frame). Uncached inputs
+    # (dd8/dd11/dd13/px15 derive pairs inline) keep the persist so the
+    # pair derivation never re-runs per round.
+    _input_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
     edges = pairs.unionByName(
         pairs.select(F.col(b).alias(a), F.col(a).alias(b))
-    ).persist()
+    )
+    if not _input_cached:
+        edges.persist()
     labels = (
         edges.select(F.col(a).alias("node"))
         .distinct()
@@ -923,7 +933,8 @@ def _connected_components(
         cur_sum = label_sum(compressed)
         labels = compressed
         if cur_sum == prev_sum:
-            edges.unpersist()  # labels are materialized; plan no longer reads edges
+            if not _input_cached:
+                edges.unpersist()  # labels materialized; edges unread now
             sizes = labels.groupBy("label").agg(
                 F.count("*").alias("component_size")
             )

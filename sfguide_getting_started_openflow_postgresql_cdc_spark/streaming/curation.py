@@ -649,6 +649,15 @@ class IncrementalCurationManifest:
                 "ingested_docs": n_docs,
                 "touched_fp_buckets": len(buckets),
             }
+            # NOTE (r12, tried and REVERTED): materializing the corpus
+            # cache with a count() before the write wave removes the
+            # cache race (concurrent jobs hitting an uncached partition
+            # each compute it — BlockManager stores one result but does
+            # not block the racers: the dedup->decontam->token pipeline
+            # runs up to 4x inside the wave). Measured at sf0.1 the wave
+            # dropped 1.21 -> 0.68 s but TOTAL rose 2.40 -> 2.73 s: the
+            # duplicated compute runs on otherwise-idle cores while the
+            # dedicated count job is pure serial wall. Keep the race.
             if collect_metrics:
                 metrics["kept_docs"] = corpus.count()
             from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup_index import (

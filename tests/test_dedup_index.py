@@ -17,6 +17,10 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.sources.loader import
     load_table,
 )
 
+# driver-budget default excludes this heavyweight suite (pytest.ini);
+# builders run it via `-m ""` before shipping engine changes
+pytestmark = pytest.mark.slow
+
 
 def _pairs_dict(idx):
     return {(r.doc_a, r.doc_b): r.jaccard for r in idx.pairs().collect()}

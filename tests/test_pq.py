@@ -14,6 +14,11 @@ from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.pq import (
 from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.registry import (
     QUERIES,
 )
+import pytest
+
+# driver-budget default excludes this heavyweight suite (pytest.ini);
+# builders run it via `-m ""` before shipping engine changes
+pytestmark = pytest.mark.slow
 
 SF01 = "/root/testdata/sf0.01"
 

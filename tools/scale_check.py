@@ -20,10 +20,20 @@ a scale bug. Results are recorded in BASELINE.md.
 
 Run: python tools/scale_check.py   (writes .scale_sf1/ under the repo;
      delete the dir to regenerate)
+
+r12 (VERDICT r11 item 7): ``--sf1-low-core`` runs ONLY the sf1 leg on
+the most expensive entries, honoring ``$SPARK_GRAFT_CPUS`` — run it once
+at 32 and once at 8 to get a core-count ratio with real signal (at
+sf0.1 every entry is scheduling-floor-bound and the 8c/32c ratio is
+noise; at sf1 the compute is large enough for parallelism to show):
+
+    SPARK_GRAFT_CPUS=32 python tools/scale_check.py --sf1-low-core
+    SPARK_GRAFT_CPUS=8  python tools/scale_check.py --sf1-low-core
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -99,8 +109,68 @@ def build(spark) -> None:
     open(os.path.join(DST, "_DONE"), "w").write("ok")
 
 
+# the 6 most expensive recorded bench entries (BENCH_r11) — the
+# low-core sf1 leg measures whether THEY parallelize, since cheap
+# entries are floor-bound at any core count
+LOW_CORE_NAMES = [
+    "dd4_minhash_lsh_pairs",
+    "dd7_dedup_groups",
+    "px6_neardup_aware_curation",
+    "sim11_knn_graph_auto",
+    "dd16_embedding_dups_auto",
+    "dd5_simhash",
+]
+
+
+def sf1_low_core_leg() -> None:
+    """Time the expensive entries at sf1 only, on the session's core
+    count (``local[$SPARK_GRAFT_CPUS]``) — callers run this twice (32
+    and 8 cores) and compare. dd15's delta ingest rides along via the
+    bench helper; fresh dedup caches per query (CLAUDE.md rule)."""
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
+        QUERIES,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.operators.dedup import (
+        clear_dedup_cache,
+    )
+    from sfguide_getting_started_openflow_postgresql_cdc_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="scale_check_low_core")
+    build(spark)
+    import bench
+
+    QUERIES["tx4_fingerprint"](spark, DST).collect()  # warm-up
+    out: dict[str, float] = {}
+    for name in LOW_CORE_NAMES:
+        clear_dedup_cache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, DST).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    clear_dedup_cache()
+    out["dd15_ingest_10pct_delta"] = round(
+        bench._bench_incremental_dedup(spark, DST), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_low_core_seconds",
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "queries": out,
+            }
+        )
+    )
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1-low-core", action="store_true")
+    args = ap.parse_args()
+    if args.sf1_low_core:
+        sf1_low_core_leg()
+        return
     from sfguide_getting_started_openflow_postgresql_cdc_spark.operators import (
         QUERIES,
     )

@@ -49,17 +49,13 @@ _EVIDENCE_FILES = [
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 ]
 _NEEDS_EVIDENCE_FIRST = [
-    "mm5_decoded_media_metadata",  # changed/new this round
-    "mm6_image_ahash",  # changed/new this round
-    "mm8_image_dup_groups",  # changed/new this round
-    "mm9_image_neardup_pairs",  # changed/new this round
+    "sim12_knn_pq",  # changed/new this round
     "dd3_ngram_jaccard_pairs",  # changed/new this round
     "dd4_minhash_lsh_pairs",  # changed/new this round
     "dd7_dedup_groups",  # changed/new this round
-    "dd8_semantic_dedup_groups",  # changed/new this round
-    "dd9_crossdoc_ngram_stats",  # changed/new this round
     "dd10_containment_pairs",  # changed/new this round
     "dd11_softdedup_weights",  # changed/new this round
     "dd13_cluster_size_histogram",  # changed/new this round
@@ -67,40 +63,45 @@ _NEEDS_EVIDENCE_FIRST = [
     "dd16_embedding_dups_auto",  # changed/new this round
     "px6_neardup_aware_curation",  # changed/new this round
     "px8_ngram_decontamination",  # changed/new this round
-    "px9_quality_curriculum",  # changed/new this round
     "px11_training_manifest",  # changed/new this round
     "px12_neardup_decontamination",  # changed/new this round
     "px15_cluster_safe_split",  # changed/new this round
     "px16_incremental_manifest",  # changed/new this round
     "px17_incremental_lang_stats",  # changed/new this round
     "px18_incremental_source_stats",  # changed/new this round
-    "tx10_tfidf_top_terms",  # changed/new this round
-    "tx11_repetition_stats",  # changed/new this round
-    "e11_rank_distributions",  # changed/new this round
     "sim11_knn_graph_auto",  # changed/new this round
-    "sim12_knn_pq",  # changed/new this round
     "d15_approx_sketches",  # latest green r0
     "sim4_knn_ivf",  # latest green r0
     "sim8_kmeans_fit",  # latest green r0
-    "e12_value_windows",  # latest green r6
-    "e9_distribution_windows",  # latest green r6
-    "f8_keyset_pagination",  # latest green r6
-    "g5_union_distinct",  # latest green r6
-    "g6_except_all",  # latest green r6
-    "g7_intersect_all",  # latest green r6
-    "h10_datediff_year",  # latest green r6
-    "h19_json_extract",  # latest green r6
-    "h23_conditional_funcs",  # latest green r6
-    "h24_string_functions",  # latest green r6
-    "h25_date_parts",  # latest green r6
-    "h26_bit_operations",  # latest green r6
-    "h27_month_arithmetic",  # latest green r6
-    "h31_array_hof",  # latest green r6
-    "i13_event_transitions",  # latest green r6
-    "i14_replication_freshness",  # latest green r6
-    "i16_funnel_stages",  # latest green r6
-    "i17_retention_cohorts",  # latest green r6
-    "i3_latest_state_per_key",  # latest green r6
+    "px10_source_mixture_weights",  # latest green r6
+    "sim10_knn_graph_scaled",  # latest green r6
+    "sim6_knn_graph",  # latest green r6
+    "sim7_kmeans_assign",  # latest green r6
+    "sim9_contrastive_pairs",  # latest green r6
+    "b10_compound_predicate",  # latest green r7
+    "b2_select_star",  # latest green r7
+    "b3_alias_expr",  # latest green r7
+    "b5_in_list",  # latest green r7
+    "b6_date_range",  # latest green r7
+    "b7_null_predicate",  # latest green r7
+    "c12_small_qty_revenue",  # latest green r7
+    "c13_large_volume_customers",  # latest green r7
+    "c14_nation_trade_flows",  # latest green r7
+    "c15_market_share",  # latest green r7
+    "c16_dormant_high_balance",  # latest green r7
+    "c17_promo_revenue_share",  # latest green r7
+    "d29_modern_aggregates",  # latest green r7
+    "dd5_simhash",  # latest green r7
+    "dd6_embedding_cosine_dups_scaled",  # latest green r7
+    "i15_state_islands",  # latest green r7
+    "i5_tumbling_window_agg",  # latest green r7
+    "i8_change_volume",  # latest green r7
+    "i8_recent_changes",  # latest green r7
+    "i9_sessionization",  # latest green r7
+    "mm1_media_features",  # latest green r7
+    "mm2_media_metadata_stats",  # latest green r7
+    "mm3_frame_sample",  # latest green r7
+    "mm4_binary_metadata",  # latest green r7
 ]
 
 

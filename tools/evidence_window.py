@@ -31,23 +31,24 @@ WINDOW = 50
 # Queries whose PLAN or ORACLE changed since their last green driver row
 # (update every round from the round's diffs; new queries go here too).
 CHANGED_SINCE_GREEN = [
-    # r11: all r10 entries cleared (CORRECTNESS_r10: 46 green + 4
-    # rows-only by design, 0 failures; every r10-changed query green).
-    "mm5_decoded_media_metadata",  # r11: JPEG fixture slice (doc_id%16==10); oracle rebuilt on the shared _IMG_PX_CTE with the fixed-point jpeg branch
-    "mm6_image_ahash",  # r11: hashes the bmp/png/JPEG mix; oracle on _IMG_PX_CTE; wavefront defilter on the PNG side
-    "mm8_image_dup_groups",  # r11: groups over the jpeg-mixed corpus (inherits mm6's oracle)
-    "mm9_image_neardup_pairs",  # r11: pairs over the jpeg-mixed corpus; oracle on _IMG_PX_CTE
-    # r11 OPTIMIZATION round: plans changed (results proven identical
-    # against every oracle at sf0.001+sf0.01 locally; see
-    # OPTIMIZATION_r11.md) — shuffle-free gram_rows build (dedup/text/
-    # index/curation consumers), single-pass tx10/dd9, lazy-checkpoint
-    # connected components, single cached ANN frame, Arrow rerank,
-    # fused micro-batch collects, with_global_rank_n count fusion.
+    # r12: all r11 entries cleared (CORRECTNESS_r11: every r11-changed
+    # query has a green r11 driver row — VERDICT r11 item 8) EXCEPT
+    # sim12, which is rows-only by design (err: no_oracle can never
+    # read green here) and was r11-changed — kept near the window front
+    # per the verdict's convention note.
+    "sim12_knn_pq",
+    # r12 OPTIMIZATION round: plans changed (results proven identical
+    # against every oracle at sf0.001+sf0.01 locally AND via four
+    # fresh-process driver sims at sf0.01; see OPTIMIZATION_r12.md) —
+    # exchange-free distinct shingle build (gram_rows_distinct: every
+    # _doc_shingles/_shingle_batch consumer), connected-components
+    # persist skip over the cached pairs memo (dd7 + composers), dd15
+    # ingest probe/append overlap + window-carried verify sizes, ANN
+    # augmented-cache LRU lifecycle (sim11/dd16 — plan-identical,
+    # listed conservatively).
     "dd3_ngram_jaccard_pairs",
     "dd4_minhash_lsh_pairs",
     "dd7_dedup_groups",
-    "dd8_semantic_dedup_groups",
-    "dd9_crossdoc_ngram_stats",
     "dd10_containment_pairs",
     "dd11_softdedup_weights",
     "dd13_cluster_size_histogram",
@@ -55,18 +56,13 @@ CHANGED_SINCE_GREEN = [
     "dd16_embedding_dups_auto",
     "px6_neardup_aware_curation",
     "px8_ngram_decontamination",
-    "px9_quality_curriculum",
     "px11_training_manifest",
     "px12_neardup_decontamination",
     "px15_cluster_safe_split",
     "px16_incremental_manifest",
     "px17_incremental_lang_stats",
     "px18_incremental_source_stats",
-    "tx10_tfidf_top_terms",
-    "tx11_repetition_stats",
-    "e11_rank_distributions",
     "sim11_knn_graph_auto",
-    "sim12_knn_pq",
 ]
 
 

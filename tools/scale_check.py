@@ -143,11 +143,18 @@ def sf1_low_core_leg() -> None:
 
     QUERIES["tx4_fingerprint"](spark, DST).collect()  # warm-up
     out: dict[str, float] = {}
+    # min-of-2 with a cache clear before each pass: single cold-session
+    # shots measured 1.5-2.5x apart on identical code (JIT + first-call
+    # Python-worker costs dominate one-shot timings at this scale)
     for name in LOW_CORE_NAMES:
-        clear_dedup_cache()
-        t0 = time.perf_counter()
-        QUERIES[name](spark, DST).count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            clear_dedup_cache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, DST).count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out[name] = round(best, 3)
     clear_dedup_cache()
     out["dd15_ingest_10pct_delta"] = round(
         bench._bench_incremental_dedup(spark, DST), 3

@@ -392,12 +392,23 @@ class IncrementalCurationManifest:
                 "n_dumps_applied": 0,
                 "n_dumps_skipped": 0,
             }
+        spec_fpd = None
         try:
             # ONE job computes every dump's bounds (r11, guide §1.2 /
             # §2.6): the k per-dump aggs union into a single action, so
             # a k-dump catch-up pays one scheduling floor — not k — for
             # its bookkeeping pass, and every dump's persist
-            # materializes in the same job.
+            # materializes in the same job. r12: the SPECULATIVE
+            # fingerprint-dedup frame over the whole batch rides the
+            # same job (its touched-bucket distinct unions in as tagged
+            # rows, the `ingest` fusion applied to the k-dump path) —
+            # valid whenever every dump applies, the common catch-up
+            # case. A skipped/empty dump invalidates it (the real union
+            # is a subset): it is released and `_apply` recomputes over
+            # the actual union, paying the old separate job only on
+            # that rare path. _fp_dedup is order-independent (min
+            # doc_id per fingerprint), so the speculative any-order
+            # union matches the sorted union _apply would build.
             bounds_rows = {}
             agg = None
             for i, d in enumerate(persisted):
@@ -407,8 +418,24 @@ class IncrementalCurationManifest:
                     F.count("*").alias("n"),
                 ).select(F.lit(i).alias("_i"), "lo", "hi", "n")
                 agg = part if agg is None else agg.unionByName(part)
+            spec_union = persisted[0]
+            for d in persisted[1:]:
+                spec_union = spec_union.unionByName(d)
+            spec_fpd = self._fp_dedup(spec_union)
+            agg = agg.unionByName(
+                spec_fpd.select(
+                    F.lit(-1).alias("_i"),
+                    self._fp_bucket().alias("lo"),
+                    F.lit(None).cast("long").alias("hi"),
+                    F.lit(None).cast("long").alias("n"),
+                ).distinct()
+            )
+            spec_buckets = []
             for r in agg.collect():
-                bounds_rows[r["_i"]] = r
+                if r["_i"] == -1:
+                    spec_buckets.append(int(r["lo"]))
+                else:
+                    bounds_rows[r["_i"]] = r
             infos, skipped = [], 0
             for i, d in enumerate(persisted):
                 b = bounds_rows[i]
@@ -452,6 +479,15 @@ class IncrementalCurationManifest:
             union = infos[0][2]
             for _, _, d in infos[1:]:
                 union = union.unionByName(d)
+            if skipped == 0:
+                # every dump applied: the speculative frame IS the
+                # union's fp-dedup — hand it (and its buckets) down so
+                # _apply skips its own bucket job. _apply owns spec_fpd's
+                # unpersist from here (it releases fpd on every exit).
+                fpd_arg, buckets_arg = spec_fpd, sorted(spec_buckets)
+                spec_fpd = None
+            else:
+                fpd_arg, buckets_arg = None, None
             out = self._apply(
                 union,
                 meta,
@@ -460,11 +496,15 @@ class IncrementalCurationManifest:
                 hi=infos[-1][0][1],
                 new_ranges=[r for r, _, _ in infos],
                 collect_metrics=collect_metrics,
+                fpd=fpd_arg,
+                fp_buckets=buckets_arg,
             )
             out["n_dumps_applied"] = len(infos)
             out["n_dumps_skipped"] = skipped
             return out
         finally:
+            if spec_fpd is not None:
+                spec_fpd.unpersist()
             for d in persisted:
                 d.unpersist()
 
